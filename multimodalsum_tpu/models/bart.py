@@ -1,0 +1,575 @@
+"""TPU-native BART with multi-entity / multimodal cross-attention.
+
+This is a ground-up Flax reimplementation of the reference model family
+(``src/transformer/modeling_multimodalsum.py``): a BART encoder-decoder whose
+decoder cross-attends over a set of *entities* (e.g. 8 review encodings) per
+batch element, combines them with a masked parallel mean, and — in the
+multimodal variant — fuses text/table/image attention outputs through learned
+ReLU(tanh) gates (reference ``:722-745``).
+
+Design differences from the reference (deliberate, TPU-first):
+
+* batch-major everywhere — no ``[t, b, d]`` transposes (reference
+  ``:599-649``); the entity axis is a real array axis ``[b, e, s, d]`` driven
+  by one 5-D einsum instead of per-entity bmm loops;
+* decode-time cross-attention K/V are projected **once** per sequence
+  (:meth:`BartDecoder.precompute_cross_kv`) and stored *unexpanded* (one copy
+  per batch element, not per beam) — the reference re-checks/copies per-beam
+  state every step and reorders it with ``index_select`` (``:2996-3011``);
+* the decoder self-attention KV cache is a static-shape ring-free buffer
+  ``[b, max_len, n, h]`` written at a dynamic index, so the whole decode loop
+  can live inside ``lax.while_loop`` with zero host sync;
+* masks use a single True-for-valid convention throughout.
+
+Numerical parity with the reference is bit-for-bit in float32 for unmasked
+paths and verified by tests/test_parity_*.py against the actual PyTorch
+reference executed on CPU.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from multimodalsum_tpu.core.config import BartConfig
+from multimodalsum_tpu.core.precision import matmul_precision
+from multimodalsum_tpu.ops.attention import (
+    cached_self_attention_step,
+    entity_cross_attention,
+    token_self_attention,
+)
+from multimodalsum_tpu.ops.masks import make_causal_mask
+
+# A modality bundle: encoder hidden states [b, e, s, d] and validity mask
+# [b, e, s] (True = attend). The unimodal model uses a single bundle; the
+# multimodal model uses (text, table, img) in that order.
+Modality = Tuple[jnp.ndarray, Optional[jnp.ndarray]]
+
+LN_EPS = 1e-5  # torch.nn.LayerNorm default, reference modeling_multimodalsum.py:972
+
+
+def _dense(config: BartConfig, features: int, dtype, name: str, use_bias: bool = True):
+    return nn.Dense(
+        features,
+        use_bias=use_bias,
+        dtype=dtype,
+        param_dtype=jnp.float32,
+        precision=matmul_precision(),
+        kernel_init=nn.initializers.normal(config.init_std),
+        bias_init=nn.initializers.zeros,
+        name=name,
+    )
+
+
+def _split_heads(x: jnp.ndarray, num_heads: int) -> jnp.ndarray:
+    """[..., d] -> [..., n, h]."""
+    return x.reshape(x.shape[:-1] + (num_heads, x.shape[-1] // num_heads))
+
+
+def _merge_heads(x: jnp.ndarray) -> jnp.ndarray:
+    """[..., n, h] -> [..., d]."""
+    return x.reshape(x.shape[:-2] + (x.shape[-2] * x.shape[-1],))
+
+
+class SelfAttention(nn.Module):
+    """Token self-attention (encoder, and decoder with causal mask + cache).
+
+    Reference ``SelfAttention`` with ``encoder_decoder_attention=False``
+    (``modeling_multimodalsum.py:672-875``).
+    """
+
+    config: BartConfig
+    num_heads: int
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        d = self.config.d_model
+        self.q_proj = _dense(self.config, d, self.dtype, "q_proj")
+        self.k_proj = _dense(self.config, d, self.dtype, "k_proj")
+        self.v_proj = _dense(self.config, d, self.dtype, "v_proj")
+        self.out_proj = _dense(self.config, d, self.dtype, "out_proj")
+        self.scaling = (d // self.num_heads) ** -0.5
+
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        key_valid: Optional[jnp.ndarray] = None,
+        causal_bias: Optional[jnp.ndarray] = None,
+    ) -> jnp.ndarray:
+        q = _split_heads(self.q_proj(x) * self.scaling, self.num_heads)
+        k = _split_heads(self.k_proj(x), self.num_heads)
+        v = _split_heads(self.v_proj(x), self.num_heads)
+        ctx = token_self_attention(q, k, v, key_valid=key_valid, causal_bias=causal_bias)
+        return self.out_proj(_merge_heads(ctx))
+
+    def step(
+        self,
+        x: jnp.ndarray,
+        k_cache: jnp.ndarray,
+        v_cache: jnp.ndarray,
+        index: jnp.ndarray,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """One decode step. x: [b, 1, d]; caches [b, L, n, h]; index scalar.
+
+        Returns (out [b, 1, d], new_k_cache, new_v_cache).
+        """
+        q = _split_heads(self.q_proj(x) * self.scaling, self.num_heads)
+        k_new = _split_heads(self.k_proj(x), self.num_heads)  # [b, 1, n, h]
+        v_new = _split_heads(self.v_proj(x), self.num_heads)
+        k_cache = jax.lax.dynamic_update_slice(k_cache, k_new.astype(k_cache.dtype), (0, index, 0, 0))
+        v_cache = jax.lax.dynamic_update_slice(v_cache, v_new.astype(v_cache.dtype), (0, index, 0, 0))
+        ctx = cached_self_attention_step(q, k_cache, v_cache, index)
+        return self.out_proj(_merge_heads(ctx)), k_cache, v_cache
+
+
+class EntityCrossAttention(nn.Module):
+    """Multi-entity (and optionally multimodal) decoder cross-attention.
+
+    Unimodal: one modality bundle, parallel-mean over entities (reference
+    ``:752-875``). Multimodal: three bundles share the q/k/v/out projections
+    (the reference uses a single ``SelfAttention`` module with per-modality
+    cache-key suffixes, ``:722-726``) and are fused with gates
+    ``alpha = relu(tanh(W_a [text;table]))``, ``beta = relu(tanh(W_b [text;img]))``,
+    zeroed for batch elements lacking that modality (``:732-744``).
+    """
+
+    config: BartConfig
+    num_heads: int
+    multimodal: bool = False
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        d = self.config.d_model
+        self.q_proj = _dense(self.config, d, self.dtype, "q_proj")
+        self.k_proj = _dense(self.config, d, self.dtype, "k_proj")
+        self.v_proj = _dense(self.config, d, self.dtype, "v_proj")
+        self.out_proj = _dense(self.config, d, self.dtype, "out_proj")
+        if self.multimodal:
+            self.alpha_proj = _dense(self.config, d, self.dtype, "alpha_proj")
+            self.beta_proj = _dense(self.config, d, self.dtype, "beta_proj")
+        self.scaling = (d // self.num_heads) ** -0.5
+
+    def project_kv(self, hiddens: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Project encoder hiddens [b, e, s, d] to K/V [b, e, s, n, h]."""
+        k = _split_heads(self.k_proj(hiddens), self.num_heads)
+        v = _split_heads(self.v_proj(hiddens), self.num_heads)
+        return k, v
+
+    def _attend(self, q, kv, mask):
+        ctx = entity_cross_attention(q, kv[0], kv[1], mask)
+        return self.out_proj(_merge_heads(ctx))
+
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        modalities: Sequence[Modality],
+        cross_kv: Optional[Sequence[Tuple[jnp.ndarray, jnp.ndarray]]] = None,
+    ) -> jnp.ndarray:
+        """Attend from x [b, t, d] over the modality bundles.
+
+        If ``cross_kv`` is given (decode), the hiddens inside ``modalities``
+        are ignored and only the masks are used. When the KV batch dim is
+        smaller than x's (unexpanded beam-search KV, batch = b // beams), the
+        query is folded as extra "positions" of the true batch — valid
+        because queries attend independently along t.
+        """
+        b, t, d = x.shape
+        kv_batch = (cross_kv[0][0] if cross_kv is not None else modalities[0][0]).shape[0]
+        fold = b // kv_batch  # beams folded into the query axis
+        q = _split_heads(self.q_proj(x) * self.scaling, self.num_heads)
+        q = q.reshape(kv_batch, fold * t, self.num_heads, d // self.num_heads)
+
+        outs = []
+        for i, (hiddens, mask) in enumerate(modalities):
+            kv = cross_kv[i] if cross_kv is not None else self.project_kv(hiddens)
+            outs.append(self._attend(q, kv, mask).reshape(b, t, d))
+
+        if not self.multimodal:
+            return outs[0]
+
+        text_out, table_out, img_out = outs
+        alpha = nn.relu(jnp.tanh(self.alpha_proj(jnp.concatenate([text_out, table_out], axis=-1))))
+        beta = nn.relu(jnp.tanh(self.beta_proj(jnp.concatenate([text_out, img_out], axis=-1))))
+
+        def has_modality(mask):
+            if mask is None:
+                return jnp.ones((b, 1, 1), dtype=bool)
+            present = jnp.any(mask, axis=(1, 2))  # [kv_batch]
+            present = jnp.broadcast_to(present[:, None], (kv_batch, fold)).reshape(b)
+            return present[:, None, None]
+
+        alpha = jnp.where(has_modality(modalities[1][1]), alpha, 0.0)
+        beta = jnp.where(has_modality(modalities[2][1]), beta, 0.0)
+        return text_out + alpha * table_out + beta * img_out
+
+
+class EncoderLayer(nn.Module):
+    """Post-LN transformer encoder layer (reference ``EncoderLayer``, ``:259-293``)."""
+
+    config: BartConfig
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        cfg = self.config
+        self.self_attn = SelfAttention(cfg, cfg.encoder_attention_heads, dtype=self.dtype)
+        self.self_attn_layer_norm = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="self_attn_layer_norm")
+        self.fc1 = _dense(cfg, cfg.encoder_ffn_dim, self.dtype, "fc1")
+        self.fc2 = _dense(cfg, cfg.d_model, self.dtype, "fc2")
+        self.final_layer_norm = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="final_layer_norm")
+        self.dropout = nn.Dropout(cfg.dropout)
+        self.activation_dropout = nn.Dropout(cfg.activation_dropout)
+
+    def __call__(self, x, key_valid, deterministic: bool = True):
+        cfg = self.config
+        residual = x
+        if cfg.normalize_before:
+            x = self.self_attn_layer_norm(x)
+        x = self.self_attn(x, key_valid=key_valid)
+        x = self.dropout(x, deterministic=deterministic)
+        x = residual + x
+        if not cfg.normalize_before:
+            x = self.self_attn_layer_norm(x)
+
+        residual = x
+        if cfg.normalize_before:
+            x = self.final_layer_norm(x)
+        x = nn.gelu(self.fc1(x), approximate=False)
+        x = self.activation_dropout(x, deterministic=deterministic)
+        x = self.fc2(x)
+        x = self.dropout(x, deterministic=deterministic)
+        x = residual + x
+        if not cfg.normalize_before:
+            x = self.final_layer_norm(x)
+        return x
+
+
+class DecoderLayer(nn.Module):
+    """Post-LN decoder layer with entity/multimodal cross-attention.
+
+    Reference ``DecoderLayer`` (``modeling_multimodalsum.py:409-496``).
+    """
+
+    config: BartConfig
+    multimodal: bool = False
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        cfg = self.config
+        self.self_attn = SelfAttention(cfg, cfg.decoder_attention_heads, dtype=self.dtype)
+        self.self_attn_layer_norm = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="self_attn_layer_norm")
+        self.encoder_attn = EntityCrossAttention(
+            cfg, cfg.decoder_attention_heads, multimodal=self.multimodal, dtype=self.dtype
+        )
+        self.encoder_attn_layer_norm = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="encoder_attn_layer_norm")
+        self.fc1 = _dense(cfg, cfg.decoder_ffn_dim, self.dtype, "fc1")
+        self.fc2 = _dense(cfg, cfg.d_model, self.dtype, "fc2")
+        self.final_layer_norm = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="final_layer_norm")
+        self.dropout = nn.Dropout(cfg.dropout)
+        self.activation_dropout = nn.Dropout(cfg.activation_dropout)
+
+    def _ffn_block(self, x, deterministic):
+        cfg = self.config
+        residual = x
+        if cfg.normalize_before:
+            x = self.final_layer_norm(x)
+        x = nn.gelu(self.fc1(x), approximate=False)
+        x = self.activation_dropout(x, deterministic=deterministic)
+        x = self.fc2(x)
+        x = self.dropout(x, deterministic=deterministic)
+        x = residual + x
+        if not cfg.normalize_before:
+            x = self.final_layer_norm(x)
+        return x
+
+    def _cross_block(self, x, modalities, cross_kv, deterministic):
+        cfg = self.config
+        residual = x
+        if cfg.normalize_before:
+            x = self.encoder_attn_layer_norm(x)
+        x = self.encoder_attn(x, modalities, cross_kv=cross_kv)
+        x = self.dropout(x, deterministic=deterministic)
+        x = residual + x
+        if not cfg.normalize_before:
+            x = self.encoder_attn_layer_norm(x)
+        return x
+
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        modalities: Sequence[Modality],
+        causal_bias: jnp.ndarray,
+        dec_key_valid: Optional[jnp.ndarray],
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        """Full-sequence (training) forward."""
+        cfg = self.config
+        residual = x
+        if cfg.normalize_before:
+            x = self.self_attn_layer_norm(x)
+        x = self.self_attn(x, key_valid=dec_key_valid, causal_bias=causal_bias)
+        x = self.dropout(x, deterministic=deterministic)
+        x = residual + x
+        if not cfg.normalize_before:
+            x = self.self_attn_layer_norm(x)
+
+        x = self._cross_block(x, modalities, None, deterministic)
+        return self._ffn_block(x, deterministic)
+
+    def step(
+        self,
+        x: jnp.ndarray,
+        masks: Sequence[Optional[jnp.ndarray]],
+        cross_kv: Sequence[Tuple[jnp.ndarray, jnp.ndarray]],
+        k_cache: jnp.ndarray,
+        v_cache: jnp.ndarray,
+        index: jnp.ndarray,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """One-token decode step (deterministic)."""
+        residual = x
+        if self.config.normalize_before:
+            x = self.self_attn_layer_norm(x)
+        x, k_cache, v_cache = self.self_attn.step(x, k_cache, v_cache, index)
+        x = residual + x
+        if not self.config.normalize_before:
+            x = self.self_attn_layer_norm(x)
+
+        modalities = [(None, m) for m in masks]
+        x = self._cross_block(x, modalities, cross_kv, deterministic=True)
+        return self._ffn_block(x, deterministic=True), k_cache, v_cache
+
+
+class BartEncoder(nn.Module):
+    """Reference ``BartEncoder`` (``modeling_multimodalsum.py:312-406``), batch-major."""
+
+    config: BartConfig
+    embed_tokens: nn.Embed
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        cfg = self.config
+        self.embed_positions = nn.Embed(
+            cfg.max_position_embeddings + cfg.extra_pos_embeddings,
+            cfg.d_model,
+            embedding_init=nn.initializers.normal(cfg.init_std),
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="embed_positions",
+        )
+        self.layers = [
+            EncoderLayer(cfg, dtype=self.dtype, name=f"layers_{i}") for i in range(cfg.encoder_layers)
+        ]
+        if cfg.normalize_embedding:
+            self.layernorm_embedding = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="layernorm_embedding")
+        self.dropout = nn.Dropout(cfg.dropout)
+        self.embed_scale = cfg.d_model**0.5 if cfg.scale_embedding else 1.0
+
+    def __call__(self, input_ids: jnp.ndarray, attention_mask: Optional[jnp.ndarray] = None,
+                 deterministic: bool = True) -> jnp.ndarray:
+        cfg = self.config
+        seq_len = input_ids.shape[-1]
+        # Positions are a plain arange + offset, independent of padding
+        # (reference LearnedPositionalEmbedding.forward, :958-968).
+        positions = jnp.arange(seq_len) + cfg.extra_pos_embeddings
+        x = self.embed_tokens(input_ids) * self.embed_scale + self.embed_positions(positions)
+        if cfg.normalize_embedding:
+            x = self.layernorm_embedding(x)
+        x = self.dropout(x, deterministic=deterministic)
+
+        key_valid = attention_mask.astype(bool) if attention_mask is not None else None
+        # Reference quirk: masking is skipped entirely when no row has pads
+        # (make_padding_mask returns None, :251-257); with True-for-valid
+        # masks an all-valid mask is a numerical no-op, so always apply.
+        for layer in self.layers:
+            x = layer(x, key_valid, deterministic=deterministic)
+        return x
+
+
+class BartDecoder(nn.Module):
+    """Reference ``BartDecoder`` (``modeling_multimodalsum.py:497-660``), batch-major.
+
+    ``multimodal=False``: cross-attends one modality bundle ``[b, e, s, d]``.
+    ``multimodal=True``: (text, table, img) bundles with gated fusion.
+    """
+
+    config: BartConfig
+    embed_tokens: nn.Embed
+    multimodal: bool = False
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        cfg = self.config
+        self.embed_positions = nn.Embed(
+            cfg.max_position_embeddings + cfg.extra_pos_embeddings,
+            cfg.d_model,
+            embedding_init=nn.initializers.normal(cfg.init_std),
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="embed_positions",
+        )
+        # Learned rating-difference embedding vector (reference :514-515).
+        self.rating_embeddings = self.param(
+            "rating_embeddings", nn.initializers.normal(cfg.init_std), (cfg.d_model,), jnp.float32
+        )
+        self.layers = [
+            DecoderLayer(cfg, multimodal=self.multimodal, dtype=self.dtype, name=f"layers_{i}")
+            for i in range(cfg.decoder_layers)
+        ]
+        if cfg.normalize_embedding:
+            self.layernorm_embedding = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="layernorm_embedding")
+        self.dropout = nn.Dropout(cfg.dropout)
+        self.embed_scale = cfg.d_model**0.5 if cfg.scale_embedding else 1.0
+
+    def _embed(self, input_ids, positions, rating_diff, deterministic):
+        """Token + position (+ rating) embedding (reference :588-598)."""
+        x = self.embed_tokens(input_ids) * self.embed_scale + self.embed_positions(positions)
+        if rating_diff is not None:
+            # rating_diff [b, 1] * rating_embeddings [d] -> [b, 1, d], added
+            # to every position (reference :591-595).
+            x = x + (rating_diff[..., None] * self.rating_embeddings).astype(x.dtype)
+        if self.config.normalize_embedding:
+            x = self.layernorm_embedding(x)
+        return self.dropout(x, deterministic=deterministic)
+
+    def __call__(
+        self,
+        input_ids: jnp.ndarray,
+        modalities: Sequence[Modality],
+        rating_diff: Optional[jnp.ndarray] = None,
+        dec_key_valid: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        """Full-sequence (teacher forcing) forward -> hidden [b, t, d]."""
+        cfg = self.config
+        t = input_ids.shape[-1]
+        positions = jnp.arange(t) + cfg.extra_pos_embeddings
+        x = self._embed(input_ids, positions, rating_diff, deterministic)
+        causal_bias = make_causal_mask(t)
+        for layer in self.layers:
+            x = layer(x, modalities, causal_bias, dec_key_valid, deterministic=deterministic)
+        return x
+
+    def precompute_cross_kv(self, modality_hiddens: Sequence[jnp.ndarray]):
+        """Project every modality's encoder states to per-layer K/V once.
+
+        Returns ``layers x modalities`` nested tuples of (k, v), each
+        ``[b, e, s, n, h]``. This runs once per generated sequence instead of
+        being cached lazily on decode step 0 as in the reference (``:783-786``).
+        """
+        out = []
+        for layer in self.layers:
+            out.append(tuple(layer.encoder_attn.project_kv(h) for h in modality_hiddens))
+        return tuple(out)
+
+    def step(
+        self,
+        token_ids: jnp.ndarray,
+        index: jnp.ndarray,
+        cache: Sequence[Tuple[jnp.ndarray, jnp.ndarray]],
+        cross_kv,
+        modality_masks: Sequence[Optional[jnp.ndarray]],
+        rating_diff: Optional[jnp.ndarray] = None,
+    ):
+        """One-token decode: token_ids [b, 1], index scalar.
+
+        Returns (hidden [b, 1, d], new_cache).
+        """
+        positions = jnp.full((1,), index + self.config.extra_pos_embeddings, dtype=jnp.int32)
+        x = self._embed(token_ids, positions, rating_diff, deterministic=True)
+        new_cache = []
+        for i, layer in enumerate(self.layers):
+            x, k_c, v_c = layer.step(x, modality_masks, cross_kv[i], cache[i][0], cache[i][1], index)
+            new_cache.append((k_c, v_c))
+        return x, tuple(new_cache)
+
+
+class BartModel(nn.Module):
+    """Shared-embedding encoder/decoder pair (reference ``BartModel``, ``:996``).
+
+    The LM head is weight-tied to the shared embedding with an additive
+    ``final_logits_bias`` (reference ``:1385``).
+    """
+
+    config: BartConfig
+    multimodal: bool = False
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        cfg = self.config
+        self.shared = nn.Embed(
+            cfg.vocab_size,
+            cfg.d_model,
+            embedding_init=nn.initializers.normal(cfg.init_std),
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="shared",
+        )
+        self.encoder = BartEncoder(cfg, embed_tokens=self.shared, dtype=self.dtype, name="encoder")
+        self.decoder = BartDecoder(
+            cfg, embed_tokens=self.shared, multimodal=self.multimodal, dtype=self.dtype, name="decoder"
+        )
+        self.final_logits_bias = self.param(
+            "final_logits_bias", nn.initializers.zeros, (cfg.vocab_size,), jnp.float32
+        )
+
+    def encode(self, input_ids, attention_mask=None, deterministic: bool = True):
+        return self.encoder(input_ids, attention_mask, deterministic=deterministic)
+
+    def init_all(self):
+        """Touch every parameter once; use as ``model.init(rng, method=BartModel.init_all)``."""
+        ids = jnp.zeros((1, 2), jnp.int32)
+        hiddens = self.encode(ids)[:, None]  # [1, 1, 2, d]
+        mask = jnp.ones((1, 1, 2), bool)
+        n_mod = 3 if self.multimodal else 1
+        return self.decode_train(
+            ids, [(hiddens, mask)] * n_mod, jnp.zeros((1, 1), jnp.float32), None
+        )
+
+    def lm_logits(self, hidden: jnp.ndarray) -> jnp.ndarray:
+        """hidden @ shared.T + final_logits_bias (reference ``:1385``)."""
+        logits = jnp.einsum(
+            "...d,vd->...v", hidden, self.shared.embedding.astype(hidden.dtype),
+            precision=matmul_precision(),
+        )
+        return logits + self.final_logits_bias
+
+    def embed_lookup(self, ids: jnp.ndarray) -> jnp.ndarray:
+        """Raw shared-embedding lookup (used by the table encoders)."""
+        return self.shared(ids)
+
+    def decode_train(
+        self,
+        decoder_input_ids,
+        modalities: Sequence[Modality],
+        rating_diff=None,
+        dec_key_valid=None,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        """Teacher-forced decode -> logits [b, t, vocab]."""
+        hidden = self.decoder(
+            decoder_input_ids, modalities, rating_diff=rating_diff,
+            dec_key_valid=dec_key_valid, deterministic=deterministic,
+        )
+        return self.lm_logits(hidden)
+
+    def init_decode(self, modality_hiddens: Sequence[jnp.ndarray]):
+        return self.decoder.precompute_cross_kv(modality_hiddens)
+
+    def decode_step(self, token_ids, index, cache, cross_kv, modality_masks, rating_diff=None):
+        hidden, new_cache = self.decoder.step(
+            token_ids, index, cache, cross_kv, modality_masks, rating_diff=rating_diff
+        )
+        return self.lm_logits(hidden), new_cache
+
+
+def init_self_attn_cache(
+    config: BartConfig, batch: int, max_length: int, num_layers: int | None = None, dtype=jnp.float32
+):
+    """Static-shape decoder self-attention KV cache pytree."""
+    n = config.decoder_attention_heads
+    h = config.d_model // n
+    num_layers = num_layers if num_layers is not None else config.decoder_layers
+    zeros = jnp.zeros((batch, max_length, n, h), dtype)
+    return tuple((zeros, zeros) for _ in range(num_layers))
