@@ -25,6 +25,7 @@ _TINY_KW = dict(
     dropout=0.0,
     attention_dropout=0.0,
     activation_dropout=0.0,
+    decoder_start_token_id=2,  # production bart-large value (cfg/bart-large.json)
 )
 
 
