@@ -1,0 +1,112 @@
+"""Flagship benchmark: multimodal beam-search summarization throughput.
+
+Measures end-to-end summaries/sec/chip for the production eval configuration
+(reference ``src/test.py:156-181``): batch 8 Yelp groups, 8 reviews x 160
+tokens each, 47-row table, 10 images, BART-large multimodal decoder, beam 5,
+max_length 142 (config default), no_repeat_ngram 3, early stopping — the
+whole pipeline (3 encoders + on-device beam search) jitted.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+``vs_baseline`` compares against an estimated 2.0 summaries/sec for the
+reference PyTorch implementation on one A100 (batch 8, beam 5, ~142
+host-synced single-token decoder steps/summary — the reference beam loop
+round-trips GPU->host every token, see SURVEY.md §3.4). The reference repo
+publishes no numbers (BASELINE.md), so this anchor is an engineering
+estimate, stated here for transparency.
+"""
+
+import json
+import os
+import time
+
+os.environ.setdefault("HF_HUB_OFFLINE", "1")
+os.environ.setdefault("TRANSFORMERS_OFFLINE", "1")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+A100_REFERENCE_SUMMARIES_PER_SEC = 2.0
+
+
+def main():
+    from multimodalsum_tpu.core.config import BartConfig, GenerationConfig
+    from multimodalsum_tpu.decode.engine import generate
+    from multimodalsum_tpu.models.multimodal import MultimodalSum, yelp_dummy_table
+
+    cfg = BartConfig(dropout=0.0)
+    gen = GenerationConfig(
+        num_beams=5, max_length=142, min_length=56, length_penalty=2.0,
+        early_stopping=True, no_repeat_ngram_size=3,
+    )
+    model = MultimodalSum(cfg, dataset="yelp", img_model="resnet101", dtype=jnp.bfloat16)
+
+    b, e, s, n_img = 8, 8, 160, 10
+    rng = np.random.default_rng(0)
+    reviews = rng.integers(3, cfg.vocab_size, (b * e, s)).astype(np.int32)
+    reviews_mask = np.ones((b * e, s), np.int32)
+    field, values = yelp_dummy_table(b)
+    img = rng.normal(size=(b, n_img, 224, 224, 3)).astype(np.float32)
+    img_mask = np.ones((b, n_img), bool)
+
+    t0 = time.time()
+    variables = model.init(jax.random.PRNGKey(0), field, yelp_dummy_table(1)[1],
+                           method=MultimodalSum.init_all)
+    params, batch_stats = variables["params"], variables["batch_stats"]
+    print(f"# init {time.time()-t0:.1f}s", flush=True)
+
+    def encode_fn(params, batch_stats, reviews, reviews_mask, field, values, img, img_mask):
+        vs = {"params": params, "batch_stats": batch_stats}
+        text_h = model.apply(vs, reviews.reshape(b, e, s), reviews_mask.reshape(b, e, s),
+                             method=MultimodalSum.encode_text)
+        table_h, table_m = model.apply(vs, field, values, method=MultimodalSum.encode_table)
+        img_h, img_m = model.apply(vs, img, img_mask, method=MultimodalSum.encode_img)
+        return text_h, table_h, table_m, img_h, img_m
+
+    def pipeline(params, batch_stats, reviews, reviews_mask, field, values, img, img_mask):
+        text_h, table_h, table_m, img_h, img_m = encode_fn(
+            params, batch_stats, reviews, reviews_mask, field, values, img, img_mask)
+        text_m = reviews_mask.reshape(b, e, s).astype(bool)
+        rating = jnp.zeros((b, 1), jnp.float32)
+        res = generate(
+            model.bind({"params": params}).bart if False else _bart(model, params),
+            params["bart"],
+            [text_h, table_h, img_h], [text_m, table_m, img_m], rating, gen,
+        )
+        return res.sequences, res.lengths
+
+    def _bart(mm, params):
+        from multimodalsum_tpu.models.bart import BartModel
+
+        return BartModel(mm.config, multimodal=True, dtype=mm.dtype)
+
+    jit_pipe = jax.jit(pipeline)
+
+    args = (params, batch_stats, reviews, reviews_mask, field, values, img, img_mask)
+    t0 = time.time()
+    seqs, lengths = jax.block_until_ready(jit_pipe(*args))
+    compile_time = time.time() - t0
+    print(f"# compile+first run {compile_time:.1f}s", flush=True)
+
+    iters = 3
+    t0 = time.time()
+    for _ in range(iters):
+        seqs, lengths = jax.block_until_ready(jit_pipe(*args))
+    dt = (time.time() - t0) / iters
+
+    total_tokens = int(np.asarray(lengths).sum())
+    summaries_per_sec = b / dt
+    print(f"# steady-state: {dt:.3f}s/batch of {b}; ~{total_tokens} tokens; "
+          f"{summaries_per_sec:.2f} summaries/s", flush=True)
+
+    print(json.dumps({
+        "metric": "multimodal_beam5_summaries_per_sec_per_chip",
+        "value": round(summaries_per_sec, 3),
+        "unit": "summaries/sec/chip",
+        "vs_baseline": round(summaries_per_sec / A100_REFERENCE_SUMMARIES_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

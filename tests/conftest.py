@@ -29,6 +29,13 @@ if REPO_ROOT not in sys.path:
 
 REFERENCE_SRC = "/root/reference/src"
 
+# The axon TPU plugin's sitecustomize rewrites JAX_PLATFORMS to "axon,cpu"
+# at interpreter start, so the env var alone cannot force CPU — override the
+# config directly before any backend is initialised.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 # Force true-f32 matmuls through the framework's own precision policy (env
 # vars can be missed if a pytest plugin imports jax before this conftest).
 from multimodalsum_tpu.core.precision import set_default_matmul_precision  # noqa: E402
