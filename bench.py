@@ -64,22 +64,20 @@ def main():
         img_h, img_m = model.apply(vs, img, img_mask, method=MultimodalSum.encode_img)
         return text_h, table_h, table_m, img_h, img_m
 
+    from multimodalsum_tpu.models.bart import BartModel
+
+    bart = BartModel(cfg, multimodal=True, dtype=model.dtype)
+
     def pipeline(params, batch_stats, reviews, reviews_mask, field, values, img, img_mask):
         text_h, table_h, table_m, img_h, img_m = encode_fn(
             params, batch_stats, reviews, reviews_mask, field, values, img, img_mask)
         text_m = reviews_mask.reshape(b, e, s).astype(bool)
         rating = jnp.zeros((b, 1), jnp.float32)
         res = generate(
-            model.bind({"params": params}).bart if False else _bart(model, params),
-            params["bart"],
+            bart, params["bart"],
             [text_h, table_h, img_h], [text_m, table_m, img_m], rating, gen,
         )
         return res.sequences, res.lengths
-
-    def _bart(mm, params):
-        from multimodalsum_tpu.models.bart import BartModel
-
-        return BartModel(mm.config, multimodal=True, dtype=mm.dtype)
 
     jit_pipe = jax.jit(pipeline)
 

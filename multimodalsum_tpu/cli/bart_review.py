@@ -1,0 +1,125 @@
+"""Stage 0: BART denoising pretraining on the review corpus
+(reference ``src/bart-review.py``).
+
+Usage:
+  python -m multimodalsum_tpu.cli.bart_review --dataset yelp \
+      --tokenizer_dir assets/bart-tokenizer [--torch_init bart-large.bin]
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import jax
+import numpy as np
+import pandas as pd
+
+from multimodalsum_tpu.ckpt.checkpoint import save_checkpoint
+from multimodalsum_tpu.cli.common import (
+    base_parser, load_model_config, load_tokenizer, save_args, setup_environment,
+)
+from multimodalsum_tpu.data.noising import BartNoiser
+from multimodalsum_tpu.data.prefetch import prefetch_to_device
+from multimodalsum_tpu.models.bart import BartModel
+from multimodalsum_tpu.parallel.mesh import batch_sharding, make_mesh
+from multimodalsum_tpu.train.loop import LoopHooks, TrainState, make_eval_step, make_train_step, train_model
+from multimodalsum_tpu.train.optim import make_optimizer
+from multimodalsum_tpu.train.stages import denoising_loss
+
+
+def load_review_corpus(data_root, dataset, tokenizer, block_size, mode="train"):
+    """Tokenise every review > 5 chars (reference ``ReviewDataset``,
+    ``src/bart-review.py:23-43``) to fixed blocks, no special tokens."""
+    rows = []
+    for csv in sorted(glob.glob(os.path.join(data_root, dataset, "5.text", mode, "*.csv"))):
+        df = pd.read_csv(csv, sep="\t")
+        rows.extend(t for t in df["review_text"]
+                    if isinstance(t, str) and len(t) > 5 and not t.isspace())
+    ids = [tokenizer.encode(t, add_special_tokens=False, truncation=True,
+                            max_length=block_size, padding="max_length")
+           for t in rows]
+    return np.asarray(ids, np.int32)
+
+
+def main(argv=None):
+    p = base_parser("MultimodalSum-TPU stage 0: BART denoising pretraining")
+    p.add_argument("--block_size", type=int, default=128)
+    p.add_argument("--permute_ratio", type=float, default=1.0)
+    p.add_argument("--mask_ratio", type=float, default=0.3)
+    p.add_argument("--dist_lambda", type=float, default=3.0)
+    p.add_argument("--weight_decay", type=float, default=0.0)
+    p.add_argument("--dropout_off_ratio", type=float, default=0.1,
+                   help="disable dropout for the final fraction of steps "
+                        "(reference trainer.py:419,524-527)")
+    p.add_argument("--torch_init", type=str, default=None)
+    args = p.parse_args(argv)
+    args.num_epochs = args.num_epochs or 3
+    setup_environment(args)
+
+    cfg = load_model_config(args)
+    tokenizer = load_tokenizer(args)
+    import jax.numpy as jnp
+
+    model = BartModel(cfg, dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
+    params = model.init(jax.random.PRNGKey(args.seed), method=BartModel.init_all)["params"]
+    if args.torch_init:
+        import torch
+
+        from multimodalsum_tpu.ckpt.convert import bart_params_from_torch
+
+        params = bart_params_from_torch(torch.load(args.torch_init, map_location="cpu"), cfg)
+
+    corpus = load_review_corpus(args.data_root, args.dataset, tokenizer, args.block_size)
+    val_corpus = load_review_corpus(args.data_root, args.dataset, tokenizer,
+                                    args.block_size, mode="val")
+    noiser = BartNoiser(tokenizer, args.block_size, args.permute_ratio,
+                        args.mask_ratio, args.dist_lambda, seed=args.seed)
+
+    steps_per_epoch = len(corpus) // args.batch_size
+    total_steps = steps_per_epoch * args.num_epochs
+    dropout_off_after = int(total_steps * (1.0 - args.dropout_off_ratio))
+
+    tx = make_optimizer(
+        params, learning_rate=args.learning_rate, total_steps=total_steps,
+        warmup_ratio=args.warmup_ratio, weight_decay=args.weight_decay,
+        max_grad_norm=args.max_grad_norm if args.max_grad_norm is not None else 1.0,
+        adam_eps=1e-8,  # HF Trainer default (training_args.py:165)
+    )
+    state = TrainState.create(params, tx)
+
+    def loss_fn(params, batch, rng):
+        return denoising_loss(model, params, batch, rng=rng)
+
+    def batches(epoch, data, shuffle=True):
+        order = np.random.default_rng(args.seed + epoch).permutation(len(data)) \
+            if shuffle else np.arange(len(data))
+        b = args.batch_size
+        for s in range(0, (len(order) // b) * b, b):
+            yield noiser(data[order[s:s + b]])
+
+    ckpt_dir = os.path.join(args.ckpt_root, f"bart-review_{args.dataset}")
+    save_args(args, ckpt_dir)
+    mesh = make_mesh()
+    b_shard = batch_sharding(mesh)
+    hooks = LoopHooks(save=lambda st, epoch, vl: save_checkpoint(
+        ckpt_dir, st, save_option="whole", epoch=epoch, val_loss=vl))
+
+    train_model(
+        state,
+        make_train_step(loss_fn, tx),
+        make_eval_step(lambda p, b, r: denoising_loss(model, p, b, rng=None)),
+        lambda e: prefetch_to_device(batches(e, corpus), sharding=b_shard),
+        lambda: prefetch_to_device(batches(0, val_corpus, shuffle=False), sharding=b_shard),
+        num_epochs=args.num_epochs,
+        rng=jax.random.PRNGKey(args.seed),
+        mesh=mesh,
+        log_interval=500,
+        early_stopping=args.early_stopping,
+        hooks=hooks,
+        deterministic_after=dropout_off_after,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,77 @@
+"""Shared CLI plumbing for the training/eval entry points.
+
+Replaces the reference's per-script argparse + ``set_environments`` NCCL
+setup (``src/train_utils.py:12-31``): here a single process drives all local
+TPU devices through a data-parallel mesh (SPMD), and multi-host runs
+initialise via ``jax.distributed`` instead of env-var rendezvous.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+from typing import Optional
+
+import jax
+
+
+def base_parser(description: str) -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=description)
+    p.add_argument("--dataset", type=str, default="yelp", choices=["yelp", "amazon"])
+    p.add_argument("--data_root", type=str, default="data")
+    p.add_argument("--ckpt_root", type=str, default="ckpt")
+    p.add_argument("--tokenizer_dir", type=str, default=None,
+                   help="dir with vocab.json/merges.txt (bart-large files)")
+    p.add_argument("--batch_size", type=int, default=4)
+    p.add_argument("--num_epochs", type=int, default=5)
+    p.add_argument("--learning_rate", type=float, default=5e-5)
+    p.add_argument("--warmup_ratio", type=float, default=0.1)
+    p.add_argument("--max_grad_norm", type=float, default=None)
+    p.add_argument("--label_smoothing", type=float, default=None)
+    p.add_argument("--early_stopping", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--model_config", type=str, default=None,
+                   help="JSON model config (defaults to bart-large)")
+    p.add_argument("--bf16", action="store_true", help="bfloat16 compute")
+    p.add_argument("--platform", type=str, default=None,
+                   help="force a jax platform (e.g. cpu for dry runs)")
+    p.add_argument("--multihost", action="store_true",
+                   help="call jax.distributed.initialize() for pod slices")
+    return p
+
+
+def setup_environment(args) -> None:
+    os.environ.setdefault("HF_HUB_OFFLINE", "1")
+    os.environ.setdefault("TRANSFORMERS_OFFLINE", "1")
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    if getattr(args, "multihost", False):
+        jax.distributed.initialize()
+
+
+def load_model_config(args):
+    from multimodalsum_tpu.core.config import BartConfig
+
+    if args.model_config:
+        return BartConfig.from_json(args.model_config)
+    return BartConfig()
+
+
+def load_tokenizer(args):
+    from multimodalsum_tpu.data.tokenizer import ByteLevelBPETokenizer
+
+    if args.tokenizer_dir is None:
+        raise SystemExit(
+            "--tokenizer_dir is required (directory containing the BART "
+            "vocab.json and merges.txt; this environment cannot download them)"
+        )
+    return ByteLevelBPETokenizer.from_dir(args.tokenizer_dir)
+
+
+def save_args(args, ckpt_dir: str) -> None:
+    """Snapshot CLI args beside the checkpoint (reference
+    ``training_args.bin``, ``src/train_utils.py:13-16``)."""
+    os.makedirs(ckpt_dir, exist_ok=True)
+    with open(os.path.join(ckpt_dir, "training_args.json"), "w") as f:
+        json.dump(vars(args), f, indent=2, default=str)

@@ -1,0 +1,125 @@
+"""Stage 2a: image-encoder pretraining against the frozen text decoder
+(reference ``src/img_pretrain.py``). Only the ResNet (stage 3 + projection)
+trains; BART stays frozen.
+
+Usage:
+  python -m multimodalsum_tpu.cli.img_pretrain --dataset yelp \
+      --tokenizer_dir assets/bart-tokenizer --bart_init ckpt/text_pretrained_yelp
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import numpy as np
+
+from multimodalsum_tpu.ckpt.checkpoint import load_export, save_checkpoint
+from multimodalsum_tpu.cli.common import (
+    base_parser, load_model_config, load_tokenizer, save_args, setup_environment,
+)
+from multimodalsum_tpu.data.multimodal_data import MultimodalStore
+from multimodalsum_tpu.data.prefetch import prefetch_to_device
+from multimodalsum_tpu.models.multimodal import MultimodalSum
+from multimodalsum_tpu.parallel.mesh import batch_sharding, make_mesh
+from multimodalsum_tpu.train.loop import (
+    LoopHooks, TrainStateWithStats, make_train_step_with_stats, train_model,
+)
+from multimodalsum_tpu.train.optim import NO_DECAY_IMG, make_optimizer
+from multimodalsum_tpu.train.stages import img_pretrain_loss
+
+
+def img_label_batches(store, tokenizer, batch_size, *, epoch, train, seed=0,
+                      block=130):
+    """(img, img_mask, labels) batches: one sampled review per group as the
+    reconstruction target (reference ``ImgDataset``, ``src/img_pretrain.py:22-83``)."""
+    if epoch > 0:
+        store.set_epoch()
+    rng = np.random.default_rng(seed + epoch)
+    order = rng.permutation(len(store)) if train else np.arange(len(store))
+    limit = (len(order) // batch_size) * batch_size
+    for s in range(0, limit, batch_size):
+        rows = [store.example(int(i), tokenizer, max_length=block, train=train, rng=rng)
+                for i in order[s:s + batch_size]]
+        # label: the group's first sampled review (the img dataset keeps one
+        # review per row; here a 1-review sample of the same distribution)
+        yield dict(
+            img=np.stack([r["img"] for r in rows]),
+            img_mask=np.stack([r["img_mask"] for r in rows]),
+            labels=np.stack([r["reviews"][0] for r in rows]),
+        )
+
+
+def main(argv=None):
+    p = base_parser("MultimodalSum-TPU stage 2a: image pretraining")
+    p.add_argument("--img_model", type=str, default="resnet101")
+    p.add_argument("--bart_init", type=str, default=None, required=False)
+    args = p.parse_args(argv)
+    setup_environment(args)
+
+    cfg = load_model_config(args)
+    tokenizer = load_tokenizer(args)
+    import jax.numpy as jnp
+
+    model = MultimodalSum(cfg, dataset=args.dataset, img_model=args.img_model,
+                          dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
+    from multimodalsum_tpu.models.multimodal import amazon_dummy_table, yelp_dummy_table
+
+    field, values = (yelp_dummy_table(1) if args.dataset == "yelp"
+                     else amazon_dummy_table(1))
+    variables = model.init(jax.random.PRNGKey(args.seed), field, values,
+                           method=MultimodalSum.init_all)
+    params, batch_stats = variables["params"], variables["batch_stats"]
+    if args.bart_init:
+        params["bart"] = load_export(args.bart_init, params["bart"])
+
+    store = MultimodalStore(args.data_root, args.dataset, "train")
+    val_store = MultimodalStore(args.data_root, args.dataset, "val")
+
+    steps_per_epoch = len(store) // args.batch_size
+    tx = make_optimizer(
+        params, learning_rate=args.learning_rate,
+        total_steps=steps_per_epoch * args.num_epochs,
+        warmup_ratio=args.warmup_ratio, no_decay=NO_DECAY_IMG,
+        max_grad_norm=args.max_grad_norm,
+        trainable=lambda n: n.startswith("img_encoder"),
+    )
+    state = TrainStateWithStats.create(params, batch_stats, tx)
+
+    def loss_fn(params, stats, batch, rng):
+        return img_pretrain_loss(model, params, stats, batch,
+                                 label_smoothing=args.label_smoothing, rng=rng)
+
+    ckpt_dir = os.path.join(args.ckpt_root, f"img_pretrained_{args.dataset}")
+    save_args(args, ckpt_dir)
+    mesh = make_mesh()
+    b_shard = batch_sharding(mesh)
+    hooks = LoopHooks(save=lambda st, epoch, vl: save_checkpoint(
+        ckpt_dir, st, save_option="img", epoch=epoch, val_loss=vl))
+
+    def eval_step(state, batch):
+        loss, _ = img_pretrain_loss(model, state.params, state.batch_stats, batch,
+                                    label_smoothing=args.label_smoothing, rng=None)
+        return loss
+
+    train_model(
+        state,
+        make_train_step_with_stats(loss_fn, tx),
+        eval_step,
+        lambda e: prefetch_to_device(
+            img_label_batches(store, tokenizer, args.batch_size, epoch=e, train=True,
+                              seed=args.seed), sharding=b_shard),
+        lambda: prefetch_to_device(
+            img_label_batches(val_store, tokenizer, args.batch_size, epoch=0,
+                              train=False), sharding=b_shard),
+        num_epochs=args.num_epochs,
+        rng=jax.random.PRNGKey(args.seed),
+        mesh=mesh,
+        log_interval=max(steps_per_epoch // 10, 1),
+        early_stopping=args.early_stopping,
+        hooks=hooks,
+    )
+
+
+if __name__ == "__main__":
+    main()

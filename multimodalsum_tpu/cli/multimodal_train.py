@@ -1,0 +1,113 @@
+"""Stage 3: end-to-end multimodal training (reference ``src/multimodal_train.py``).
+
+Usage:
+  python -m multimodalsum_tpu.cli.multimodal_train --dataset yelp \
+      --tokenizer_dir assets/bart-tokenizer \
+      --bart_init ckpt/text_pretrained_yelp \
+      --img_init ckpt/img_pretrained_yelp --table_init ckpt/table_pretrained_yelp
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+
+from multimodalsum_tpu.ckpt.checkpoint import load_export, save_checkpoint
+from multimodalsum_tpu.cli.common import (
+    base_parser, load_model_config, load_tokenizer, save_args, setup_environment,
+)
+from multimodalsum_tpu.data.multimodal_data import MultimodalStore, multimodal_batches
+from multimodalsum_tpu.data.prefetch import prefetch_to_device
+from multimodalsum_tpu.models.multimodal import MultimodalSum
+from multimodalsum_tpu.parallel.mesh import batch_sharding, make_mesh
+from multimodalsum_tpu.train.loop import (
+    LoopHooks, TrainStateWithStats, make_train_step_with_stats, train_model,
+)
+from multimodalsum_tpu.train.optim import NO_DECAY_MULTIMODAL, make_optimizer
+from multimodalsum_tpu.train.stages import multimodal_train_loss
+
+
+def main(argv=None):
+    p = base_parser("MultimodalSum-TPU stage 3: multimodal training")
+    p.add_argument("--img_model", type=str, default="resnet101")
+    p.add_argument("--bart_init", type=str, default=None)
+    p.add_argument("--img_init", type=str, default=None)
+    p.add_argument("--table_init", type=str, default=None)
+    args = p.parse_args(argv)
+    setup_environment(args)
+
+    cfg = load_model_config(args)
+    tokenizer = load_tokenizer(args)
+    import jax.numpy as jnp
+
+    model = MultimodalSum(cfg, dataset=args.dataset, img_model=args.img_model,
+                          dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
+    from multimodalsum_tpu.models.multimodal import amazon_dummy_table, yelp_dummy_table
+
+    fdummy, vdummy = (yelp_dummy_table(1) if args.dataset == "yelp"
+                      else amazon_dummy_table(1))
+    variables = model.init(jax.random.PRNGKey(args.seed), fdummy, vdummy,
+                           method=MultimodalSum.init_all)
+    params, batch_stats = variables["params"], variables["batch_stats"]
+    # per-stage export loading (reference multimodal_train.py:111-122)
+    if args.bart_init:
+        params["bart"] = load_export(args.bart_init, params["bart"])
+    if args.img_init:
+        params["img_encoder"] = load_export(args.img_init, params["img_encoder"])
+    if args.table_init:
+        params["table_encoder"] = load_export(args.table_init, params["table_encoder"])
+
+    store = MultimodalStore(args.data_root, args.dataset, "train")
+    val_store = MultimodalStore(args.data_root, args.dataset, "val")
+    field = store.field_tokens(tokenizer)
+
+    steps_per_epoch = len(store) // args.batch_size
+    tx = make_optimizer(
+        params, learning_rate=args.learning_rate,
+        total_steps=steps_per_epoch * args.num_epochs,
+        warmup_ratio=args.warmup_ratio, no_decay=NO_DECAY_MULTIMODAL,
+        max_grad_norm=args.max_grad_norm,
+    )
+    state = TrainStateWithStats.create(params, batch_stats, tx)
+
+    def loss_fn(params, stats, batch, rng):
+        full = dict(batch, field=field)
+        return multimodal_train_loss(model, params, stats, full,
+                                     label_smoothing=args.label_smoothing, rng=rng)
+
+    def eval_step(state, batch):
+        loss, _ = multimodal_train_loss(
+            model, state.params, state.batch_stats, dict(batch, field=field),
+            label_smoothing=args.label_smoothing, rng=None)
+        return loss
+
+    ckpt_dir = os.path.join(args.ckpt_root, f"multimodal_trained_{args.dataset}")
+    save_args(args, ckpt_dir)
+    mesh = make_mesh()
+    b_shard = batch_sharding(mesh)
+    hooks = LoopHooks(save=lambda st, epoch, vl: save_checkpoint(
+        ckpt_dir, st, save_option="whole", epoch=epoch, val_loss=vl))
+
+    batches = functools.partial(multimodal_batches, store, tokenizer,
+                                args.batch_size, seed=args.seed)
+    train_model(
+        state,
+        make_train_step_with_stats(loss_fn, tx),
+        eval_step,
+        lambda e: prefetch_to_device(batches(epoch=e, train=True), sharding=b_shard),
+        lambda: prefetch_to_device(
+            multimodal_batches(val_store, tokenizer, args.batch_size, epoch=0,
+                               train=False, shuffle=False), sharding=b_shard),
+        num_epochs=args.num_epochs,
+        rng=jax.random.PRNGKey(args.seed),
+        mesh=mesh,
+        log_interval=max(steps_per_epoch // 10, 1),
+        early_stopping=args.early_stopping,
+        hooks=hooks,
+    )
+
+
+if __name__ == "__main__":
+    main()

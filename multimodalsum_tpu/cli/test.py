@@ -1,0 +1,87 @@
+"""Evaluation / inference CLI (reference ``src/test.py``).
+
+Loads the full multimodal checkpoint, beam-search-generates summaries for the
+gold evaluation set, and prints ROUGE (+BERTScore when available) — the
+mandatory generation flags mirror the reference (``src/test.py:179-181``).
+
+Usage:
+  python -m multimodalsum_tpu.cli.test --dataset yelp --mode test \
+      --tokenizer_dir assets/bart-tokenizer \
+      --multimodal_trained ckpt/multimodal_trained_yelp \
+      --num_beams 5 --length_penalty 2.0 --max_length 142
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+
+from multimodalsum_tpu.ckpt.checkpoint import restore_checkpoint
+from multimodalsum_tpu.cli.common import (
+    base_parser, load_model_config, load_tokenizer, setup_environment,
+)
+from multimodalsum_tpu.core.config import GenerationConfig
+from multimodalsum_tpu.data.multimodal_data import EvalDataset
+from multimodalsum_tpu.eval.harness import evaluate
+from multimodalsum_tpu.models.multimodal import MultimodalSum
+
+
+def main(argv=None):
+    p = base_parser("MultimodalSum-TPU evaluation")
+    p.add_argument("--mode", type=str, default="test", choices=["dev", "test"])
+    p.add_argument("--img_model", type=str, default="resnet101")
+    p.add_argument("--multimodal_trained", type=str, required=False, default=None)
+    # mandatory generation flags, like the reference (src/test.py:179-181)
+    p.add_argument("--num_beams", type=int, required=True)
+    p.add_argument("--length_penalty", type=float, required=True)
+    p.add_argument("--max_length", type=int, required=True)
+    p.add_argument("--min_length", type=int, default=0)
+    p.add_argument("--with_bert", action="store_true")
+    p.add_argument("--output", type=str, default=None,
+                   help="write generated summaries, one per line")
+    args = p.parse_args(argv)
+    setup_environment(args)
+
+    cfg = load_model_config(args)
+    tokenizer = load_tokenizer(args)
+    import jax.numpy as jnp
+
+    model = MultimodalSum(cfg, dataset=args.dataset, img_model=args.img_model,
+                          dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
+    from multimodalsum_tpu.models.multimodal import amazon_dummy_table, yelp_dummy_table
+
+    fdummy, vdummy = (yelp_dummy_table(1) if args.dataset == "yelp"
+                      else amazon_dummy_table(1))
+    variables = model.init(jax.random.PRNGKey(0), fdummy, vdummy,
+                           method=MultimodalSum.init_all)
+    params, batch_stats = variables["params"], variables["batch_stats"]
+    if args.multimodal_trained:
+        from multimodalsum_tpu.train.loop import TrainStateWithStats
+        from multimodalsum_tpu.train.optim import make_optimizer
+
+        tx = make_optimizer(params, learning_rate=1e-5, total_steps=1)
+        template = TrainStateWithStats.create(params, batch_stats, tx)
+        restored = restore_checkpoint(args.multimodal_trained, template)
+        params, batch_stats = restored.params, restored.batch_stats
+
+    gen = GenerationConfig(
+        num_beams=args.num_beams, length_penalty=args.length_penalty,
+        max_length=args.max_length, min_length=args.min_length,
+        no_repeat_ngram_size=3, early_stopping=True,  # fixed (src/test.py:158)
+    )
+    dataset = EvalDataset(args.data_root, args.dataset, args.mode)
+    metrics, preds = evaluate(model, params, batch_stats, dataset, tokenizer, gen,
+                              batch_size=args.batch_size, with_bert=args.with_bert)
+
+    if args.output:
+        os.makedirs(os.path.dirname(args.output) or ".", exist_ok=True)
+        with open(args.output, "w") as f:
+            f.write("\n".join(preds) + "\n")
+
+    print("# Results")
+    print(" | ".join(f"{k} : {v:.2f}" for k, v in metrics.items()))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,107 @@
+"""Stage 1: text encoder-decoder pretraining (reference ``src/text_pretrain.py``).
+
+Usage:
+  python -m multimodalsum_tpu.cli.text_pretrain --dataset yelp \
+      --tokenizer_dir assets/bart-tokenizer --bart_init ckpt/bart-review_yelp
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import numpy as np
+
+from multimodalsum_tpu.ckpt.checkpoint import load_export, save_checkpoint
+from multimodalsum_tpu.cli.common import (
+    base_parser, load_model_config, load_tokenizer, save_args, setup_environment,
+)
+from multimodalsum_tpu.data.prefetch import prefetch_to_device
+from multimodalsum_tpu.data.text import ReviewGroupStore, TextBatches
+from multimodalsum_tpu.models.bart import BartModel
+from multimodalsum_tpu.parallel.mesh import batch_sharding, make_mesh
+from multimodalsum_tpu.train.loop import LoopHooks, TrainState, make_eval_step, make_train_step, train_model
+from multimodalsum_tpu.train.optim import NO_DECAY_TEXT, make_optimizer
+from multimodalsum_tpu.train.stages import text_pretrain_loss
+
+
+def main(argv=None):
+    p = base_parser("MultimodalSum-TPU stage 1: text pretraining")
+    p.add_argument("--bart_init", type=str, default=None,
+                   help="checkpoint dir from stage 0 (orbax export)")
+    p.add_argument("--torch_init", type=str, default=None,
+                   help="pytorch_model.bin to convert (e.g. facebook/bart-large dump)")
+    args = p.parse_args(argv)
+    setup_environment(args)
+
+    cfg = load_model_config(args)
+    tokenizer = load_tokenizer(args)
+    import jax.numpy as jnp
+
+    model = BartModel(cfg, dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
+    params = model.init(jax.random.PRNGKey(args.seed), method=BartModel.init_all)["params"]
+    if args.torch_init:
+        import torch
+
+        from multimodalsum_tpu.ckpt.convert import bart_params_from_torch
+
+        sd = torch.load(args.torch_init, map_location="cpu")
+        params = bart_params_from_torch(sd, cfg)
+    elif args.bart_init:
+        params = load_export(args.bart_init, params)
+
+    train_store = ReviewGroupStore.from_dir(args.data_root, args.dataset, "train")
+    val_store = ReviewGroupStore.from_dir(args.data_root, args.dataset, "val")
+    train_data = TextBatches(train_store, tokenizer, args.batch_size, seed=args.seed)
+    val_data = TextBatches(val_store, tokenizer, args.batch_size, shuffle=False,
+                           drop_last=False)
+
+    steps_per_epoch = len(train_store) // args.batch_size
+    tx = make_optimizer(
+        params,
+        learning_rate=args.learning_rate,
+        total_steps=steps_per_epoch * args.num_epochs,
+        warmup_ratio=args.warmup_ratio,
+        no_decay=NO_DECAY_TEXT,
+        max_grad_norm=args.max_grad_norm,
+    )
+    state = TrainState.create(params, tx)
+
+    def loss_fn(params, batch, rng):
+        return text_pretrain_loss(model, params, batch,
+                                  label_smoothing=args.label_smoothing, rng=rng)
+
+    def eval_loss_fn(params, batch, rng):
+        return text_pretrain_loss(model, params, batch,
+                                  label_smoothing=args.label_smoothing, rng=None)
+
+    ckpt_dir = os.path.join(args.ckpt_root, f"text_pretrained_{args.dataset}")
+    save_args(args, ckpt_dir)
+    mesh = make_mesh()
+    b_shard = batch_sharding(mesh)
+
+    hooks = LoopHooks(save=lambda st, epoch, vl: save_checkpoint(
+        ckpt_dir, st, save_option="whole", epoch=epoch, val_loss=vl))
+
+    train_model(
+        state,
+        make_train_step(loss_fn, tx),
+        make_eval_step(eval_loss_fn),
+        functools.partial(_epoch_iter, train_data, b_shard),
+        lambda: prefetch_to_device(val_data.epoch(0), sharding=b_shard),
+        num_epochs=args.num_epochs,
+        rng=jax.random.PRNGKey(args.seed),
+        mesh=mesh,
+        log_interval=max(steps_per_epoch // 10, 1),
+        early_stopping=args.early_stopping,
+        hooks=hooks,
+    )
+
+
+def _epoch_iter(data, sharding, epoch):
+    return prefetch_to_device(data.epoch(epoch), sharding=sharding)
+
+
+if __name__ == "__main__":
+    main()

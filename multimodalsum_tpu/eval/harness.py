@@ -1,0 +1,98 @@
+"""End-to-end evaluation harness (reference ``src/test.py:137-236``).
+
+Loads a MultimodalSum checkpoint, runs the three encoders + on-device beam
+search over the gold evaluation set, decodes, and scores with the PlanSum
+ROUGE protocol (averaged over the multiple gold summaries for Amazon).
+
+The whole generate pipeline is one jitted function per batch shape; unlike
+the reference (host-synced Python beam loop, ``src/test.py`` hot loop), the
+TPU runs the full beam search without host round-trips.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multimodalsum_tpu.core.config import BartConfig, GenerationConfig
+from multimodalsum_tpu.data.multimodal_data import EvalDataset
+from multimodalsum_tpu.data.tables import stack_features
+from multimodalsum_tpu.decode.engine import generate
+from multimodalsum_tpu.eval.metrics import aggregate_multi_reference
+from multimodalsum_tpu.models.bart import BartModel
+from multimodalsum_tpu.models.multimodal import MultimodalSum
+
+
+def generate_summaries(
+    model: MultimodalSum,
+    params,
+    batch_stats,
+    dataset: EvalDataset,
+    tokenizer,
+    gen: GenerationConfig,
+    batch_size: int = 8,
+    log=print,
+) -> List[str]:
+    field = dataset.field_tokens(tokenizer)
+    bart = BartModel(model.config, multimodal=True, dtype=model.dtype)
+
+    @jax.jit
+    def pipeline(params, batch_stats, reviews, reviews_mask, field_values, img, img_mask):
+        vs = {"params": params, "batch_stats": batch_stats}
+        b = reviews.shape[0]
+        text_h = model.apply(vs, reviews, reviews_mask, method=MultimodalSum.encode_text)
+        table_h, table_m = model.apply(vs, field, field_values,
+                                       method=MultimodalSum.encode_table)
+        img_h, img_m = model.apply(vs, img, img_mask, method=MultimodalSum.encode_img)
+        rating = jnp.zeros((b, 1), jnp.float32)  # zeros at eval (src/test.py:155)
+        res = generate(bart, params["bart"],
+                       [text_h, table_h, img_h],
+                       [reviews_mask.astype(bool), table_m, img_m],
+                       rating, gen)
+        return res.sequences[:, 0], res.lengths[:, 0]
+
+    outputs: List[str] = []
+    n = len(dataset)
+    for start in range(0, n, batch_size):
+        idxs = list(range(start, min(start + batch_size, n)))
+        real = len(idxs)
+        # pad the final batch to the jit shape with repeats
+        while len(idxs) < batch_size:
+            idxs.append(idxs[-1])
+        rows = [dataset.example(i, tokenizer) for i in idxs]
+        t0 = time.time()
+        seqs, lengths = pipeline(
+            params, batch_stats,
+            np.stack([r["reviews"] for r in rows]),
+            np.stack([r["reviews_mask"] for r in rows]),
+            stack_features([r["field_values"] for r in rows]),
+            np.stack([r["img"] for r in rows]),
+            np.stack([r["img_mask"] for r in rows]),
+        )
+        seqs = np.asarray(seqs)
+        for r in range(real):
+            outputs.append(tokenizer.decode(seqs[r], skip_special_tokens=True))
+        log(f"eval batch {start // batch_size + 1}/{(n + batch_size - 1) // batch_size} "
+            f"({time.time() - t0:.2f}s)")
+    return outputs
+
+
+def evaluate(
+    model: MultimodalSum,
+    params,
+    batch_stats,
+    dataset: EvalDataset,
+    tokenizer,
+    gen: GenerationConfig,
+    batch_size: int = 8,
+    with_bert: bool = False,
+) -> tuple[Dict[str, float], List[str]]:
+    """Generate + score (reference ``src/test.py:218-236``); returns
+    (metrics, generated summaries)."""
+    preds = generate_summaries(model, params, batch_stats, dataset, tokenizer,
+                               gen, batch_size)
+    return aggregate_multi_reference(preds, dataset.summaries, with_bert=with_bert), preds

@@ -42,7 +42,7 @@ def make_train_step(loss_fn: Callable, tx: optax.GradientTransformation):
     """
 
     def train_step(state: TrainState, batch, rng):
-        step_rng = jax.random.fold_in(rng, state.step)
+        step_rng = None if rng is None else jax.random.fold_in(rng, state.step)
         loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, step_rng)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
@@ -119,6 +119,7 @@ def train_model(
     log_interval: int = 100,
     early_stopping: bool = False,
     hooks: LoopHooks | None = None,
+    deterministic_after: int | None = None,
 ):
     """Epoch loop mirroring reference ``train_model`` (``src/train_utils.py:65-97``):
     per-epoch resampling via ``train_batches(epoch)``, validation each epoch,
@@ -127,6 +128,11 @@ def train_model(
 
     ``train_batches(epoch)`` must re-sample the dataset (the reference calls
     ``dataset.set_epoch()`` for epochs > 0, ``:72-73``).
+
+    ``deterministic_after``: global step after which dropout is disabled —
+    the HF-Trainer customisation "model.eval() for the final 10% of steps"
+    (reference ``trainer.py:419,524-527``). Implemented by passing
+    ``rng=None`` (a second jit specialisation), not by mutating the model.
     """
     hooks = hooks or LoopHooks()
     mesh = mesh if mesh is not None else make_mesh()
@@ -136,15 +142,24 @@ def train_model(
     jit_train = jax.jit(
         train_step, in_shardings=(r_shard, b_shard, r_shard), out_shardings=(r_shard, r_shard)
     )
+    jit_train_det = jax.jit(
+        lambda s, b: train_step(s, b, None),
+        in_shardings=(r_shard, b_shard), out_shardings=(r_shard, r_shard),
+    )
     jit_eval = jax.jit(eval_step, in_shardings=(r_shard, b_shard), out_shardings=r_shard)
 
     start = time.time()
     val_losses = []
     steps_per_epoch = None
+    global_step = 0
     for epoch in range(num_epochs):
         i = 0
         for batch in train_batches(epoch):
-            state, loss = jit_train(state, batch, rng)
+            if deterministic_after is not None and global_step >= deterministic_after:
+                state, loss = jit_train_det(state, batch)
+            else:
+                state, loss = jit_train(state, batch, rng)
+            global_step += 1
             if i % max(log_interval, 1) == 0:
                 elapsed = time.strftime("%H:%M:%S", time.gmtime(time.time() - start))
                 hooks.log(dict(epoch=epoch + 1, step=i + 1,
