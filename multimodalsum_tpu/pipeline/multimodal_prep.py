@@ -1,0 +1,432 @@
+"""Offline multimodal preprocessing: 5.text, photo dictionaries, meta.csv.
+
+Replaces ``multimodal_preprocessing/`` with the same on-disk outputs:
+
+* **text** (``text_modality_preprocessing.py:14-100``): join the tokenized
+  4.part rows back to the raw 1.prep texts (by review_id for yelp, by a
+  control-char-stripped text key for amazon), drop reviews shorter than
+  25 (yelp) / 30 (amazon) words → ``5.text/{train,val}/<gid>.csv``;
+* **images** (``img_modality_preprocessing.py:12-98``): photos.json → photo
+  lists per business capped at the 90th percentile → ``photo_dict.pickle``,
+  plus ``photo_business_dict.pickle`` per split (amazon: one ``<asin>.jpg``
+  per product; downloads are skipped offline);
+* **table** (``table_modality_preprocessing.py:101-345``): yelp
+  business.json → the 47-field schema with ≥10%-non-null feature selection,
+  hierarchical attribute flattening, KMeans(+silhouette over {3,4,5,7,10})
+  clustering of opening-hour intervals, 4-bit binary star rating; amazon
+  meta → 11-bit price / 4-bit mean rating, HTML-cleaned description,
+  '||'-joined category trees → ``meta.csv``.
+"""
+
+from __future__ import annotations
+
+import glob
+import html as html_mod
+import itertools
+import json
+import math
+import os
+import pickle
+import re
+import tarfile
+from typing import Dict, List, Optional
+
+import numpy as np
+import pandas as pd
+
+from multimodalsum_tpu.pipeline.textprep import read_group_csv
+
+AMAZON_CATEGORY_TITLES = {
+    "electronics": "Electronics",
+    "home_and_kitchen": "Home_and_Kitchen",
+    "health_and_personal_care": "Health_and_Personal_Care",
+    "clothing_shoes_and_jewelry": "Clothing_Shoes_and_Jewelry",
+}
+
+# The 47 Yelp output fields in schema order (meta.csv header after group_id).
+YELP_FIELDS = [
+    "group_id", "name", "category", "noise level", "alcohol",
+    "restaurants attire", "wifi", "restaurants price range", "bike parking",
+    "accept credit cards", "by appointment only", "cater", "good for kids",
+    "has tv", "outdoor seating", "restaurants delivery",
+    "restaurants good for group", "restaurants reservations",
+    "restaurants take out", "wheelchair accessible", "ambience casual",
+    "ambience classy", "ambience divey", "ambience hipster",
+    "ambience intimate", "ambience romantic", "ambience touristy",
+    "ambience trendy", "ambience upscale", "parking garage", "parking lot",
+    "parking street", "parking valet", "parking validated",
+    "good for meal breakfast", "good for meal brunch", "good for meal dessert",
+    "good for meal dinner", "good for meal latenight", "good for meal lunch",
+    "ratings", "hours monday", "hours tuesday", "hours wednesday",
+    "hours thursday", "hours friday", "hours saturday", "hours sunday",
+]
+
+YELP_STR_COLS = ["business_id", "name", "categories", "NoiseLevel", "Alcohol",
+                 "RestaurantsAttire", "WiFi", "RestaurantsPriceRange2"]
+YELP_BIN_COLS = [
+    "BikeParking", "BusinessAcceptsCreditCards", "ByAppointmentOnly", "Caters",
+    "GoodForKids", "HasTV", "OutdoorSeating", "RestaurantsDelivery",
+    "RestaurantsGoodForGroups", "RestaurantsReservations", "RestaurantsTakeOut",
+    "WheelchairAccessible",
+    "Ambience_casual", "Ambience_classy", "Ambience_divey", "Ambience_hipster",
+    "Ambience_intimate", "Ambience_romantic", "Ambience_touristy",
+    "Ambience_trendy", "Ambience_upscale",
+    "BusinessParking_garage", "BusinessParking_lot", "BusinessParking_street",
+    "BusinessParking_valet", "BusinessParking_validated",
+    "GoodForMeal_breakfast", "GoodForMeal_brunch", "GoodForMeal_dessert",
+    "GoodForMeal_dinner", "GoodForMeal_latenight", "GoodForMeal_lunch",
+]
+
+
+def ascii_clean(text: str) -> str:
+    return " ".join(str(text).encode("ascii", "ignore").decode().split())
+
+
+def to_binary(x: float, max_len: int, rounding: bool = True) -> str:
+    """Binary-encode a numeric field (reference ``_to_binary``): integer part
+    in binary plus one half-star bit, zero-padded to ``max_len``."""
+    if rounding:
+        x = round(x * 2.0) / 2.0
+    frac, integer = math.modf(x)
+    bits = bin(int(integer))[2:] + bin(math.ceil(frac))[2:]
+    return "0" * (max_len - len(bits)) + bits
+
+
+def hours_to_interval(hours: str) -> List[float]:
+    """'9:0-17:30' → [9.0, 17.5] with past-midnight wrap (reference
+    ``_to_coordinate``)."""
+    s, e = hours.split("-")
+    sh, sm = (int(v) for v in s.split(":"))
+    eh, em = (int(v) for v in e.split(":"))
+    start, end = sh + sm / 60.0, eh + em / 60.0
+    if start >= end:
+        end += 24.0
+    return [start, end]
+
+
+# --------------------------------------------------------------------------
+# 5.text
+
+
+def _review_key(text: str) -> str:
+    return "".join(re.sub(r"[\x00-\x1f\x7f-\x9f]", "", str(text)).split())
+
+
+def text_modality(data_root: str, dataset: str, log=print) -> None:
+    base = os.path.join(data_root, dataset)
+    min_words = 25 if dataset == "yelp" else 30
+    os.makedirs(os.path.join(base, "5.text", "train"), exist_ok=True)
+    os.makedirs(os.path.join(base, "5.text", "val"), exist_ok=True)
+
+    for mode in ("train", "val"):
+        files = sorted(glob.glob(os.path.join(base, "4.part", mode, "*.csv")))
+        log(f"text modality {dataset}/{mode}: {len(files)} groups")
+        for fp in files:
+            gid = os.path.splitext(os.path.basename(fp))[0]
+            part_rows = read_group_csv(fp)
+            if dataset == "yelp":
+                raw_fp = os.path.join(base, "1.prep", "reviews", f"{gid}.csv")
+                raw = {r["review_id"]: ascii_clean(r["review_text"])
+                       for r in read_group_csv(raw_fp)}
+                rows = [dict(r, review_text=raw.get(r["review_id"], ""))
+                        for r in part_rows]
+            else:
+                cat = AMAZON_CATEGORY_TITLES[part_rows[0]["category"]]
+                raw_fp = os.path.join(base, "1.prep", cat, f"{gid}.csv")
+                raw = {}
+                for r in read_group_csv(raw_fp):
+                    raw.setdefault(_review_key(r["review_text"]),
+                                   ascii_clean(r["review_text"]))
+                rows, seen = [], set()
+                for r in part_rows:
+                    if r["rating"] == "None":
+                        continue
+                    key = _review_key(r["review_text"])
+                    if key in seen:
+                        continue
+                    seen.add(key)
+                    rows.append(dict(r, review_text=raw.get(key, "")))
+            rows = [r for r in rows if len(r["review_text"].split()) >= min_words]
+            if not rows:
+                continue
+            out = os.path.join(base, "5.text", mode, f"{gid}.csv")
+            pd.DataFrame(rows).to_csv(out, sep="\t", index=False)
+
+
+# --------------------------------------------------------------------------
+# images
+
+
+def img_modality(data_root: str, dataset: str, log=print) -> None:
+    base = os.path.join(data_root, dataset)
+    splits = {m: [os.path.splitext(os.path.basename(p))[0]
+                  for p in glob.glob(os.path.join(base, "5.text", m, "*.csv"))]
+              for m in ("train", "val")}
+
+    if dataset == "yelp":
+        tar_path = os.path.join(base, "raw_others", "yelp_photos.tar")
+        photos_json = os.path.join(base, "raw_others", "photos.json")
+        tar = None
+        if not os.path.exists(photos_json) and os.path.exists(tar_path):
+            tar = tarfile.TarFile(tar_path)
+            tar.extract("photos.json", os.path.join(base, "raw_others"))
+        with open(photos_json) as f:
+            recs = [json.loads(l) for l in f]
+        b2p: Dict[str, List[str]] = {}
+        for r in sorted(recs, key=lambda r: r["business_id"]):
+            b2p.setdefault(r["business_id"], []).append(r["photo_id"])
+        cap = np.percentile([len(v) for v in b2p.values()], 90)
+        b2p = {b: p for b, p in b2p.items() if len(p) < cap}
+        with open(os.path.join(base, "photo_dict.pickle"), "wb") as f:
+            pickle.dump(b2p, f)
+        if tar is None and os.path.exists(tar_path):
+            tar = tarfile.TarFile(tar_path)
+        if tar is not None:
+            wanted = set(itertools.chain(*b2p.values()))
+            for m in tar.getmembers():
+                if m.name.startswith("photos/") and m.name[7:-4] in wanted:
+                    tar.extract(m, os.path.join(base, "raw_others"))
+        photo_groups = set(b2p)
+    else:
+        # amazon: downloads need egress; use whatever <asin>.jpg already exist
+        photo_groups = {os.path.basename(p)[:-4] for p in
+                        glob.glob(os.path.join(base, "raw_others", "photos", "*.jpg"))}
+        log(f"amazon photos present: {len(photo_groups)} (downloading skipped offline)")
+
+    pbd = {m: [g for g in ids if g in photo_groups] for m, ids in splits.items()}
+    with open(os.path.join(base, "photo_business_dict.pickle"), "wb") as f:
+        pickle.dump(pbd, f)
+    log(f"photo_business_dict: train {len(pbd['train'])}, val {len(pbd['val'])}")
+
+
+# --------------------------------------------------------------------------
+# table / meta.csv
+
+
+def _strip_wrappers(x):
+    if isinstance(x, str):
+        if x.startswith("u'") and x.endswith("'"):
+            x = x[1:]
+        if x.startswith("'") and x.endswith("'"):
+            x = x[1:-1]
+        if x == "None":
+            return None
+    return x
+
+
+def clean_html(raw: str) -> str:
+    """Best-effort HTML/CSS cleanup of Amazon descriptions (reference
+    ``_clean_html``); lxml-backed when available."""
+    raw = re.sub(r"\[if gte mso 9\][\s\S]+\[endif\]", " ", raw)
+    raw = re.sub(r"&[amp;]+lt;[\s\S]+&[amp;]+gt;", " ", raw)
+    raw = re.sub(r"[\S]+[\s]?\{[\s\S]+\}", " ", raw)
+    raw = re.sub(r"\s+", " ", raw)
+    if raw.strip() == "":
+        return ""
+    try:
+        import lxml.html
+        import lxml.html.clean
+
+        doc = lxml.html.fromstring(raw)
+        doc = lxml.html.clean.Cleaner(style=True).clean_html(doc)
+        text = doc.text_content()
+    except Exception:
+        text = re.sub(r"<[^>]*>", " ", raw)
+    text = text.replace("\xa0", " ")
+    text = re.sub(r"\s+", " ", text)
+    return "" if text.strip() == "" else text.strip()
+
+
+def yelp_meta(data_root: str, log=print) -> pd.DataFrame:
+    base = os.path.join(data_root, "yelp")
+    with open(os.path.join(base, "raw_others", "business.json"), encoding="utf-8") as f:
+        raw = [json.loads(l) for l in f]
+
+    all_attrs = sorted(set(itertools.chain(
+        *[list(x["attributes"].keys()) if x.get("attributes") else [] for x in raw])))
+    days = ["Monday", "Tuesday", "Wednesday", "Thursday", "Friday", "Saturday", "Sunday"]
+    rows = []
+    for x in raw:
+        r = dict(business_id=x["business_id"], name=x["name"], stars=x["stars"],
+                 categories=x.get("categories"))
+        for a in all_attrs:
+            r[a] = (x["attributes"] or {}).get(a)
+        for d in days:
+            r[f"hours_{d}"] = (x.get("hours") or {}).get(d)
+        rows.append(r)
+    df = pd.DataFrame(rows).map(_strip_wrappers)
+
+    # feature selection: keep columns ≥10% non-null (reference :141-144)
+    keep = (df.notnull().sum(axis=0) / len(df)) >= 0.1
+    df = df[[c for c in df.columns if keep[c]]]
+
+    # flatten dict-valued attributes (Ambience, BusinessParking, GoodForMeal…)
+    for col in list(df.columns[2:]):
+        vals = df[col]
+        dict_rows = vals[vals.apply(lambda v: isinstance(v, str) and "{" in v)]
+        if len(dict_rows) == 0:
+            continue
+        keys = sorted(set(itertools.chain(
+            *dict_rows.apply(lambda v: list(eval(v).keys())))))
+
+        def flat(v):
+            if v is None or not isinstance(v, str) or "{" not in v:
+                return [None] * len(keys)
+            d = eval(v)
+            return [d.get(k) for k in keys]
+
+        sub = pd.DataFrame(list(vals.apply(flat)),
+                           columns=[f"{col}_{k}" for k in keys])
+        df = pd.concat([df.drop(columns=[col]), sub], axis=1)
+
+    df = df.fillna("")
+    for col in ("NoiseLevel", "Alcohol"):
+        if col in df:
+            df[col] = df[col].apply(lambda v: v.replace("_", " "))
+
+    # materialise the full canonical schema (a column entirely missing from
+    # the source data becomes the empty/null field; the reference assumes the
+    # real Yelp dump where all 48 source columns survive selection)
+    for c in YELP_STR_COLS + YELP_BIN_COLS:
+        if c not in df:
+            df[c] = ""
+    for d in days:
+        if f"hours_{d}" not in df:
+            df[f"hours_{d}"] = ""
+
+    # categories capped at the 90th percentile count (reference :183-186)
+    cat_len = df["categories"].apply(lambda v: len(str(v).split(", ")))
+    cap = int(np.percentile(cat_len, 90))
+    df["categories"] = df["categories"].apply(
+        lambda v: ", ".join(str(v).split(", ")[: cap - 1]))
+
+    # opening hours → KMeans cluster labels with silhouette-selected k
+    hours_cols = [c for c in (f"hours_{d}" for d in days) if c in df.columns]
+    all_hours = pd.Series(list(itertools.chain(
+        *[list(df[c][df[c] != ""]) for c in hours_cols])))
+    counts = all_hours.value_counts()
+    # keep the most frequent interval strings covering ≥90% of occurrences
+    i = 0
+    for i in range(len(counts)):
+        if counts[counts >= i].sum() / len(all_hours) < 0.9:
+            break
+    frequent = counts[counts >= i]
+    X = np.asarray([hours_to_interval(h) for h in frequent.index])
+
+    from sklearn.cluster import KMeans
+    from sklearn.metrics import silhouette_score
+
+    best_k, best_score = 3, -1.0
+    for k in (3, 4, 5, 7, 10):
+        if k >= len(X):
+            continue
+        km = KMeans(n_clusters=k, random_state=0, n_init=10).fit(X)
+        score = silhouette_score(X, km.predict(X))
+        if score > best_score:
+            best_k, best_score = k, score
+    kmeans = KMeans(n_clusters=best_k, random_state=0, n_init=10).fit(X)
+    log(f"hours clusters: k={best_k} (silhouette {best_score:.3f})")
+
+    for c in YELP_BIN_COLS:
+        df[c] = df[c].apply(
+            lambda v: "true" if v in (1.0, 1, True, "True")
+            else ("false" if v in (0.0, 0, False, "False") else v))
+    price_words = {"1": "cheap", "2": "average", "3": "expensive", "4": "very expensive"}
+    if "RestaurantsPriceRange2" in df:
+        df["RestaurantsPriceRange2"] = df["RestaurantsPriceRange2"].apply(
+            lambda v: price_words.get(v, v) if v != "" else v)
+
+    str_part = df[YELP_STR_COLS + YELP_BIN_COLS]
+    num_part = pd.DataFrame(df["stars"].apply(lambda v: to_binary(float(v), 4, False)))
+    cat_cols = []
+    for c in hours_cols:
+        vals = df[c]
+        out = vals.copy()
+        nz = vals != ""
+        if nz.any():
+            coords = np.asarray([hours_to_interval(h) for h in vals[nz]])
+            out.loc[nz] = pd.Series(
+                [str(lbl) for lbl in kmeans.predict(coords)], index=vals[nz].index
+            )
+        cat_cols.append(out)
+    meta = pd.concat([str_part, num_part] + cat_cols, axis=1)
+    meta.columns = YELP_FIELDS
+
+    # keep only groups used by train/val/test (reference :244-258)
+    used = set()
+    for m in ("train", "val"):
+        used.update(os.path.splitext(os.path.basename(p))[0] for p in
+                    glob.glob(os.path.join(base, "5.text", m, "*.csv")))
+    gold = os.path.join(base, "test", "summaries_0-200_cleaned.csv")
+    if os.path.exists(gold):
+        used.update(str(x) for x in pd.read_csv(gold)["Input.business_id"]
+                    if isinstance(x, str))
+    meta = meta[meta["group_id"].isin(used)]
+    meta.to_csv(os.path.join(base, "meta.csv"), sep="\t", index=False)
+    return meta
+
+
+def amazon_meta(data_root: str, log=print) -> pd.DataFrame:
+    from ast import literal_eval
+
+    base = os.path.join(data_root, "amazon")
+    raw = []
+    for cat in sorted(AMAZON_CATEGORY_TITLES.values()):
+        p = os.path.join(base, "raw_others", f"meta_{cat}.json")
+        if not os.path.exists(p):
+            continue
+        with open(p, encoding="utf-8") as f:
+            raw.extend(literal_eval(l) for l in f)
+
+    cap = int(np.percentile([len(x.get("categories", [])) for x in raw], 90))
+
+    used: List[str] = []
+    for m in ("train", "val"):
+        used.extend(os.path.splitext(os.path.basename(p))[0] for p in
+                    glob.glob(os.path.join(base, "5.text", m, "*.csv")))
+    gold = os.path.join(base, "test", "all.csv")
+    if os.path.exists(gold):
+        used.extend(str(x) for x in pd.read_csv(gold, sep="\t")["prod_id"])
+    by_asin = {}
+    for x in raw:
+        by_asin.setdefault(x["asin"], x)
+
+    rows = []
+    for gid in used:
+        x = by_asin.get(gid)
+        if x is None:
+            continue
+        cats = x.get("categories", [])[:cap]
+        ratings = ""
+        for cat in AMAZON_CATEGORY_TITLES.values():
+            fp = os.path.join(base, "1.prep", cat, f"{gid}.csv")
+            if os.path.exists(fp):
+                rs = [float(r["rating"]) for r in read_group_csv(fp)
+                      if r["rating"] not in ("None", "")]
+                if rs:
+                    ratings = to_binary(float(np.mean(rs)), 4)
+                break
+        price = x.get("price")
+        rows.append(dict(
+            group_id=gid,
+            price=to_binary(float(price), 11) if price not in (None, "") else to_binary(0.0, 11),
+            ratings=ratings,
+            brand=html_mod.unescape(x.get("brand", "") or ""),
+            name=html_mod.unescape(x.get("title", "") or ""),
+            category="||".join("|".join(t) for t in cats),
+            description=clean_html(x.get("description", "") or ""),
+        ))
+    meta = pd.DataFrame(rows, columns=["group_id", "price", "ratings", "brand",
+                                       "name", "category", "description"])
+    meta.to_csv(os.path.join(base, "meta.csv"), sep="\t", index=False)
+    return meta
+
+
+def run_multimodal_pipeline(data_root: str, dataset: str, log=print) -> None:
+    text_modality(data_root, dataset, log)
+    if dataset == "yelp":
+        yelp_meta(data_root, log)
+        img_modality(data_root, dataset, log)
+    else:
+        amazon_meta(data_root, log)
+        img_modality(data_root, dataset, log)
