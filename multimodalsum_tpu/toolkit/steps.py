@@ -1,0 +1,291 @@
+"""Pipeline steps: readers, transformers, collectors, formatters.
+
+Equivalents of the reference ``mltoolkit/mldp`` step zoo (readers
+``CsvReader``/``JsonReader``; transformers ``TokenProcessor``/``VocabMapper``/
+``Padder``/``SeqLenComputer``/``FieldSelector``/``FieldRenamer``/
+``ChunkSorter``/``FunctionApplier``; collectors ``ChunkAccumulator``/
+``ChunkShuffler``; formatters Pandas/numpy) re-designed around
+:class:`~multimodalsum_tpu.toolkit.chunk.DataChunk`.
+"""
+
+from __future__ import annotations
+
+import csv
+import glob
+import json
+from typing import Callable, Iterable, Iterator, List, Mapping, Optional, Sequence
+
+import numpy as np
+
+from multimodalsum_tpu.toolkit.chunk import DataChunk, InvalidChunkError
+
+
+class Step:
+    """Common base; subclasses implement one of the roles below."""
+
+    def signature(self) -> dict:
+        """Introspectable config (the reference auto-documents pipelines via
+        signature scraping, ``mlutils/tools/signature_scraper.py``)."""
+        return {k: v for k, v in vars(self).items() if not k.startswith("_")}
+
+
+# ---------------------------------------------------------------------------
+# readers
+
+
+class Reader(Step):
+    def iter_chunks(self, source) -> Iterator[DataChunk]:
+        raise NotImplementedError
+
+
+class CsvReader(Reader):
+    """Stream a CSV (or glob of CSVs) in chunks of ``chunk_size`` rows."""
+
+    def __init__(self, chunk_size: int = 100, sep: str = ",", encoding: str = "utf-8"):
+        self.chunk_size = chunk_size
+        self.sep = sep
+        self.encoding = encoding
+
+    def iter_chunks(self, source) -> Iterator[DataChunk]:
+        paths = sorted(glob.glob(source)) if isinstance(source, str) else list(source)
+        if not paths:
+            raise FileNotFoundError(f"no files match {source!r}")
+        for path in paths:
+            with open(path, encoding=self.encoding, newline="") as f:
+                reader = csv.DictReader(f, delimiter=self.sep)
+                rows: List[dict] = []
+                for row in reader:
+                    if None in row or any(v is None for v in row.values()):
+                        raise InvalidChunkError(f"malformed CSV row in {path}: {row}")
+                    rows.append(row)
+                    if len(rows) == self.chunk_size:
+                        yield _rows_to_chunk(rows)
+                        rows = []
+                if rows:
+                    yield _rows_to_chunk(rows)
+
+
+class JsonReader(Reader):
+    """Stream JSON-lines files in chunks."""
+
+    def __init__(self, chunk_size: int = 100, encoding: str = "utf-8"):
+        self.chunk_size = chunk_size
+        self.encoding = encoding
+
+    def iter_chunks(self, source) -> Iterator[DataChunk]:
+        paths = sorted(glob.glob(source)) if isinstance(source, str) else list(source)
+        if not paths:
+            raise FileNotFoundError(f"no files match {source!r}")
+        for path in paths:
+            rows: List[dict] = []
+            with open(path, encoding=self.encoding) as f:
+                for line in f:
+                    if line.strip():
+                        rows.append(json.loads(line))
+                    if len(rows) == self.chunk_size:
+                        yield _rows_to_chunk(rows)
+                        rows = []
+            if rows:
+                yield _rows_to_chunk(rows)
+
+
+def _rows_to_chunk(rows: List[dict]) -> DataChunk:
+    keys = rows[0].keys()
+    chunk = DataChunk()
+    for k in keys:
+        vals = [r[k] for r in rows]
+        chunk[k] = np.asarray(vals, dtype=object) if any(
+            isinstance(v, (list, dict)) for v in vals) else np.asarray(vals)
+    return chunk
+
+
+# ---------------------------------------------------------------------------
+# transformers
+
+
+class Transformer(Step):
+    def __call__(self, chunk: DataChunk) -> DataChunk:
+        raise NotImplementedError
+
+
+class FieldSelector(Transformer):
+    def __init__(self, field_names: Sequence[str]):
+        self.field_names = list(field_names)
+
+    def __call__(self, chunk: DataChunk) -> DataChunk:
+        return DataChunk(**{k: chunk[k] for k in self.field_names})
+
+
+class FieldRenamer(Transformer):
+    def __init__(self, mapping: Mapping[str, str]):
+        self.mapping = dict(mapping)
+
+    def __call__(self, chunk: DataChunk) -> DataChunk:
+        return DataChunk(**{self.mapping.get(k, k): v for k, v in chunk.items()})
+
+
+class FunctionApplier(Transformer):
+    """Apply per-field unit functions: {field: fn}."""
+
+    def __init__(self, funcs: Mapping[str, Callable]):
+        self.funcs = dict(funcs)
+
+    def __call__(self, chunk: DataChunk) -> DataChunk:
+        out = DataChunk(**chunk.fields())
+        for field, fn in self.funcs.items():
+            out[field] = np.asarray([fn(v) for v in chunk[field]], dtype=object)
+        return out
+
+
+class TokenProcessor(Transformer):
+    """Split string fields into token lists (reference TokenProcessor)."""
+
+    def __init__(self, fields: Sequence[str], tokenizer: Callable[[str], List[str]] = str.split):
+        self.fields = list(fields)
+        self.tokenizer = tokenizer
+
+    def __call__(self, chunk: DataChunk) -> DataChunk:
+        out = DataChunk(**chunk.fields())
+        for f in self.fields:
+            out[f] = np.asarray([self.tokenizer(str(v)) for v in chunk[f]], dtype=object)
+        return out
+
+
+class VocabMapper(Transformer):
+    """Map token-list fields to id lists through a Vocabulary."""
+
+    def __init__(self, vocabs: Mapping[str, "object"]):
+        self.vocabs = dict(vocabs)
+
+    def __call__(self, chunk: DataChunk) -> DataChunk:
+        out = DataChunk(**chunk.fields())
+        for f, vocab in self.vocabs.items():
+            out[f] = np.asarray([vocab.ids(list(v)) for v in chunk[f]], dtype=object)
+        return out
+
+
+class SeqLenComputer(Transformer):
+    def __init__(self, field: str, out_field: Optional[str] = None):
+        self.field = field
+        self.out_field = out_field or f"{field}_len"
+
+    def __call__(self, chunk: DataChunk) -> DataChunk:
+        out = DataChunk(**chunk.fields())
+        out[self.out_field] = np.asarray([len(v) for v in chunk[self.field]], np.int32)
+        return out
+
+
+class Padder(Transformer):
+    """Pad ragged id-list fields to rectangular arrays + produce masks."""
+
+    def __init__(self, fields: Sequence[str], pad_value: int = 0,
+                 max_length: Optional[int] = None, mask_suffix: str = "_mask"):
+        self.fields = list(fields)
+        self.pad_value = pad_value
+        self.max_length = max_length
+        self.mask_suffix = mask_suffix
+
+    def __call__(self, chunk: DataChunk) -> DataChunk:
+        out = DataChunk(**chunk.fields())
+        for f in self.fields:
+            seqs = [list(v) for v in chunk[f]]
+            width = self.max_length or max((len(s) for s in seqs), default=0)
+            ids = np.full((len(seqs), width), self.pad_value, np.int32)
+            mask = np.zeros((len(seqs), width), np.int32)
+            for i, s in enumerate(seqs):
+                s = s[:width]
+                ids[i, : len(s)] = s
+                mask[i, : len(s)] = 1
+            out[f] = ids
+            out[f + self.mask_suffix] = mask
+        return out
+
+
+class ChunkSorter(Transformer):
+    def __init__(self, field: str, descending: bool = False):
+        self.field = field
+        self.descending = descending
+
+    def __call__(self, chunk: DataChunk) -> DataChunk:
+        keys = chunk[self.field]
+        if keys.dtype == object:
+            order = np.asarray(sorted(range(len(keys)), key=lambda i: keys[i]))
+        else:
+            order = np.argsort(keys, kind="stable")
+        if self.descending:
+            order = order[::-1]
+        return chunk.select(order)
+
+
+# ---------------------------------------------------------------------------
+# collectors (change chunk boundaries)
+
+
+class Collector(Step):
+    def __call__(self, chunks: Iterator[DataChunk]) -> Iterator[DataChunk]:
+        raise NotImplementedError
+
+
+class ChunkAccumulator(Collector):
+    """Re-batch the stream to a new chunk size."""
+
+    def __init__(self, new_size: int):
+        self.new_size = new_size
+
+    def __call__(self, chunks: Iterator[DataChunk]) -> Iterator[DataChunk]:
+        buf: List[DataChunk] = []
+        count = 0
+        for ch in chunks:
+            buf.append(ch)
+            count += len(ch)
+            while count >= self.new_size:
+                merged = DataChunk.concat(buf)
+                yield merged.select(np.arange(self.new_size))
+                rest = merged.select(np.arange(self.new_size, len(merged)))
+                buf = [rest] if len(rest) else []
+                count = len(rest)
+        if count:
+            yield DataChunk.concat(buf)
+
+
+class ChunkShuffler(Collector):
+    """Buffer up to ``buffer_size`` chunks and yield them in random order."""
+
+    def __init__(self, buffer_size: int = 16, seed: int = 0):
+        self.buffer_size = buffer_size
+        self.seed = seed
+
+    def __call__(self, chunks: Iterator[DataChunk]) -> Iterator[DataChunk]:
+        rng = np.random.default_rng(self.seed)
+        buf: List[DataChunk] = []
+        for ch in chunks:
+            buf.append(ch)
+            if len(buf) == self.buffer_size:
+                rng.shuffle(buf)
+                yield from buf
+                buf = []
+        rng.shuffle(buf)
+        yield from buf
+
+
+# ---------------------------------------------------------------------------
+# formatters
+
+
+class Formatter(Step):
+    def __call__(self, chunk: DataChunk):
+        raise NotImplementedError
+
+
+class NumpyFormatter(Formatter):
+    """DataChunk → plain dict of numpy arrays (the shape jit consumes)."""
+
+    def __call__(self, chunk: DataChunk):
+        return chunk.fields()
+
+
+class PandasFormatter(Formatter):
+    def __call__(self, chunk: DataChunk):
+        import pandas as pd
+
+        return pd.DataFrame({k: list(v) for k, v in chunk.items()})

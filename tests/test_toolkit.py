@@ -1,0 +1,249 @@
+"""Toolkit pipeline tests, modeled on the reference's mldp test strategy
+(``mltoolkit/mldp/tests``): worker-count sweep, negative validation over step
+permutations, fakes injecting failure modes, per-step unit tests."""
+
+import itertools
+import os
+
+import numpy as np
+import pytest
+
+from multimodalsum_tpu.toolkit.chunk import DataChunk, InvalidChunkError
+from multimodalsum_tpu.toolkit.pipeline import Pipeline, PipelineError
+from multimodalsum_tpu.toolkit.steps import (
+    ChunkAccumulator,
+    ChunkShuffler,
+    ChunkSorter,
+    CsvReader,
+    FieldRenamer,
+    FieldSelector,
+    FunctionApplier,
+    JsonReader,
+    NumpyFormatter,
+    Padder,
+    PandasFormatter,
+    SeqLenComputer,
+    TokenProcessor,
+    Transformer,
+    VocabMapper,
+)
+from multimodalsum_tpu.toolkit.vocabulary import Vocabulary
+
+# ---------------------------------------------------------------------------
+# fakes (reference tests/pipeline/comps)
+
+
+class EmptyChunkTransformer(Transformer):
+    """Returns an empty chunk every Nth call."""
+
+    def __init__(self, every: int = 2):
+        self.every = every
+        self._n = 0
+
+    def __call__(self, chunk):
+        self._n += 1
+        if self._n % self.every == 0:
+            return DataChunk()
+        return chunk
+
+
+class InvalidTransformer(Transformer):
+    """Produces a structurally broken chunk."""
+
+    def __call__(self, chunk):
+        bad = DataChunk(**chunk.fields())
+        first = list(bad.keys())[0]
+        bad._data[first] = bad[first][:-1]  # force a length mismatch
+        return bad
+
+
+@pytest.fixture(scope="module")
+def csv_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("csv")
+    rng = np.random.default_rng(0)
+    words = ["red", "green", "blue", "ochre", "teal"]
+    for f in range(4):
+        with open(d / f"part{f}.csv", "w") as fh:
+            fh.write("id,text,score\n")
+            for i in range(25):
+                text = " ".join(rng.choice(words, rng.integers(2, 6)))
+                fh.write(f"{f}_{i},{text},{int(rng.integers(0, 100))}\n")
+    return str(d)
+
+
+def _count_units(items):
+    return sum(len(next(iter(it.values()))) for it in items)
+
+
+# ---------------------------------------------------------------------------
+# integration: worker sweep (reference test_integration.py:26-43)
+
+
+@pytest.mark.parametrize("workers", [0, 1, 2, 3, 4])
+def test_pipeline_worker_sweep(csv_dir, workers):
+    vocab = Vocabulary().build([["red", "green", "blue", "ochre", "teal"]] * 2)
+    pipe = Pipeline(
+        CsvReader(chunk_size=7),
+        [
+            TokenProcessor(["text"]),
+            VocabMapper({"text": vocab}),
+            SeqLenComputer("text"),
+            Padder(["text"], pad_value=0, max_length=8),
+            ChunkAccumulator(10),
+        ],
+        NumpyFormatter(),
+        worker_processes_num=workers,
+    )
+    items = list(pipe.iter(os.path.join(csv_dir, "*.csv")))
+    assert _count_units(items) == 100
+    for it in items:
+        assert it["text"].shape[1] == 8
+        assert set(it.keys()) == {"id", "text", "text_mask", "score", "text_len"}
+    # serial run is the ground truth: same multiset of unit ids
+    serial = list(Pipeline(CsvReader(chunk_size=7), [], NumpyFormatter()).iter(
+        os.path.join(csv_dir, "*.csv")))
+    ids = sorted(np.concatenate([i["id"] for i in items]).tolist())
+    want = sorted(np.concatenate([i["id"] for i in serial]).tolist())
+    assert ids == want
+
+
+def test_empty_chunk_suppression(csv_dir):
+    """Empty chunks never reach the consumer (reference test_integration.py:45-61)."""
+    pipe = Pipeline(CsvReader(chunk_size=5), [EmptyChunkTransformer(every=2)],
+                    NumpyFormatter())
+    items = list(pipe.iter(os.path.join(csv_dir, "part0.csv")))
+    assert all(len(next(iter(it.values()))) > 0 for it in items)
+    assert _count_units(items) == 15  # half the chunks emptied (25 rows / 5 -> 5 chunks, 2 emptied)
+
+
+def test_invalid_chunk_detected(csv_dir):
+    pipe = Pipeline(CsvReader(chunk_size=5), [InvalidTransformer()], NumpyFormatter())
+    with pytest.raises(InvalidChunkError):
+        list(pipe.iter(os.path.join(csv_dir, "part0.csv")))
+
+
+def test_worker_error_propagates(csv_dir):
+    pipe = Pipeline(CsvReader(chunk_size=5), [InvalidTransformer()],
+                    NumpyFormatter(), worker_processes_num=2)
+    with pytest.raises(PipelineError):
+        list(pipe.iter(os.path.join(csv_dir, "*.csv")))
+
+
+# ---------------------------------------------------------------------------
+# negative construction tests over step-order permutations
+# (reference test_validation.py:52-60)
+
+
+def test_invalid_step_orders():
+    reader = CsvReader()
+    trans = TokenProcessor(["text"])
+    fmt = NumpyFormatter()
+    # every arrangement that puts a non-Reader first or a non-middle in the
+    # middle must raise at construction
+    for first, middle in itertools.permutations([reader, trans, fmt], 2):
+        if isinstance(first, CsvReader) and isinstance(middle, TokenProcessor):
+            continue  # the valid order
+        with pytest.raises(ValueError):
+            Pipeline(first, [middle])
+
+
+def test_missing_source_raises():
+    with pytest.raises(FileNotFoundError):
+        list(Pipeline(CsvReader(), [], NumpyFormatter()).iter("/nonexistent/*.csv"))
+
+
+# ---------------------------------------------------------------------------
+# unit tests per step (reference tests/transformers, tests/readers...)
+
+
+def test_json_reader(tmp_path):
+    import json
+
+    p = tmp_path / "a.jsonl"
+    with open(p, "w") as f:
+        for i in range(7):
+            f.write(json.dumps({"x": i, "tags": ["a"] * (i % 3)}) + "\n")
+    chunks = list(JsonReader(chunk_size=3).iter_chunks(str(p)))
+    assert [len(c) for c in chunks] == [3, 3, 1]
+    assert chunks[0]["tags"].dtype == object
+
+
+def test_field_selector_renamer():
+    c = DataChunk(a=[1, 2], b=[3, 4], c=[5, 6])
+    out = FieldSelector(["a", "c"])(c)
+    assert set(out.keys()) == {"a", "c"}
+    out = FieldRenamer({"a": "x"})(c)
+    assert set(out.keys()) == {"x", "b", "c"}
+
+
+def test_padder_and_seq_len():
+    c = DataChunk(ids=np.asarray([[1, 2, 3], [4], [5, 6]], dtype=object))
+    c = SeqLenComputer("ids")(c)
+    np.testing.assert_array_equal(c["ids_len"], [3, 1, 2])
+    out = Padder(["ids"], pad_value=9)(c)
+    np.testing.assert_array_equal(out["ids"], [[1, 2, 3], [4, 9, 9], [5, 6, 9]])
+    np.testing.assert_array_equal(out["ids_mask"], [[1, 1, 1], [1, 0, 0], [1, 1, 0]])
+
+
+def test_chunk_sorter():
+    c = DataChunk(k=[3, 1, 2], v=["c", "a", "b"])
+    out = ChunkSorter("k")(c)
+    assert out["v"].tolist() == ["a", "b", "c"]
+    out = ChunkSorter("k", descending=True)(c)
+    assert out["v"].tolist() == ["c", "b", "a"]
+
+
+def test_function_applier():
+    c = DataChunk(t=["ab", "cde"])
+    out = FunctionApplier({"t": len})(c)
+    assert out["t"].tolist() == [2, 3]
+
+
+def test_chunk_accumulator_rebatches():
+    chunks = [DataChunk(x=np.arange(i * 10, i * 10 + 4)) for i in range(5)]
+    out = list(ChunkAccumulator(6)(iter(chunks)))
+    assert [len(c) for c in out] == [6, 6, 6, 2]
+    merged = np.concatenate([c["x"] for c in out])
+    np.testing.assert_array_equal(np.sort(merged), np.sort(
+        np.concatenate([c["x"] for c in chunks])))
+
+
+def test_chunk_shuffler_preserves_multiset():
+    chunks = [DataChunk(x=[i]) for i in range(20)]
+    out = list(ChunkShuffler(buffer_size=8, seed=3)(iter(chunks)))
+    got = sorted(int(c["x"][0]) for c in out)
+    assert got == list(range(20))
+
+
+def test_pandas_formatter():
+    import pandas as pd
+
+    df = PandasFormatter()(DataChunk(a=[1, 2], b=["x", "y"]))
+    assert isinstance(df, pd.DataFrame) and list(df.columns) == ["a", "b"]
+
+
+# ---------------------------------------------------------------------------
+# vocabulary & chunk core (reference tests/utils)
+
+
+def test_vocabulary_roundtrip(tmp_path):
+    v = Vocabulary().build([["a", "b", "a", "c"], ["a", "b"]], min_count=1)
+    assert v["a"].count == 3
+    assert v.ids(["a", "zzz"])[1] == v["<unk>"].id
+    path = str(tmp_path / "v.txt")
+    v.save(path)
+    v2 = Vocabulary.load(path)
+    assert len(v2) == len(v)
+    assert v2.tokens(v.ids(["a", "b", "c"])) == ["a", "b", "c"]
+
+
+def test_datachunk_validation_and_equality():
+    c = DataChunk(a=[1, 2], b=[3, 4])
+    assert len(c) == 2 and c.valid
+    c2 = DataChunk(a=[1, 2], b=[3, 4])
+    assert c == c2
+    bad = DataChunk(a=[1, 2])
+    bad._data["b"] = np.asarray([1])
+    assert not bad.valid
+    with pytest.raises(InvalidChunkError):
+        bad.validate()
