@@ -1,0 +1,135 @@
+"""Tracing, metrics, and structured logging.
+
+The reference has almost no observability (wall-clock prints in the custom
+loops, ``src/text_pretrain.py:174-178``; optional torch-XLA metric dumps in
+the vendored Trainer, ``trainer.py:604-606``). This module provides the
+TPU-native equivalents:
+
+* :class:`StepTimer` — tokens/sec and examples/sec meters with
+  ``block_until_ready`` timing;
+* :func:`trace` — context manager around the JAX profiler (produces
+  TensorBoard-loadable traces of XLA execution);
+* :class:`MetricLogger` — JSON-lines metric logging (one parseable line per
+  event, the Trainer's log format modernised) with optional TensorBoard
+  writing when ``tensorflow`` is present;
+* :class:`AverageMeter` — running average (reference ``src/utils.py:40-55``).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import json
+import os
+import time
+from typing import Optional
+
+import jax
+
+
+class AverageMeter:
+    """Running average (reference ``AverageMeter``)."""
+
+    def __init__(self):
+        self.reset()
+
+    def reset(self):
+        self.val = 0.0
+        self.sum = 0.0
+        self.count = 0
+
+    def update(self, val: float, n: int = 1):
+        self.val = val
+        self.sum += val * n
+        self.count += n
+
+    @property
+    def avg(self) -> float:
+        return self.sum / self.count if self.count else 0.0
+
+
+class StepTimer:
+    """Throughput meter: call :meth:`step` once per completed device step."""
+
+    def __init__(self, tokens_per_step: int = 0, examples_per_step: int = 0,
+                 warmup_steps: int = 1):
+        self.tokens = tokens_per_step
+        self.examples = examples_per_step
+        self.warmup = warmup_steps
+        self._steps = 0
+        self._t0: Optional[float] = None
+
+    def step(self, result=None) -> None:
+        if result is not None:
+            jax.block_until_ready(result)
+        self._steps += 1
+        if self._steps == self.warmup:
+            self._t0 = time.time()
+
+    @property
+    def measured_steps(self) -> int:
+        return max(self._steps - self.warmup, 0)
+
+    def rates(self) -> dict:
+        if self._t0 is None or self.measured_steps == 0:
+            return {}
+        dt = time.time() - self._t0
+        sps = self.measured_steps / dt
+        out = {"steps_per_sec": sps}
+        if self.tokens:
+            out["tokens_per_sec"] = sps * self.tokens
+        if self.examples:
+            out["examples_per_sec"] = sps * self.examples
+        return out
+
+
+@contextlib.contextmanager
+def trace(log_dir: str, enabled: bool = True):
+    """JAX profiler trace (view with TensorBoard / xprof)."""
+    if not enabled:
+        yield
+        return
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+class MetricLogger:
+    """JSON-lines metrics + optional TensorBoard."""
+
+    def __init__(self, log_path: Optional[str] = None,
+                 tensorboard_dir: Optional[str] = None, stdout: bool = True):
+        self.stdout = stdout
+        self._file = None
+        if log_path:
+            os.makedirs(os.path.dirname(log_path) or ".", exist_ok=True)
+            self._file = open(log_path, "a", encoding="utf-8")
+        self._tb = None
+        if tensorboard_dir:
+            try:
+                import tensorflow as tf
+
+                self._tb = tf.summary.create_file_writer(tensorboard_dir)
+            except ImportError:
+                self._tb = None
+
+    def log(self, step: int, **metrics) -> None:
+        record = dict(step=step, time=time.time(), **metrics)
+        line = json.dumps(record, default=float)
+        if self.stdout:
+            print(line, flush=True)
+        if self._file:
+            self._file.write(line + "\n")
+            self._file.flush()
+        if self._tb is not None:
+            import tensorflow as tf
+
+            with self._tb.as_default():
+                for k, v in metrics.items():
+                    if isinstance(v, (int, float)):
+                        tf.summary.scalar(k, v, step=step)
+
+    def close(self) -> None:
+        if self._file:
+            self._file.close()

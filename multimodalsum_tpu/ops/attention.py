@@ -89,6 +89,22 @@ def cached_self_attention_step(
     return jnp.einsum("bnts,bsnh->btnh", probs, v_cache, precision=matmul_precision())
 
 
+# Implementation switch for the entity-attention hot op: "xla" (default,
+# differentiable, used in training) or "pallas" (fused VMEM kernel for the
+# decode path — no autodiff). Set via set_entity_attention_impl.
+_ENTITY_ATTN_IMPL = "xla"
+
+
+def set_entity_attention_impl(impl: str) -> None:
+    global _ENTITY_ATTN_IMPL
+    assert impl in ("xla", "pallas"), impl
+    _ENTITY_ATTN_IMPL = impl
+
+
+def entity_attention_impl() -> str:
+    return _ENTITY_ATTN_IMPL
+
+
 def entity_cross_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -119,6 +135,11 @@ def entity_cross_attention(
     Returns:
       ``[b, t, n, h]`` context (mean over valid entities).
     """
+    if _ENTITY_ATTN_IMPL == "pallas":
+        from multimodalsum_tpu.ops.pallas_attention import entity_cross_attention_pallas
+
+        return entity_cross_attention_pallas(q, k, v, mask)
+
     logits = jnp.einsum("btnh,besnh->bents", q, k, precision=matmul_precision())
     if mask is not None:
         logits = jnp.where(

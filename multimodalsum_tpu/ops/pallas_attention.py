@@ -1,0 +1,110 @@
+"""Pallas TPU kernel: fused multi-entity cross-attention with parallel mean.
+
+Fuses the whole entity-attention chain of
+:func:`multimodalsum_tpu.ops.attention.entity_cross_attention` —
+per-entity QK^T, -2^16 masking, softmax, PV, entity-validity weighting and
+the mean over valid entities — into one VMEM-resident kernel. The XLA path
+materialises the per-entity probabilities ``[b, e, n, t, s]`` in HBM between
+fusions; here everything for one (batch, head) stays on-chip while the grid
+walks the entity axis innermost, accumulating into a VMEM scratch block.
+
+Layout: Mosaic requires the matrix dims to be the trailing two, so the
+wrapper transposes to q ``[b, n, t, h]``, k/v ``[b, e, n, s, h]`` and
+transposes the output back. Grid ``(batch, heads, entities)``; the output
+block for (batch, head) is revisited across the entity axis and written on
+the last entity.
+
+Numerics match the XLA path to reduction order (tests/test_pallas.py:
+interpreter mode on CPU + compiled on the real chip).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from multimodalsum_tpu.ops.masks import ENTITY_MASK_VALUE
+
+
+def _kernel(q_ref, k_ref, v_ref, mask_ref, out_ref, acc_ref, count_ref):
+    e_idx = pl.program_id(2)
+    num_e = pl.num_programs(2)
+
+    @pl.when(e_idx == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        count_ref[0, 0] = 0.0
+
+    q = q_ref[0, 0, :, :].astype(jnp.float32)          # [t, h]
+    k = k_ref[0, 0, 0, :, :].astype(jnp.float32)       # [s, h]
+    v = v_ref[0, 0, 0, :, :].astype(jnp.float32)       # [s, h]
+    mask = mask_ref[0, 0, 0, :].astype(jnp.float32)    # [s]
+
+    logits = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [t, s]
+    logits = jnp.where(mask[None, :] > 0, logits, ENTITY_MASK_VALUE)
+    probs = jax.nn.softmax(logits, axis=-1)
+    ctx = jnp.dot(probs, v, preferred_element_type=jnp.float32)  # [t, h]
+
+    valid = (jnp.max(mask) > 0).astype(jnp.float32)
+    acc_ref[:] = acc_ref[:] + ctx * valid
+    count_ref[0, 0] = count_ref[0, 0] + valid
+
+    @pl.when(e_idx == num_e - 1)
+    def _finalize():
+        denom = jnp.maximum(count_ref[0, 0], 1.0)  # all-null-batch guard
+        out_ref[0, 0, :, :] = (acc_ref[:] / denom).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def entity_cross_attention_pallas(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    mask: jnp.ndarray | None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Drop-in for ``ops.attention.entity_cross_attention`` (same shapes):
+    q ``[b, t, n, h]`` pre-scaled, k/v ``[b, e, s, n, h]``, mask ``[b, e, s]``.
+    """
+    b, t, n, h = q.shape
+    _, e, s, _, _ = k.shape
+    if mask is None:
+        mask_f = jnp.ones((b, e, 1, s), jnp.float32)
+    else:
+        mask_f = mask.astype(jnp.float32)[:, :, None, :]
+
+    qT = jnp.transpose(q, (0, 2, 1, 3))        # [b, n, t, h]
+    kT = jnp.transpose(k, (0, 1, 3, 2, 4))     # [b, e, n, s, h]
+    vT = jnp.transpose(v, (0, 1, 3, 2, 4))
+
+    grid = (b, n, e)
+    out = pl.pallas_call(
+        _kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, t, h), lambda bi, ni, ei: (bi, ni, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, s, h), lambda bi, ni, ei: (bi, ei, ni, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, s, h), lambda bi, ni, ei: (bi, ei, ni, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, s), lambda bi, ni, ei: (bi, ei, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, t, h), lambda bi, ni, ei: (bi, ni, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n, t, h), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((t, h), jnp.float32),
+            pltpu.SMEM((1, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qT, kT, vT, mask_f)
+    return jnp.transpose(out, (0, 2, 1, 3))  # back to [b, t, n, h]

@@ -33,17 +33,47 @@ class TrainState(struct.PyTreeNode):
         return cls(step=jnp.int32(0), params=params, opt_state=tx.init(params))
 
 
-def make_train_step(loss_fn: Callable, tx: optax.GradientTransformation):
+def make_train_step(loss_fn: Callable, tx: optax.GradientTransformation,
+                    grad_accum: int = 1):
     """Build a jittable ``(state, batch, rng) -> (state, loss)`` step.
 
     ``loss_fn(params, batch, rng)`` returns a scalar. Gradients flow through
     the full param tree; frozen leaves receive zero updates from the
     multi-transform optimizer (see ``train/optim.py``).
+
+    ``grad_accum > 1`` splits the batch's leading axis into that many
+    microbatches and accumulates gradients with ``lax.scan`` before a single
+    optimizer update — the HF Trainer's gradient accumulation
+    (reference ``trainer.py:680-739``), done on-device.
     """
 
     def train_step(state: TrainState, batch, rng):
         step_rng = None if rng is None else jax.random.fold_in(rng, state.step)
-        loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, step_rng)
+
+        if grad_accum <= 1:
+            loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, step_rng)
+        else:
+            micro = jax.tree.map(
+                lambda x: x.reshape((grad_accum, x.shape[0] // grad_accum) + x.shape[1:]),
+                batch,
+            )
+
+            def body(carry, mb_and_i):
+                mb, i = mb_and_i
+                r = None if step_rng is None else jax.random.fold_in(step_rng, i)
+                loss_i, g_i = jax.value_and_grad(loss_fn)(state.params, mb, r)
+                total_loss, total_g = carry
+                return (total_loss + loss_i,
+                        jax.tree.map(jnp.add, total_g, g_i)), None
+
+            zero_g = jax.tree.map(jnp.zeros_like, state.params)
+            (loss, grads), _ = jax.lax.scan(
+                body, (jnp.float32(0.0), zero_g),
+                (micro, jnp.arange(grad_accum)),
+            )
+            loss = loss / grad_accum
+            grads = jax.tree.map(lambda g: g / grad_accum, grads)
+
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return state.replace(step=state.step + 1, params=params, opt_state=opt_state), loss
