@@ -18,6 +18,7 @@ estimate, stated here for transparency.
 
 import json
 import os
+import sys
 import time
 
 os.environ.setdefault("HF_HUB_OFFLINE", "1")
@@ -31,6 +32,10 @@ A100_REFERENCE_SUMMARIES_PER_SEC = 2.0
 
 
 def main():
+    if "--pallas" in sys.argv:
+        from multimodalsum_tpu.ops.attention import set_entity_attention_impl
+
+        set_entity_attention_impl("pallas")
     from multimodalsum_tpu.core.config import BartConfig, GenerationConfig
     from multimodalsum_tpu.decode.engine import generate
     from multimodalsum_tpu.models.multimodal import MultimodalSum, yelp_dummy_table
@@ -51,8 +56,10 @@ def main():
     img_mask = np.ones((b, n_img), bool)
 
     t0 = time.time()
-    variables = model.init(jax.random.PRNGKey(0), field, yelp_dummy_table(1)[1],
+    variables = jax.jit(
+        lambda: model.init(jax.random.PRNGKey(0), field, yelp_dummy_table(1)[1],
                            method=MultimodalSum.init_all)
+    )()
     params, batch_stats = variables["params"], variables["batch_stats"]
     print(f"# init {time.time()-t0:.1f}s", flush=True)
 
