@@ -88,19 +88,29 @@ def main():
 
     jit_pipe = jax.jit(pipeline)
 
+    def run(args):
+        """One synchronized execution. block_until_ready does NOT actually
+        block on the experimental axon backend — a host device_get is the
+        only reliable barrier, so timings transfer the (tiny) lengths array."""
+        seqs, lengths = jit_pipe(*args)
+        return seqs, np.asarray(lengths)
+
     args = (params, batch_stats, reviews, reviews_mask, field, values, img, img_mask)
     t0 = time.time()
-    seqs, lengths = jax.block_until_ready(jit_pipe(*args))
+    seqs, lengths = run(args)
     compile_time = time.time() - t0
     print(f"# compile+first run {compile_time:.1f}s", flush=True)
 
-    iters = 3
-    t0 = time.time()
+    iters = 4
+    times = []
     for _ in range(iters):
-        seqs, lengths = jax.block_until_ready(jit_pipe(*args))
-    dt = (time.time() - t0) / iters
+        t0 = time.time()
+        seqs, lengths = run(args)
+        times.append(time.time() - t0)
+    print(f"# per-iter: {[round(t, 3) for t in times]}", flush=True)
+    dt = sum(times) / iters
 
-    total_tokens = int(np.asarray(lengths).sum())
+    total_tokens = int(lengths.sum())
     summaries_per_sec = b / dt
     print(f"# steady-state: {dt:.3f}s/batch of {b}; ~{total_tokens} tokens; "
           f"{summaries_per_sec:.2f} summaries/s", flush=True)

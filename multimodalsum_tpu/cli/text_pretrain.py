@@ -32,6 +32,8 @@ def main(argv=None):
                    help="checkpoint dir from stage 0 (orbax export)")
     p.add_argument("--torch_init", type=str, default=None,
                    help="pytorch_model.bin to convert (e.g. facebook/bart-large dump)")
+    p.add_argument("--resume", type=str, default=None,
+                   help="checkpoint dir to resume full training state from")
     args = p.parse_args(argv)
     setup_environment(args)
 
@@ -67,6 +69,11 @@ def main(argv=None):
         max_grad_norm=args.max_grad_norm,
     )
     state = TrainState.create(params, tx)
+    if args.resume:
+        from multimodalsum_tpu.ckpt.checkpoint import restore_checkpoint
+
+        state = restore_checkpoint(args.resume, state)
+        print(f"resumed from {args.resume} at step {int(state.step)}")
 
     def loss_fn(params, batch, rng):
         return text_pretrain_loss(model, params, batch,

@@ -94,7 +94,11 @@ def beam_search(
     eos_token_id: int,
     bad_words: jnp.ndarray | None = None,
     bad_lengths: jnp.ndarray | None = None,
+    force_bos_eos: bool = True,
 ) -> BeamResult:
+    """``force_bos_eos``: BART's forced BOS at step 1 / EOS at max_length-1
+    (reference ``adjust_logits_during_generation``); disable for generic
+    models decoded through the Beamer facade."""
     B, K, L = batch_size, gen.num_beams, gen.max_length
     R = gen.num_return_sequences
     lp = gen.length_penalty
@@ -123,7 +127,8 @@ def beam_search(
         last = jax.lax.dynamic_slice(flat_tokens, (0, cur_len - 1), (B * K, 1))
 
         logits, cache = step_fn(last, cur_len - 1, state.cache)
-        logits = adjust_logits(logits, cur_len, L, bos_token_id, eos_token_id)
+        if force_bos_eos:
+            logits = adjust_logits(logits, cur_len, L, bos_token_id, eos_token_id)
         scores_step = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         scores_step = postprocess_scores(
             scores_step, flat_tokens, cur_len,
