@@ -59,9 +59,7 @@ def iter_amazon_groups(path: str) -> Iterator[Tuple[str, List[dict]]]:
     ``read_amazon_data`` / ``parse``)."""
     import html as _html
 
-    category = os.path.splitext(os.path.basename(path))[0].lower()
-    if category.endswith(".json"):
-        category = category[: -len(".json")]
+    category = source_name(path).lower()
     groups: "OrderedDict[str, List[dict]]" = OrderedDict()
     with gzip.open(path, "rb") as g:
         for raw in g:
@@ -91,9 +89,22 @@ def read_group_csv(path: str) -> List[dict]:
         return list(reader)
 
 
+def source_name(inp_file: str) -> str:
+    """Raw-file stem with the full extension chain stripped
+    (``Electronics.json.gz`` → ``Electronics``) — the 1.prep dir name the
+    multimodal back-join expects (``1.prep/<CategoryTitle>/<gid>.csv``)."""
+    name = os.path.basename(inp_file)
+    while True:
+        stem, ext = os.path.splitext(name)
+        if ext.lower() in (".gz", ".json", ".jsonl", ".txt", ".csv"):
+            name = stem
+        else:
+            return name
+
+
 def prepare(dataset: str, inp_file: str, out_root: str) -> str:
     """Stage 1.prep for one raw input file; returns the output dir."""
-    src = os.path.splitext(os.path.basename(inp_file))[0]
+    src = source_name(inp_file)
     out_dir = os.path.join(out_root, "1.prep", src)
     if os.path.isdir(out_dir) and os.listdir(out_dir):
         return out_dir  # idempotent, like the Luigi complete() check

@@ -1,0 +1,77 @@
+"""Checkpoint rotation/resume and gradient accumulation."""
+
+import numpy as np
+import pytest
+
+
+def _tiny_setup():
+    import jax
+
+    from multimodalsum_tpu.core.config import TINY_CONFIG as cfg
+    from multimodalsum_tpu.models.bart import BartModel
+    from multimodalsum_tpu.train.optim import make_optimizer
+
+    model = BartModel(cfg)
+    params = model.init(jax.random.PRNGKey(0), method=BartModel.init_all)["params"]
+    tx = make_optimizer(params, learning_rate=1e-3, total_steps=100, warmup_ratio=0.0)
+    return cfg, model, params, tx
+
+
+def test_rotating_checkpoint_and_resume(tmp_path):
+    import jax
+
+    from multimodalsum_tpu.ckpt.checkpoint import (
+        latest_checkpoint,
+        restore_checkpoint,
+        save_rotating_checkpoint,
+    )
+    from multimodalsum_tpu.train.loop import TrainState
+
+    cfg, model, params, tx = _tiny_setup()
+    state = TrainState.create(params, tx)
+    root = str(tmp_path / "ckpts")
+
+    import os
+
+    for step in (5, 10, 15, 20):
+        save_rotating_checkpoint(root, state.replace(step=np.int32(step)), keep=2)
+    kept = sorted(os.listdir(root))
+    assert kept == ["checkpoint-15", "checkpoint-20"]
+    assert latest_checkpoint(root).endswith("checkpoint-20")
+
+    restored = restore_checkpoint(latest_checkpoint(root), state)
+    assert int(restored.step) == 20
+
+
+def test_grad_accumulation_matches_full_batch():
+    """accum over 4 microbatches == one step on the full batch (mean loss)."""
+    import jax
+
+    from multimodalsum_tpu.train.loop import TrainState, make_train_step
+    from multimodalsum_tpu.train.stages import enc_conditional_loss
+
+    cfg, model, params, tx = _tiny_setup()
+    rng = np.random.default_rng(0)
+    bsz = 8
+    hiddens = rng.normal(size=(bsz, 2, 6, cfg.d_model)).astype(np.float32)
+    mask = np.ones((bsz, 2, 6), bool)
+    labels = rng.integers(3, cfg.vocab_size, (bsz, 7))
+    batch = dict(h=hiddens, m=mask, labels=labels)
+
+    def loss_fn(p, b, r):
+        return enc_conditional_loss(model, p, b["h"], b["m"], b["labels"], rng=None)
+
+    state = TrainState.create(params, tx)
+    full_step = jax.jit(make_train_step(loss_fn, tx, grad_accum=1))
+    accum_step = jax.jit(make_train_step(loss_fn, tx, grad_accum=4))
+
+    s_full, loss_full = full_step(state, batch, jax.random.PRNGKey(0))
+    s_acc, loss_acc = accum_step(state, batch, jax.random.PRNGKey(0))
+
+    np.testing.assert_allclose(float(loss_acc), float(loss_full), rtol=1e-5)
+    import chex
+
+    chex.assert_trees_all_close(
+        jax.device_get(s_acc.params), jax.device_get(s_full.params),
+        rtol=2e-4, atol=1e-6,
+    )

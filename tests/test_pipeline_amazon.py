@@ -1,0 +1,95 @@
+"""Amazon-dataset preprocessing pipeline + data layer, end to end."""
+
+import gzip
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+@pytest.fixture(scope="module")
+def amazon_root(tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("amzn"))
+    rng = np.random.default_rng(0)
+    base = f"{root}/amazon"
+    os.makedirs(f"{base}/raw", exist_ok=True)
+    os.makedirs(f"{base}/raw_others", exist_ok=True)
+    os.makedirs(f"{base}/test", exist_ok=True)
+    words = ["sturdy", "battery", "cheap", "broke", "love", "size", "color",
+             "fits", "great", "bad", "fast", "ship"]
+
+    # raw gzip of python-literal lines (the reference's Amazon dump format)
+    with gzip.open(f"{base}/raw/Electronics.json.gz", "wb") as g:
+        for p in range(15):
+            for r in range(int(rng.integers(12, 25))):
+                text = " ".join(rng.choice(words, int(rng.integers(31, 45)))) + "."
+                rec = dict(asin=f"prod{p}", reviewText=text,
+                           overall=float(rng.integers(1, 6)))
+                g.write((repr(rec) + "\n").encode())
+
+    # product meta (python-literal lines)
+    with open(f"{base}/raw_others/meta_Electronics.json", "w") as f:
+        for p in range(15):
+            rec = dict(asin=f"prod{p}", title=f"Gadget {p}", brand="Acme",
+                       price=float(rng.integers(5, 200)),
+                       categories=[["Electronics", "Audio"], ["Gadgets"]],
+                       description="<p>A <b>great</b> gadget.</p>")
+            f.write(repr(rec) + "\n")
+
+    # gold eval CSVs
+    rows = []
+    for p in range(3):
+        row = {"prod_id": f"prod{p}"}
+        for r in range(1, 9):
+            row[f"rev{r}"] = "some review text here."
+        for sidx in range(1, 4):
+            row[f"summ{sidx}"] = f"summary {sidx}."
+        rows.append(row)
+    df = pd.DataFrame(rows)
+    for name in ("all", "dev", "test"):
+        df.to_csv(f"{base}/test/{name}.csv", sep="\t", index=False)
+
+    from multimodalsum_tpu.pipeline.multimodal_prep import run_multimodal_pipeline
+    from multimodalsum_tpu.pipeline.textprep import run_text_pipeline
+
+    run_text_pipeline("amazon", [f"{base}/raw/Electronics.json.gz"], root,
+                      min_revs=5, min_rev_len=5, max_rev_len=70, percentile=95)
+    # 1.prep dir carries the category title for the 5.text back-join
+    assert os.path.isdir(f"{base}/1.prep/Electronics")
+    run_multimodal_pipeline(root, "amazon", log=lambda *a: None)
+    return root
+
+
+def test_amazon_outputs(amazon_root):
+    base = f"{amazon_root}/amazon"
+    assert os.listdir(f"{base}/5.text/train")
+    meta = pd.read_csv(f"{base}/meta.csv", sep="\t", na_filter=False, dtype=str)
+    assert list(meta.columns) == ["group_id", "price", "ratings", "brand",
+                                  "name", "category", "description"]
+    assert len(meta) > 0
+    assert all(len(p) == 11 and set(p) <= {"0", "1"} for p in meta["price"])
+    assert all(r == "" or len(r) == 4 for r in meta["ratings"])
+    # HTML cleaned out of descriptions
+    assert not any("<" in d for d in meta["description"])
+    assert all("||" in c or "|" in c or c == "" for c in meta["category"])
+
+
+def test_amazon_store_and_eval_dataset(amazon_root):
+    from multimodalsum_tpu.data.multimodal_data import EvalDataset, MultimodalStore
+    from multimodalsum_tpu.data.tokenizer import train_bpe
+
+    tok = train_bpe(["sturdy battery cheap love size great summary review text here"] * 50,
+                    300, os.path.join(amazon_root, "_tok"))
+    store = MultimodalStore(amazon_root, "amazon", "train", reviews_per_group=3)
+    assert len(store) > 0
+    ex = store.example(0, tok, max_length=20)
+    assert ex["field_values"]["price"].shape == (11,)
+    assert ex["field_values"]["description"].shape == (128,)
+    assert ex["img"].shape == (1, 224, 224, 3)  # amazon max_imgs = 1
+
+    ds = EvalDataset(amazon_root, "amazon", "test")
+    assert len(ds) == 3
+    ex = ds.example(0, tok)
+    assert ex["reviews"].shape == (8, 118)  # 120-token cap minus bos/eos
+    assert len(ds.summaries[0]) == 3
