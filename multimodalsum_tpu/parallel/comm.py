@@ -1,0 +1,62 @@
+"""Collective-communication wrappers.
+
+TPU-native replacement for the reference's NCCL surface
+(``torch.distributed`` ``all_reduce`` loss averaging ``src/utils.py:8-12``,
+``distributed_concat`` all-gather ``trainer.py:997-1007``, env-var rendezvous
+``src/train_utils.py:28``): thin helpers over ``jax.lax`` collectives on a
+named mesh — ICI within a slice, DCN across slices — plus
+``jax.distributed.initialize`` for multi-host rendezvous.
+
+Most code never needs these: with ``jit`` + shardings, XLA inserts gradient
+all-reduces automatically (see ``train/loop.py``). They exist for explicit
+``shard_map`` regions and for metric aggregation.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from multimodalsum_tpu.parallel.mesh import DATA_AXIS
+
+
+def initialize_multihost(coordinator: Optional[str] = None,
+                         num_processes: Optional[int] = None,
+                         process_id: Optional[int] = None) -> None:
+    """Multi-host rendezvous (replaces torch.distributed.launch env vars)."""
+    kwargs = {}
+    if coordinator is not None:
+        kwargs = dict(coordinator_address=coordinator,
+                      num_processes=num_processes, process_id=process_id)
+    jax.distributed.initialize(**kwargs)
+
+
+def pmean(x, axis: str = DATA_AXIS):
+    """Mean over a mesh axis (inside shard_map) — reference ``reduce_tensor``."""
+    return jax.lax.pmean(x, axis)
+
+
+def psum(x, axis: str = DATA_AXIS):
+    return jax.lax.psum(x, axis)
+
+
+def all_gather(x, axis: str = DATA_AXIS, *, tiled: bool = True):
+    """Concatenate per-shard values along the leading dim — reference
+    ``distributed_concat``."""
+    return jax.lax.all_gather(x, axis, tiled=tiled)
+
+
+def mean_grads(grads, mesh: Mesh, batch_spec: P = P(DATA_AXIS)):
+    """Explicit shard_map gradient mean for users who opt out of the
+    automatic jit lowering (apex ``delay_allreduce`` analog: one collective
+    per step, after the full backward)."""
+    from jax.experimental.shard_map import shard_map
+
+    def reduce_fn(g):
+        return jax.tree.map(lambda t: jax.lax.pmean(t, DATA_AXIS), g)
+
+    return shard_map(reduce_fn, mesh=mesh, in_specs=(P(),), out_specs=P(),
+                     check_rep=False)(grads)
