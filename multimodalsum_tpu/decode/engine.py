@@ -57,6 +57,16 @@ def generate(
     batch = modality_hiddens[0].shape[0]
     K = gen.num_beams
 
+    if model.dtype != jnp.float32:
+        # cast float params to the compute dtype once, outside the decode
+        # loop — otherwise every while_loop step re-reads the f32 weights and
+        # casts them (flax promotes lazily), doubling HBM weight traffic
+        params = jax.tree.map(
+            lambda x: x.astype(model.dtype)
+            if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating) else x,
+            params,
+        )
+
     cross_kv = model.apply({"params": params}, list(modality_hiddens), method=BartModel.init_decode)
     masks = [None if m is None else m.astype(bool) for m in modality_masks]
 
