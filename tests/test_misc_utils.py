@@ -1,0 +1,67 @@
+"""Experiment dirs, observability meters, TP sharding rules."""
+
+import json
+import os
+
+import numpy as np
+
+
+def test_next_run_dir(tmp_path):
+    from multimodalsum_tpu.core.experiments import next_run_dir, snapshot_config
+
+    a = next_run_dir(str(tmp_path))
+    b = next_run_dir(str(tmp_path))
+    assert a.endswith("run_1") and b.endswith("run_2")
+    cfg = snapshot_config(a, lr=1e-4, stage="text")
+    loaded = json.load(open(cfg))
+    assert loaded["lr"] == 1e-4 and "created" in loaded
+
+
+def test_metric_logger(tmp_path):
+    from multimodalsum_tpu.core.observability import MetricLogger
+
+    path = str(tmp_path / "metrics.jsonl")
+    log = MetricLogger(log_path=path, stdout=False)
+    log.log(1, loss=0.5, tokens_per_sec=1000)
+    log.log(2, loss=0.4)
+    log.close()
+    lines = [json.loads(l) for l in open(path)]
+    assert lines[0]["step"] == 1 and lines[0]["loss"] == 0.5
+    assert lines[1]["step"] == 2
+
+
+def test_step_timer():
+    from multimodalsum_tpu.core.observability import StepTimer
+
+    t = StepTimer(tokens_per_step=100, examples_per_step=4, warmup_steps=1)
+    for _ in range(4):
+        t.step()
+    rates = t.rates()
+    assert rates["steps_per_sec"] > 0
+    assert abs(rates["tokens_per_sec"] / rates["steps_per_sec"] - 100) < 1e-6
+
+
+def test_tp_sharding_rules():
+    import jax
+    from jax.sharding import PartitionSpec as P
+
+    from multimodalsum_tpu.core.config import TINY_CONFIG as cfg
+    from multimodalsum_tpu.models.bart import BartModel
+    from multimodalsum_tpu.parallel.mesh import make_mesh
+    from multimodalsum_tpu.parallel.sharding import param_shardings
+
+    model = BartModel(cfg, multimodal=True)
+    params = model.init(jax.random.PRNGKey(0), method=BartModel.init_all)["params"]
+    mesh = make_mesh(data=4, model=2)
+    shardings = param_shardings(params, mesh)
+
+    dec0 = shardings["decoder"]["layers_0"]
+    assert dec0["self_attn"]["q_proj"]["kernel"].spec == P(None, "model")
+    assert dec0["self_attn"]["out_proj"]["kernel"].spec == P("model", None)
+    assert dec0["fc1"]["kernel"].spec == P(None, "model")
+    assert dec0["fc2"]["kernel"].spec == P("model", None)
+    assert dec0["encoder_attn"]["k_proj"]["kernel"].spec == P(None, "model")
+    # replicated leaves
+    assert shardings["shared"]["embedding"].spec == P()
+    assert dec0["self_attn_layer_norm"]["scale"].spec == P()
+    assert dec0["encoder_attn"]["alpha_proj"]["kernel"].spec == P()
