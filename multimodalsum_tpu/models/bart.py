@@ -64,6 +64,22 @@ def _dense(config: BartConfig, features: int, dtype, name: str, use_bias: bool =
     )
 
 
+def sinusoidal_table(n_positions: int, dim: int) -> jnp.ndarray:
+    """Fixed sinusoidal position table (reference
+    ``SinusoidalPositionalEmbedding``, ``modeling_multimodalsum.py:3311``,
+    fairseq layout: first half sin, second half cos)."""
+    import numpy as np
+
+    pos = np.arange(n_positions)[:, None]
+    j = np.arange(dim)[None, :]
+    angle = pos / np.power(10000, 2 * (j // 2) / dim)
+    out = np.zeros((n_positions, dim), np.float32)
+    half = dim // 2
+    out[:, :half] = np.sin(angle[:, 0::2])
+    out[:, half:] = np.cos(angle[:, 1::2])
+    return jnp.asarray(out)
+
+
 def _split_heads(x: jnp.ndarray, num_heads: int) -> jnp.ndarray:
     """[..., d] -> [..., n, h]."""
     return x.reshape(x.shape[:-1] + (num_heads, x.shape[-1] // num_heads))
@@ -350,14 +366,17 @@ class BartEncoder(nn.Module):
 
     def setup(self):
         cfg = self.config
-        self.embed_positions = nn.Embed(
-            cfg.max_position_embeddings + cfg.extra_pos_embeddings,
-            cfg.d_model,
-            embedding_init=nn.initializers.normal(cfg.init_std),
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-            name="embed_positions",
-        )
+        if cfg.static_position_embeddings:
+            self.pos_table = sinusoidal_table(cfg.max_position_embeddings, cfg.d_model)
+        else:
+            self.embed_positions = nn.Embed(
+                cfg.max_position_embeddings + cfg.extra_pos_embeddings,
+                cfg.d_model,
+                embedding_init=nn.initializers.normal(cfg.init_std),
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+                name="embed_positions",
+            )
         self.layers = [
             EncoderLayer(cfg, dtype=self.dtype, name=f"layers_{i}") for i in range(cfg.encoder_layers)
         ]
@@ -372,8 +391,11 @@ class BartEncoder(nn.Module):
         seq_len = input_ids.shape[-1]
         # Positions are a plain arange + offset, independent of padding
         # (reference LearnedPositionalEmbedding.forward, :958-968).
-        positions = jnp.arange(seq_len) + cfg.extra_pos_embeddings
-        x = self.embed_tokens(input_ids) * self.embed_scale + self.embed_positions(positions)
+        if cfg.static_position_embeddings:
+            pos_emb = self.pos_table[:seq_len].astype(self.dtype)
+        else:
+            pos_emb = self.embed_positions(jnp.arange(seq_len) + cfg.extra_pos_embeddings)
+        x = self.embed_tokens(input_ids) * self.embed_scale + pos_emb
         if cfg.normalize_embedding:
             x = self.layernorm_embedding(x)
         x = self.dropout(x, deterministic=deterministic)
@@ -401,14 +423,17 @@ class BartDecoder(nn.Module):
 
     def setup(self):
         cfg = self.config
-        self.embed_positions = nn.Embed(
-            cfg.max_position_embeddings + cfg.extra_pos_embeddings,
-            cfg.d_model,
-            embedding_init=nn.initializers.normal(cfg.init_std),
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-            name="embed_positions",
-        )
+        if cfg.static_position_embeddings:
+            self.pos_table = sinusoidal_table(cfg.max_position_embeddings, cfg.d_model)
+        else:
+            self.embed_positions = nn.Embed(
+                cfg.max_position_embeddings + cfg.extra_pos_embeddings,
+                cfg.d_model,
+                embedding_init=nn.initializers.normal(cfg.init_std),
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+                name="embed_positions",
+            )
         # Learned rating-difference embedding vector (reference :514-515).
         self.rating_embeddings = self.param(
             "rating_embeddings", nn.initializers.normal(cfg.init_std), (cfg.d_model,), jnp.float32
@@ -423,8 +448,13 @@ class BartDecoder(nn.Module):
         self.embed_scale = cfg.d_model**0.5 if cfg.scale_embedding else 1.0
 
     def _embed(self, input_ids, positions, rating_diff, deterministic):
-        """Token + position (+ rating) embedding (reference :588-598)."""
-        x = self.embed_tokens(input_ids) * self.embed_scale + self.embed_positions(positions)
+        """Token + position (+ rating) embedding (reference :588-598).
+        ``positions`` are raw (un-offset) indices."""
+        if self.config.static_position_embeddings:
+            pos_emb = self.pos_table[positions].astype(self.dtype)
+        else:
+            pos_emb = self.embed_positions(positions + self.config.extra_pos_embeddings)
+        x = self.embed_tokens(input_ids) * self.embed_scale + pos_emb
         if rating_diff is not None:
             # rating_diff [b, 1] * rating_embeddings [d] -> [b, 1, d], added
             # to every position (reference :591-595).
@@ -444,7 +474,7 @@ class BartDecoder(nn.Module):
         """Full-sequence (teacher forcing) forward -> hidden [b, t, d]."""
         cfg = self.config
         t = input_ids.shape[-1]
-        positions = jnp.arange(t) + cfg.extra_pos_embeddings
+        positions = jnp.arange(t)
         x = self._embed(input_ids, positions, rating_diff, deterministic)
         causal_bias = make_causal_mask(t)
         for layer in self.layers:
@@ -476,7 +506,7 @@ class BartDecoder(nn.Module):
 
         Returns (hidden [b, 1, d], new_cache).
         """
-        positions = jnp.full((1,), index + self.config.extra_pos_embeddings, dtype=jnp.int32)
+        positions = jnp.full((1,), index, dtype=jnp.int32)
         x = self._embed(token_ids, positions, rating_diff, deterministic=True)
         new_cache = []
         for i, layer in enumerate(self.layers):

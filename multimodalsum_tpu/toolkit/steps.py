@@ -201,6 +201,45 @@ class Padder(Transformer):
         return out
 
 
+class SeqWrapper(Transformer):
+    """Wrap token-list fields with start/end symbols (reference SeqWrapper)."""
+
+    def __init__(self, fields: Sequence[str], start=None, end=None):
+        self.fields = list(fields)
+        self.start = start
+        self.end = end
+
+    def __call__(self, chunk: DataChunk) -> DataChunk:
+        out = DataChunk(**chunk.fields())
+        for f in self.fields:
+            wrapped = []
+            for seq in chunk[f]:
+                seq = list(seq)
+                if self.start is not None:
+                    seq = [self.start] + seq
+                if self.end is not None:
+                    seq = seq + [self.end]
+                wrapped.append(seq)
+            out[f] = np.asarray(wrapped, dtype=object)
+        return out
+
+
+class UnitSampler(Transformer):
+    """Keep at most ``k`` randomly-sampled units per chunk (reference
+    UnitSampler)."""
+
+    def __init__(self, k: int, seed: int = 0):
+        self.k = k
+        self._rng = np.random.default_rng(seed)
+
+    def __call__(self, chunk: DataChunk) -> DataChunk:
+        n = len(chunk)
+        if n <= self.k:
+            return chunk
+        idx = np.sort(self._rng.choice(n, self.k, replace=False))
+        return chunk.select(idx)
+
+
 class ChunkSorter(Transformer):
     def __init__(self, field: str, descending: bool = False):
         self.field = field

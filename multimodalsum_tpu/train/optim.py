@@ -82,6 +82,34 @@ def linear_warmup_linear_decay(lr: float, warmup_steps: int, total_steps: int):
     )
 
 
+def kl_cyclical_annealing(total_steps: int, cycles: int = 4, ratio: float = 0.5):
+    """Cyclical KL-weight annealing schedule (reference mlmo
+    ``KlCycAnnealing``): within each cycle the weight ramps 0→1 over
+    ``ratio`` of the cycle then stays at 1."""
+    period = max(total_steps // max(cycles, 1), 1)
+    ramp = max(int(period * ratio), 1)
+
+    def schedule(step):
+        import jax.numpy as jnp
+
+        pos = jnp.mod(step, period)
+        return jnp.minimum(pos / ramp, 1.0)
+
+    return schedule
+
+
+def kl_monotonic_annealing(warmup_steps: int):
+    """Monotonic KL annealing (reference mlmo ``KlMonAnnealing``): linear
+    0→1 over ``warmup_steps`` then constant."""
+
+    def schedule(step):
+        import jax.numpy as jnp
+
+        return jnp.minimum(step / max(warmup_steps, 1), 1.0)
+
+    return schedule
+
+
 def make_optimizer(
     params,
     *,
