@@ -58,6 +58,7 @@ class BeamState(NamedTuple):
     hyp_tokens: jnp.ndarray       # [B, K, L]
     hyp_lens: jnp.ndarray         # [B, K]
     num_hyps: jnp.ndarray         # [B]
+    rng: jnp.ndarray              # PRNG key (beam sampling)
     cache: object
 
 
@@ -95,6 +96,7 @@ def beam_search(
     bad_words: jnp.ndarray | None = None,
     bad_lengths: jnp.ndarray | None = None,
     force_bos_eos: bool = True,
+    rng: jnp.ndarray | None = None,
 ) -> BeamResult:
     """``force_bos_eos``: BART's forced BOS at step 1 / EOS at max_length-1
     (reference ``adjust_logits_during_generation``); disable for generic
@@ -115,6 +117,7 @@ def beam_search(
         hyp_tokens=jnp.full((B, K, L), pad_token_id, jnp.int32),
         hyp_lens=jnp.zeros((B, K), jnp.int32),
         num_hyps=jnp.zeros((B,), jnp.int32),
+        rng=rng if rng is not None else jax.random.PRNGKey(0),
         cache=init_cache,
     )
 
@@ -127,7 +130,7 @@ def beam_search(
         last = jax.lax.dynamic_slice(flat_tokens, (0, cur_len - 1), (B * K, 1))
 
         logits, cache = step_fn(last, cur_len - 1, state.cache)
-        if force_bos_eos:
+        if force_bos_eos and not gen.do_sample:
             logits = adjust_logits(logits, cur_len, L, bos_token_id, eos_token_id)
         scores_step = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         scores_step = postprocess_scores(
@@ -140,7 +143,30 @@ def beam_search(
         )
 
         next_scores = scores_step.reshape(B, K, vocab_size) + state.beam_scores[:, :, None]
-        top_scores, top_idx = jax.lax.top_k(next_scores.reshape(B, K * vocab_size), 2 * K)
+        if gen.do_sample:
+            # beam sampling (reference :1958-1982): temperature + top-k/p over
+            # the grouped beams x vocab axis, draw 2K candidates without
+            # replacement, then sort them by score descending
+            from multimodalsum_tpu.decode.logits import top_k_top_p_filtering
+
+            _scores = next_scores
+            if gen.temperature != 1.0:
+                _scores = _scores / gen.temperature
+            _scores = top_k_top_p_filtering(
+                _scores, top_k=gen.top_k, top_p=gen.top_p, min_tokens_to_keep=2
+            ).reshape(B, K * vocab_size)
+            step_rng = jax.random.fold_in(state.rng, cur_len)
+            gumbel = jax.random.gumbel(step_rng, _scores.shape)
+            _, top_idx = jax.lax.top_k(_scores + gumbel, 2 * K)  # w/o replacement
+            # carried scores come from the scaled/filtered table, like the
+            # reference's gather from _scores (:1976-1980)
+            top_scores = jnp.take_along_axis(_scores, top_idx, axis=1)
+            order_s = jnp.argsort(-top_scores, axis=1, stable=True)
+            top_scores = jnp.take_along_axis(top_scores, order_s, axis=1)
+            top_idx = jnp.take_along_axis(top_idx, order_s, axis=1)
+        else:
+            top_scores, top_idx = jax.lax.top_k(
+                next_scores.reshape(B, K * vocab_size), 2 * K)
         tok_id = top_idx % vocab_size
         beam_id = top_idx // vocab_size
         is_eos = tok_id == eos_token_id
@@ -193,6 +219,7 @@ def beam_search(
             hyp_tokens=hyp_tokens,
             hyp_lens=hyp_lens,
             num_hyps=num_hyps,
+            rng=state.rng,
             cache=cache,
         )
 

@@ -94,5 +94,5 @@ def generate(
         bad_lengths=bad_lengths,
     )
     if K > 1:
-        return beam_search(step_fn, cache, batch, **common)
+        return beam_search(step_fn, cache, batch, rng=rng, **common)
     return greedy_search(step_fn, cache, batch, rng=rng, **common)
