@@ -1,16 +1,21 @@
 """Flagship benchmark: multimodal beam-search summarization throughput.
 
 Measures end-to-end summaries/sec/chip for the production eval configuration
-(reference ``src/test.py:156-181``): batch 8 Yelp groups, 8 reviews x 160
-tokens each, 47-row table, 10 images, BART-large multimodal decoder, beam 5,
-max_length 142 (config default), no_repeat_ngram 3, early stopping — the
-whole pipeline (3 encoders + on-device beam search) jitted.
+(reference ``src/test.py:156-181``): Yelp groups of 8 reviews x 160 tokens,
+47-row table, 10 images, BART-large multimodal decoder, beam 5, max_length
+142 (config default), no_repeat_ngram 3, early stopping — the whole pipeline
+(3 encoders + on-device beam search) jitted, bf16.
+
+Batch defaults to 32 (vs the reference's eval batch 8): the metric is
+per-chip throughput, and batching is the TPU-native way to amortise the
+sequential decode loop. Falls back to batch 8 automatically if the large
+batch fails (e.g. memory on a smaller chip).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 ``vs_baseline`` compares against an estimated 2.0 summaries/sec for the
 reference PyTorch implementation on one A100 (batch 8, beam 5, ~142
-host-synced single-token decoder steps/summary — the reference beam loop
+host-synced single-token decoder steps per summary — the reference beam loop
 round-trips GPU->host every token, see SURVEY.md §3.4). The reference repo
 publishes no numbers (BASELINE.md), so this anchor is an engineering
 estimate, stated here for transparency.
@@ -20,6 +25,7 @@ import json
 import os
 import sys
 import time
+import traceback
 
 os.environ.setdefault("HF_HUB_OFFLINE", "1")
 os.environ.setdefault("TRANSFORMERS_OFFLINE", "1")
@@ -31,13 +37,10 @@ import numpy as np
 A100_REFERENCE_SUMMARIES_PER_SEC = 2.0
 
 
-def main():
-    if "--pallas" in sys.argv:
-        from multimodalsum_tpu.ops.attention import set_entity_attention_impl
-
-        set_entity_attention_impl("pallas")
+def bench_batch(b: int) -> float:
     from multimodalsum_tpu.core.config import BartConfig, GenerationConfig
     from multimodalsum_tpu.decode.engine import generate
+    from multimodalsum_tpu.models.bart import BartModel
     from multimodalsum_tpu.models.multimodal import MultimodalSum, yelp_dummy_table
 
     cfg = BartConfig(dropout=0.0)
@@ -46,14 +49,8 @@ def main():
         early_stopping=True, no_repeat_ngram_size=3,
     )
     model = MultimodalSum(cfg, dataset="yelp", img_model="resnet101", dtype=jnp.bfloat16)
+    bart = BartModel(cfg, multimodal=True, dtype=model.dtype)
 
-    # batch 32 (vs the reference's eval batch 8): throughput per chip is the
-    # metric; a larger batch amortises the per-step overhead of the
-    # sequential decode loop, which is the TPU-native way to serve.
-    b = 32
-    for a in sys.argv:
-        if a.startswith("--batch="):
-            b = int(a.split("=")[1])
     e, s, n_img = 8, 160, 10
     rng = np.random.default_rng(0)
     reviews = rng.integers(3, cfg.vocab_size, (b * e, s)).astype(np.int32)
@@ -70,27 +67,16 @@ def main():
     params, batch_stats = variables["params"], variables["batch_stats"]
     print(f"# init {time.time()-t0:.1f}s", flush=True)
 
-    def encode_fn(params, batch_stats, reviews, reviews_mask, field, values, img, img_mask):
+    def pipeline(params, batch_stats, reviews, reviews_mask, field, values, img, img_mask):
         vs = {"params": params, "batch_stats": batch_stats}
         text_h = model.apply(vs, reviews.reshape(b, e, s), reviews_mask.reshape(b, e, s),
                              method=MultimodalSum.encode_text)
         table_h, table_m = model.apply(vs, field, values, method=MultimodalSum.encode_table)
         img_h, img_m = model.apply(vs, img, img_mask, method=MultimodalSum.encode_img)
-        return text_h, table_h, table_m, img_h, img_m
-
-    from multimodalsum_tpu.models.bart import BartModel
-
-    bart = BartModel(cfg, multimodal=True, dtype=model.dtype)
-
-    def pipeline(params, batch_stats, reviews, reviews_mask, field, values, img, img_mask):
-        text_h, table_h, table_m, img_h, img_m = encode_fn(
-            params, batch_stats, reviews, reviews_mask, field, values, img, img_mask)
         text_m = reviews_mask.reshape(b, e, s).astype(bool)
         rating = jnp.zeros((b, 1), jnp.float32)
-        res = generate(
-            bart, params["bart"],
-            [text_h, table_h, img_h], [text_m, table_m, img_m], rating, gen,
-        )
+        res = generate(bart, params["bart"], [text_h, table_h, img_h],
+                       [text_m, table_m, img_m], rating, gen)
         return res.sequences, res.lengths
 
     jit_pipe = jax.jit(pipeline)
@@ -105,8 +91,7 @@ def main():
     args = (params, batch_stats, reviews, reviews_mask, field, values, img, img_mask)
     t0 = time.time()
     seqs, lengths = run(args)
-    compile_time = time.time() - t0
-    print(f"# compile+first run {compile_time:.1f}s", flush=True)
+    print(f"# batch {b}: compile+first run {time.time()-t0:.1f}s", flush=True)
 
     iters = 4
     times = []
@@ -116,11 +101,32 @@ def main():
         times.append(time.time() - t0)
     print(f"# per-iter: {[round(t, 3) for t in times]}", flush=True)
     dt = sum(times) / iters
+    print(f"# steady-state: {dt:.3f}s/batch of {b}; ~{int(lengths.sum())} tokens; "
+          f"{b/dt:.2f} summaries/s", flush=True)
+    return b / dt
 
-    total_tokens = int(lengths.sum())
-    summaries_per_sec = b / dt
-    print(f"# steady-state: {dt:.3f}s/batch of {b}; ~{total_tokens} tokens; "
-          f"{summaries_per_sec:.2f} summaries/s", flush=True)
+
+def main():
+    if "--pallas" in sys.argv:
+        from multimodalsum_tpu.ops.attention import set_entity_attention_impl
+
+        set_entity_attention_impl("pallas")
+
+    batches = [32, 8]
+    for a in sys.argv:
+        if a.startswith("--batch="):
+            batches = [int(a.split("=")[1])]
+
+    summaries_per_sec = None
+    for b in batches:
+        try:
+            summaries_per_sec = bench_batch(b)
+            break
+        except Exception:
+            print(f"# batch {b} failed, falling back:", flush=True)
+            traceback.print_exc()
+    if summaries_per_sec is None:
+        raise SystemExit("bench failed at every batch size")
 
     print(json.dumps({
         "metric": "multimodal_beam5_summaries_per_sec_per_chip",
