@@ -50,6 +50,8 @@ def table_label_batches(store, tokenizer, batch_size, *, epoch, train, seed=0,
 def main(argv=None):
     p = base_parser("MultimodalSum-TPU stage 2b: table pretraining")
     p.add_argument("--bart_init", type=str, default=None)
+    p.add_argument("--img_model", type=str, default="resnet50",
+                   help="trunk held (frozen) in the composed model")
     args = p.parse_args(argv)
     setup_environment(args)
 
@@ -57,7 +59,7 @@ def main(argv=None):
     tokenizer = load_tokenizer(args)
     import jax.numpy as jnp
 
-    model = MultimodalSum(cfg, dataset=args.dataset, img_model="resnet50",
+    model = MultimodalSum(cfg, dataset=args.dataset, img_model=args.img_model,
                           dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
     from multimodalsum_tpu.models.multimodal import amazon_dummy_table, yelp_dummy_table
 

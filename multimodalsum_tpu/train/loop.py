@@ -205,7 +205,11 @@ def train_model(
             total += float(jit_eval(state, batch)) * n
             count += n
         val_loss = total / max(count, 1)
-        print(f"epoch {epoch + 1} valid loss {val_loss:.6f}")
+        if count == 0:
+            print(f"epoch {epoch + 1}: no validation batches (val set smaller "
+                  f"than the batch size?)")
+        else:
+            print(f"epoch {epoch + 1} valid loss {val_loss:.6f}")
 
         val_losses.append(val_loss)
         should_save = (not early_stopping) or (val_loss <= min(val_losses))

@@ -208,7 +208,10 @@ def img_pretrain_loss(mm_model, params, batch_stats, batch, *,
     )
     from multimodalsum_tpu.models.bart import BartModel
 
-    bart = BartModel(mm_model.config, multimodal=True, dtype=mm_model.dtype)
+    # stage 2 decodes through the single-modality decoder (the reference uses
+    # BartForEncConditionalGeneration here, not the multimodal class); the
+    # multimodal gate params in params["bart"] are simply unused
+    bart = BartModel(mm_model.config, multimodal=False, dtype=mm_model.dtype)
     loss = enc_conditional_loss(
         bart, params["bart"], img_h, img_m, batch["labels"],
         label_smoothing=label_smoothing, rng=rng,
@@ -226,7 +229,7 @@ def table_pretrain_loss(mm_model, params, batch, *, label_smoothing=None, rng=No
     )
     from multimodalsum_tpu.models.bart import BartModel
 
-    bart = BartModel(mm_model.config, multimodal=True, dtype=mm_model.dtype)
+    bart = BartModel(mm_model.config, multimodal=False, dtype=mm_model.dtype)
     return enc_conditional_loss(
         bart, params["bart"], table_h, table_m, batch["labels"],
         label_smoothing=label_smoothing, rng=rng,
