@@ -41,9 +41,7 @@ import jax
 import jax.numpy as jnp
 
 from multimodalsum_tpu.core.config import GenerationConfig
-from multimodalsum_tpu.decode.logits import adjust_logits, postprocess_scores
-
-NEG_INF = float("-inf")
+from multimodalsum_tpu.decode.logits import NEG_INF, adjust_logits, postprocess_scores
 
 # step_fn(tokens [B*K, 1], index, cache) -> (logits [B*K, vocab], new_cache)
 StepFn = Callable[[jnp.ndarray, jnp.ndarray, object], Tuple[jnp.ndarray, object]]
@@ -106,7 +104,12 @@ def beam_search(
     lp = gen.length_penalty
 
     tokens0 = jnp.full((B, K, L), pad_token_id, jnp.int32).at[:, :, 0].set(decoder_start_token_id)
-    beam_scores0 = jnp.zeros((B, K), jnp.float32).at[:, 1:].set(-1e9)
+    beam_scores0 = jnp.zeros((B, K), jnp.float32)
+    if not gen.do_sample:
+        # greedy beam search considers only beam 0's tokens at step 1 to
+        # avoid K identical expansions (reference :1907-1910); sampling keeps
+        # all beams live so the first draw spans the full beams x vocab axis
+        beam_scores0 = beam_scores0.at[:, 1:].set(-1e9)
 
     state = BeamState(
         cur_len=jnp.int32(1),

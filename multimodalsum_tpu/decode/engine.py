@@ -54,8 +54,21 @@ def generate(
       leading decoder-start token, like the reference output).
     """
     cfg: BartConfig = model.config
-    batch = modality_hiddens[0].shape[0]
     K = gen.num_beams
+
+    if gen.do_sample and gen.num_return_sequences > 1:
+        # sampling draws num_return_sequences INDEPENDENT samples per input
+        # via an expanded effective batch (reference generation setup
+        # :1684-1689); rows of the result are [input0 x R, input1 x R, ...]
+        R = gen.num_return_sequences
+        modality_hiddens = [jnp.repeat(h, R, axis=0) for h in modality_hiddens]
+        modality_masks = [None if m is None else jnp.repeat(m, R, axis=0)
+                          for m in modality_masks]
+        if rating_diff is not None:
+            rating_diff = jnp.repeat(rating_diff, R, axis=0)
+        gen = gen.replace(num_return_sequences=1)
+
+    batch = modality_hiddens[0].shape[0]
 
     if model.dtype != jnp.float32:
         # cast float params to the compute dtype once, outside the decode

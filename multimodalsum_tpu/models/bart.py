@@ -50,6 +50,16 @@ Modality = Tuple[jnp.ndarray, Optional[jnp.ndarray]]
 
 LN_EPS = 1e-5  # torch.nn.LayerNorm default, reference modeling_multimodalsum.py:972
 
+#: activation registry (reference ACT2FN, src/transformer/activations.py)
+ACT2FN = {
+    "gelu": lambda x: nn.gelu(x, approximate=False),
+    "gelu_new": lambda x: nn.gelu(x, approximate=True),
+    "relu": nn.relu,
+    "swish": nn.silu,
+    "silu": nn.silu,
+    "tanh": jnp.tanh,
+}
+
 
 def _dense(config: BartConfig, features: int, dtype, name: str, use_bias: bool = True):
     return nn.Dense(
@@ -114,11 +124,18 @@ class SelfAttention(nn.Module):
         x: jnp.ndarray,
         key_valid: Optional[jnp.ndarray] = None,
         causal_bias: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
     ) -> jnp.ndarray:
         q = _split_heads(self.q_proj(x) * self.scaling, self.num_heads)
         k = _split_heads(self.k_proj(x), self.num_heads)
         v = _split_heads(self.v_proj(x), self.num_heads)
-        ctx = token_self_attention(q, k, v, key_valid=key_valid, causal_bias=causal_bias)
+        rate = self.config.attention_dropout
+        rng = (self.make_rng("dropout")
+               if (not deterministic and rate > 0.0) else None)
+        ctx = token_self_attention(q, k, v, key_valid=key_valid,
+                                   causal_bias=causal_bias,
+                                   dropout_rate=0.0 if deterministic else rate,
+                                   dropout_rng=rng)
         return self.out_proj(_merge_heads(ctx))
 
     def step(
@@ -174,8 +191,13 @@ class EntityCrossAttention(nn.Module):
         v = _split_heads(self.v_proj(hiddens), self.num_heads)
         return k, v
 
-    def _attend(self, q, kv, mask):
-        ctx = entity_cross_attention(q, kv[0], kv[1], mask)
+    def _attend(self, q, kv, mask, deterministic=True):
+        rate = self.config.attention_dropout
+        rng = (self.make_rng("dropout")
+               if (not deterministic and rate > 0.0) else None)
+        ctx = entity_cross_attention(q, kv[0], kv[1], mask,
+                                     dropout_rate=0.0 if deterministic else rate,
+                                     dropout_rng=rng)
         return self.out_proj(_merge_heads(ctx))
 
     def __call__(
@@ -183,6 +205,7 @@ class EntityCrossAttention(nn.Module):
         x: jnp.ndarray,
         modalities: Sequence[Modality],
         cross_kv: Optional[Sequence[Tuple[jnp.ndarray, jnp.ndarray]]] = None,
+        deterministic: bool = True,
     ) -> jnp.ndarray:
         """Attend from x [b, t, d] over the modality bundles.
 
@@ -201,7 +224,7 @@ class EntityCrossAttention(nn.Module):
         outs = []
         for i, (hiddens, mask) in enumerate(modalities):
             kv = cross_kv[i] if cross_kv is not None else self.project_kv(hiddens)
-            outs.append(self._attend(q, kv, mask).reshape(b, t, d))
+            outs.append(self._attend(q, kv, mask, deterministic).reshape(b, t, d))
 
         if not self.multimodal:
             return outs[0]
@@ -243,7 +266,7 @@ class EncoderLayer(nn.Module):
         residual = x
         if cfg.normalize_before:
             x = self.self_attn_layer_norm(x)
-        x = self.self_attn(x, key_valid=key_valid)
+        x = self.self_attn(x, key_valid=key_valid, deterministic=deterministic)
         x = self.dropout(x, deterministic=deterministic)
         x = residual + x
         if not cfg.normalize_before:
@@ -252,7 +275,7 @@ class EncoderLayer(nn.Module):
         residual = x
         if cfg.normalize_before:
             x = self.final_layer_norm(x)
-        x = nn.gelu(self.fc1(x), approximate=False)
+        x = ACT2FN[cfg.activation_function](self.fc1(x))
         x = self.activation_dropout(x, deterministic=deterministic)
         x = self.fc2(x)
         x = self.dropout(x, deterministic=deterministic)
@@ -291,7 +314,7 @@ class DecoderLayer(nn.Module):
         residual = x
         if cfg.normalize_before:
             x = self.final_layer_norm(x)
-        x = nn.gelu(self.fc1(x), approximate=False)
+        x = ACT2FN[cfg.activation_function](self.fc1(x))
         x = self.activation_dropout(x, deterministic=deterministic)
         x = self.fc2(x)
         x = self.dropout(x, deterministic=deterministic)
@@ -305,7 +328,8 @@ class DecoderLayer(nn.Module):
         residual = x
         if cfg.normalize_before:
             x = self.encoder_attn_layer_norm(x)
-        x = self.encoder_attn(x, modalities, cross_kv=cross_kv)
+        x = self.encoder_attn(x, modalities, cross_kv=cross_kv,
+                              deterministic=deterministic)
         x = self.dropout(x, deterministic=deterministic)
         x = residual + x
         if not cfg.normalize_before:
@@ -325,7 +349,8 @@ class DecoderLayer(nn.Module):
         residual = x
         if cfg.normalize_before:
             x = self.self_attn_layer_norm(x)
-        x = self.self_attn(x, key_valid=dec_key_valid, causal_bias=causal_bias)
+        x = self.self_attn(x, key_valid=dec_key_valid, causal_bias=causal_bias,
+                           deterministic=deterministic)
         x = self.dropout(x, deterministic=deterministic)
         x = residual + x
         if not cfg.normalize_before:
@@ -382,6 +407,9 @@ class BartEncoder(nn.Module):
         ]
         if cfg.normalize_embedding:
             self.layernorm_embedding = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="layernorm_embedding")
+        if cfg.normalize_before:
+            # mbart-style extra layer norm after all layers (reference :344-345)
+            self.layer_norm = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="layer_norm")
         self.dropout = nn.Dropout(cfg.dropout)
         self.embed_scale = cfg.d_model**0.5 if cfg.scale_embedding else 1.0
 
@@ -406,6 +434,8 @@ class BartEncoder(nn.Module):
         # masks an all-valid mask is a numerical no-op, so always apply.
         for layer in self.layers:
             x = layer(x, key_valid, deterministic=deterministic)
+        if cfg.normalize_before:
+            x = self.layer_norm(x)
         return x
 
 
@@ -444,6 +474,9 @@ class BartDecoder(nn.Module):
         ]
         if cfg.normalize_embedding:
             self.layernorm_embedding = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="layernorm_embedding")
+        if cfg.add_final_layer_norm:
+            # applied after the last decoder layer (reference :529, :640-644)
+            self.layer_norm = nn.LayerNorm(epsilon=LN_EPS, dtype=self.dtype, name="layer_norm")
         self.dropout = nn.Dropout(cfg.dropout)
         self.embed_scale = cfg.d_model**0.5 if cfg.scale_embedding else 1.0
 
@@ -479,6 +512,8 @@ class BartDecoder(nn.Module):
         causal_bias = make_causal_mask(t)
         for layer in self.layers:
             x = layer(x, modalities, causal_bias, dec_key_valid, deterministic=deterministic)
+        if cfg.add_final_layer_norm:
+            x = self.layer_norm(x)
         return x
 
     def precompute_cross_kv(self, modality_hiddens: Sequence[jnp.ndarray]):
@@ -512,6 +547,8 @@ class BartDecoder(nn.Module):
         for i, layer in enumerate(self.layers):
             x, k_c, v_c = layer.step(x, modality_masks, cross_kv[i], cache[i][0], cache[i][1], index)
             new_cache.append((k_c, v_c))
+        if self.config.add_final_layer_norm:
+            x = self.layer_norm(x)
         return x, tuple(new_cache)
 
 

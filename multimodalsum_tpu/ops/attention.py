@@ -24,11 +24,20 @@ import jax
 import jax.numpy as jnp
 
 from multimodalsum_tpu.core.precision import matmul_precision
-from multimodalsum_tpu.ops.masks import ENTITY_MASK_VALUE, NEG_INF
+from multimodalsum_tpu.ops.masks import ENTITY_MASK_VALUE, TOKEN_MASK_VALUE
 
 
 def _softmax_f32(logits: jnp.ndarray, dtype) -> jnp.ndarray:
     return jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(dtype)
+
+
+def _attn_dropout(probs: jnp.ndarray, rate: float, rng) -> jnp.ndarray:
+    """Inverted dropout on attention probabilities (reference
+    ``F.dropout(attn_weights, p=attention_dropout)``, ``:852``)."""
+    if rate <= 0.0 or rng is None:
+        return probs
+    keep = jax.random.bernoulli(rng, 1.0 - rate, probs.shape)
+    return jnp.where(keep, probs / (1.0 - rate), 0.0).astype(probs.dtype)
 
 
 def token_self_attention(
@@ -37,6 +46,8 @@ def token_self_attention(
     v: jnp.ndarray,
     key_valid: jnp.ndarray | None = None,
     causal_bias: jnp.ndarray | None = None,
+    dropout_rate: float = 0.0,
+    dropout_rng=None,
 ) -> jnp.ndarray:
     """Plain multi-head attention over tokens.
 
@@ -45,7 +56,7 @@ def token_self_attention(
       k: ``[b, s, n, h]`` keys.
       v: ``[b, s, n, h]`` values.
       key_valid: optional bool ``[b, s]``, True for attendable keys.
-      causal_bias: optional additive ``[t, s]`` float mask (0 / NEG_INF).
+      causal_bias: optional additive ``[t, s]`` float mask (0 / TOKEN_MASK_VALUE).
 
     Returns:
       ``[b, t, n, h]`` context.
@@ -54,8 +65,8 @@ def token_self_attention(
     if causal_bias is not None:
         logits = logits + causal_bias[None, None, :, :].astype(logits.dtype)
     if key_valid is not None:
-        logits = jnp.where(key_valid[:, None, None, :], logits, NEG_INF)
-    probs = _softmax_f32(logits, v.dtype)
+        logits = jnp.where(key_valid[:, None, None, :], logits, TOKEN_MASK_VALUE)
+    probs = _attn_dropout(_softmax_f32(logits, v.dtype), dropout_rate, dropout_rng)
     return jnp.einsum("bnts,bsnh->btnh", probs, v, precision=matmul_precision())
 
 
@@ -84,7 +95,7 @@ def cached_self_attention_step(
     length = k_cache.shape[1]
     logits = jnp.einsum("btnh,bsnh->bnts", q, k_cache, precision=matmul_precision())
     valid = (jnp.arange(length) <= index)[None, None, None, :]
-    logits = jnp.where(valid, logits, NEG_INF)
+    logits = jnp.where(valid, logits, TOKEN_MASK_VALUE)
     probs = _softmax_f32(logits, v_cache.dtype)
     return jnp.einsum("bnts,bsnh->btnh", probs, v_cache, precision=matmul_precision())
 
@@ -110,6 +121,8 @@ def entity_cross_attention(
     k: jnp.ndarray,
     v: jnp.ndarray,
     mask: jnp.ndarray | None,
+    dropout_rate: float = 0.0,
+    dropout_rng=None,
 ) -> jnp.ndarray:
     """Multi-entity cross-attention with masked parallel-mean combination.
 
@@ -145,7 +158,7 @@ def entity_cross_attention(
         logits = jnp.where(
             mask[:, :, None, None, :], logits, jnp.asarray(ENTITY_MASK_VALUE, logits.dtype)
         )
-    probs = _softmax_f32(logits, v.dtype)
+    probs = _attn_dropout(_softmax_f32(logits, v.dtype), dropout_rate, dropout_rng)
     ctx = jnp.einsum("bents,besnh->betnh", probs, v, precision=matmul_precision())
 
     if mask is None:

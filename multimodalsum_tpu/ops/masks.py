@@ -18,12 +18,14 @@ import jax.numpy as jnp
 #: entity parallel-mean. Reference ``modeling_multimodalsum.py:844``.
 ENTITY_MASK_VALUE = -2.0**16
 
-#: Fill value for token-level (self) attention padding.
+#: Fill value for token-level (self) attention padding — NOT a logits ban.
 #: Reference ``modeling_multimodalsum.py:837`` uses float("-inf"); we use a
 #: large finite negative instead so XLA never materialises NaNs for rows that
 #: are fully masked (softmax of all-equal finite values is uniform, and those
-#: rows are pad positions whose outputs are discarded).
-NEG_INF = -1.0e9
+#: rows are pad positions whose outputs are discarded). The decode logits
+#: bans (``decode/logits.py``) use true -inf — a different constant on
+#: purpose; do not interchange them.
+TOKEN_MASK_VALUE = -1.0e9
 
 
 def shift_tokens_right(
@@ -68,14 +70,14 @@ def shift_tokens_right(
 
 
 def make_causal_mask(tgt_len: int, dtype=jnp.float32) -> jnp.ndarray:
-    """Additive causal mask ``[tgt, tgt]``: 0 on/below diagonal, NEG_INF above.
+    """Additive causal mask ``[tgt, tgt]``: 0 on/below diagonal, TOKEN_MASK_VALUE above.
 
     Mirrors the ``triu(fill_with_neg_inf(...), 1)`` construction of the
     reference ``_prepare_bart_decoder_inputs`` (``modeling_multimodalsum.py:178``).
     """
     i = jnp.arange(tgt_len)[:, None]
     j = jnp.arange(tgt_len)[None, :]
-    return jnp.where(j > i, jnp.asarray(NEG_INF, dtype), jnp.asarray(0.0, dtype))
+    return jnp.where(j > i, jnp.asarray(TOKEN_MASK_VALUE, dtype), jnp.asarray(0.0, dtype))
 
 
 def padding_mask(input_ids: jnp.ndarray, pad_token_id: int) -> jnp.ndarray:
