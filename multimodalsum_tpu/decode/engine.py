@@ -39,6 +39,7 @@ def generate(
     bad_words: jnp.ndarray | None = None,
     bad_lengths: jnp.ndarray | None = None,
     rng: jnp.ndarray | None = None,
+    kv_quant: str | None = None,
 ):
     """Beam-search (num_beams > 1) or greedy/sampling generation.
 
@@ -81,6 +82,14 @@ def generate(
         )
 
     cross_kv = model.apply({"params": params}, list(modality_hiddens), method=BartModel.init_decode)
+    if kv_quant == "int8":
+        # halve the dominant per-step HBM read of the decode loop (the
+        # cross-attention K/V are read every step, written once)
+        from multimodalsum_tpu.ops.quantization import quantize_cross_kv
+
+        cross_kv = quantize_cross_kv(cross_kv)
+    elif kv_quant is not None:
+        raise ValueError(f"unknown kv_quant {kv_quant!r} (supported: 'int8')")
     masks = [None if m is None else m.astype(bool) for m in modality_masks]
 
     rows = batch * K if K > 1 else batch

@@ -192,10 +192,17 @@ class EntityCrossAttention(nn.Module):
         return k, v
 
     def _attend(self, q, kv, mask, deterministic=True):
+        from multimodalsum_tpu.ops.quantization import QuantizedKV, dequantize
+
+        k, v = kv
+        if isinstance(k, QuantizedKV):
+            k = dequantize(k, self.dtype)
+        if isinstance(v, QuantizedKV):
+            v = dequantize(v, self.dtype)
         rate = self.config.attention_dropout
         rng = (self.make_rng("dropout")
                if (not deterministic and rate > 0.0) else None)
-        ctx = entity_cross_attention(q, kv[0], kv[1], mask,
+        ctx = entity_cross_attention(q, k, v, mask,
                                      dropout_rate=0.0 if deterministic else rate,
                                      dropout_rng=rng)
         return self.out_proj(_merge_heads(ctx))
@@ -216,7 +223,8 @@ class EntityCrossAttention(nn.Module):
         because queries attend independently along t.
         """
         b, t, d = x.shape
-        kv_batch = (cross_kv[0][0] if cross_kv is not None else modalities[0][0]).shape[0]
+        first_k = cross_kv[0][0] if cross_kv is not None else modalities[0][0]
+        kv_batch = getattr(first_k, "values", first_k).shape[0]  # unwrap QuantizedKV
         fold = b // kv_batch  # beams folded into the query axis
         q = _split_heads(self.q_proj(x) * self.scaling, self.num_heads)
         q = q.reshape(kv_batch, fold * t, self.num_heads, d // self.num_heads)
