@@ -40,8 +40,16 @@ def main(argv=None):
     p.add_argument("--with_bert", action="store_true")
     p.add_argument("--output", type=str, default=None,
                    help="write generated summaries, one per line")
+    p.add_argument("--kv_quant", type=str, default=None, choices=["int8"],
+                   help="quantize decode-time cross-attention K/V")
+    p.add_argument("--pallas", action="store_true",
+                   help="use the fused Pallas entity-attention kernel")
     args = p.parse_args(argv)
     setup_environment(args)
+    if args.pallas:
+        from multimodalsum_tpu.ops.attention import set_entity_attention_impl
+
+        set_entity_attention_impl("pallas")
 
     cfg = load_model_config(args)
     tokenizer = load_tokenizer(args)
@@ -72,7 +80,8 @@ def main(argv=None):
     )
     dataset = EvalDataset(args.data_root, args.dataset, args.mode)
     metrics, preds = evaluate(model, params, batch_stats, dataset, tokenizer, gen,
-                              batch_size=args.batch_size, with_bert=args.with_bert)
+                              batch_size=args.batch_size, with_bert=args.with_bert,
+                              kv_quant=args.kv_quant)
 
     if args.output:
         os.makedirs(os.path.dirname(args.output) or ".", exist_ok=True)
