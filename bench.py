@@ -37,7 +37,7 @@ import numpy as np
 A100_REFERENCE_SUMMARIES_PER_SEC = 2.0
 
 
-def bench_batch(b: int) -> float:
+def bench_batch(b: int, cache_mode: str = "reorder") -> float:
     from multimodalsum_tpu.core.config import BartConfig, GenerationConfig
     from multimodalsum_tpu.decode.engine import generate
     from multimodalsum_tpu.models.bart import BartModel
@@ -76,7 +76,8 @@ def bench_batch(b: int) -> float:
         text_m = reviews_mask.reshape(b, e, s).astype(bool)
         rating = jnp.zeros((b, 1), jnp.float32)
         res = generate(bart, params["bart"], [text_h, table_h, img_h],
-                       [text_m, table_m, img_m], rating, gen)
+                       [text_m, table_m, img_m], rating, gen,
+                       cache_mode=cache_mode)
         return res.sequences, res.lengths
 
     jit_pipe = jax.jit(pipeline)
@@ -112,6 +113,13 @@ def main():
 
         set_entity_attention_impl("pallas")
 
+    cache_mode = "reorder"
+    if "--ancestry" in sys.argv:
+        from multimodalsum_tpu.ops.ancestry_attention import set_ancestry_impl
+
+        cache_mode = "ancestry"
+        set_ancestry_impl("pallas" if "--pallas" in sys.argv else "xla")
+
     batches = [32, 8]
     for a in sys.argv:
         if a.startswith("--batch="):
@@ -120,7 +128,7 @@ def main():
     summaries_per_sec = None
     for b in batches:
         try:
-            summaries_per_sec = bench_batch(b)
+            summaries_per_sec = bench_batch(b, cache_mode=cache_mode)
             break
         except Exception:
             print(f"# batch {b} failed, falling back:", flush=True)

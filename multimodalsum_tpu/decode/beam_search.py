@@ -95,6 +95,7 @@ def beam_search(
     bad_lengths: jnp.ndarray | None = None,
     force_bos_eos: bool = True,
     rng: jnp.ndarray | None = None,
+    reorder_cache_fn=None,
 ) -> BeamResult:
     """``force_bos_eos``: BART's forced BOS at step 1 / EOS at max_length-1
     (reference ``adjust_logits_during_generation``); disable for generic
@@ -211,7 +212,12 @@ def beam_search(
             new_tokens, sel_tok[:, :, None].astype(jnp.int32), (0, 0, cur_len)
         )
         flat_idx = (jnp.arange(B)[:, None] * K + sel_beam).reshape(-1)
-        cache = jax.tree.map(lambda x: jnp.take(x, flat_idx, axis=0), cache)
+        if reorder_cache_fn is not None:
+            # e.g. ancestry mode: update a [rows, L] index matrix instead of
+            # physically permuting the KV cache (see ops/ancestry_attention.py)
+            cache = reorder_cache_fn(cache, flat_idx, cur_len)
+        else:
+            cache = jax.tree.map(lambda x: jnp.take(x, flat_idx, axis=0), cache)
 
         return BeamState(
             cur_len=cur_len + 1,

@@ -40,6 +40,7 @@ def generate(
     bad_lengths: jnp.ndarray | None = None,
     rng: jnp.ndarray | None = None,
     kv_quant: str | None = None,
+    cache_mode: str = "reorder",
 ):
     """Beam-search (num_beams > 1) or greedy/sampling generation.
 
@@ -98,12 +99,35 @@ def generate(
     if rating_diff is not None:
         rating_rows = jnp.repeat(rating_diff, rows // batch, axis=0)
 
-    def step_fn(tokens, index, cache):
-        logits, new_cache = model.apply(
-            {"params": params}, tokens, index, cache, cross_kv, masks, rating_rows,
-            method=BartModel.decode_step,
-        )
-        return logits[:, 0, :], new_cache
+    reorder_cache_fn = None
+    if cache_mode == "ancestry" and K > 1:
+        # reorder-free beam cache: keep the KV cache unreordered and carry a
+        # [rows, L] ancestry matrix updated per selection
+        # (ops/ancestry_attention.py)
+        from multimodalsum_tpu.ops.ancestry_attention import init_ancestry, update_ancestry
+
+        cache = dict(kv=cache, anc=init_ancestry(rows, gen.max_length))
+
+        def step_fn(tokens, index, cache):
+            logits, new_kv = model.apply(
+                {"params": params}, tokens, index, cache["kv"], cross_kv, masks,
+                rating_rows, cache["anc"], method=BartModel.decode_step,
+            )
+            return logits[:, 0, :], dict(kv=new_kv, anc=cache["anc"])
+
+        def reorder_cache_fn(cache, flat_idx, cur_len):
+            return dict(kv=cache["kv"],
+                        anc=update_ancestry(cache["anc"], flat_idx, cur_len))
+
+    elif cache_mode in ("reorder", "ancestry"):  # ancestry is moot at K == 1
+        def step_fn(tokens, index, cache):
+            logits, new_cache = model.apply(
+                {"params": params}, tokens, index, cache, cross_kv, masks, rating_rows,
+                method=BartModel.decode_step,
+            )
+            return logits[:, 0, :], new_cache
+    else:
+        raise ValueError(f"unknown cache_mode {cache_mode!r}")
 
     common = dict(
         vocab_size=cfg.vocab_size,
@@ -116,5 +140,6 @@ def generate(
         bad_lengths=bad_lengths,
     )
     if K > 1:
-        return beam_search(step_fn, cache, batch, rng=rng, **common)
+        return beam_search(step_fn, cache, batch, rng=rng,
+                           reorder_cache_fn=reorder_cache_fn, **common)
     return greedy_search(step_fn, cache, batch, rng=rng, **common)

@@ -144,8 +144,10 @@ class SelfAttention(nn.Module):
         k_cache: jnp.ndarray,
         v_cache: jnp.ndarray,
         index: jnp.ndarray,
+        anc: Optional[jnp.ndarray] = None,
     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         """One decode step. x: [b, 1, d]; caches [b, L, n, h]; index scalar.
+        ``anc`` enables reorder-free ancestry attention (beam decode).
 
         Returns (out [b, 1, d], new_k_cache, new_v_cache).
         """
@@ -154,7 +156,12 @@ class SelfAttention(nn.Module):
         v_new = _split_heads(self.v_proj(x), self.num_heads)
         k_cache = jax.lax.dynamic_update_slice(k_cache, k_new.astype(k_cache.dtype), (0, index, 0, 0))
         v_cache = jax.lax.dynamic_update_slice(v_cache, v_new.astype(v_cache.dtype), (0, index, 0, 0))
-        ctx = cached_self_attention_step(q, k_cache, v_cache, index)
+        if anc is not None:
+            from multimodalsum_tpu.ops.ancestry_attention import ancestry_attention
+
+            ctx = ancestry_attention(q, k_cache, v_cache, anc, index)
+        else:
+            ctx = cached_self_attention_step(q, k_cache, v_cache, index)
         return self.out_proj(_merge_heads(ctx)), k_cache, v_cache
 
 
@@ -375,12 +382,13 @@ class DecoderLayer(nn.Module):
         k_cache: jnp.ndarray,
         v_cache: jnp.ndarray,
         index: jnp.ndarray,
+        anc: Optional[jnp.ndarray] = None,
     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         """One-token decode step (deterministic)."""
         residual = x
         if self.config.normalize_before:
             x = self.self_attn_layer_norm(x)
-        x, k_cache, v_cache = self.self_attn.step(x, k_cache, v_cache, index)
+        x, k_cache, v_cache = self.self_attn.step(x, k_cache, v_cache, index, anc=anc)
         x = residual + x
         if not self.config.normalize_before:
             x = self.self_attn_layer_norm(x)
@@ -544,8 +552,10 @@ class BartDecoder(nn.Module):
         cross_kv,
         modality_masks: Sequence[Optional[jnp.ndarray]],
         rating_diff: Optional[jnp.ndarray] = None,
+        anc: Optional[jnp.ndarray] = None,
     ):
-        """One-token decode: token_ids [b, 1], index scalar.
+        """One-token decode: token_ids [b, 1], index scalar. ``anc`` [b, L]
+        enables reorder-free ancestry self-attention.
 
         Returns (hidden [b, 1, d], new_cache).
         """
@@ -553,7 +563,8 @@ class BartDecoder(nn.Module):
         x = self._embed(token_ids, positions, rating_diff, deterministic=True)
         new_cache = []
         for i, layer in enumerate(self.layers):
-            x, k_c, v_c = layer.step(x, modality_masks, cross_kv[i], cache[i][0], cache[i][1], index)
+            x, k_c, v_c = layer.step(x, modality_masks, cross_kv[i],
+                                     cache[i][0], cache[i][1], index, anc=anc)
             new_cache.append((k_c, v_c))
         if self.config.add_final_layer_norm:
             x = self.layer_norm(x)
@@ -632,9 +643,11 @@ class BartModel(nn.Module):
     def init_decode(self, modality_hiddens: Sequence[jnp.ndarray]):
         return self.decoder.precompute_cross_kv(modality_hiddens)
 
-    def decode_step(self, token_ids, index, cache, cross_kv, modality_masks, rating_diff=None):
+    def decode_step(self, token_ids, index, cache, cross_kv, modality_masks,
+                    rating_diff=None, anc=None):
         hidden, new_cache = self.decoder.step(
-            token_ids, index, cache, cross_kv, modality_masks, rating_diff=rating_diff
+            token_ids, index, cache, cross_kv, modality_masks,
+            rating_diff=rating_diff, anc=anc,
         )
         return self.lm_logits(hidden), new_cache
 
