@@ -89,6 +89,16 @@ class JsonReader(Reader):
                 yield _rows_to_chunk(rows)
 
 
+def shuffle_files(paths: Sequence[str], seed: int = 0) -> List[str]:
+    """Shuffle input file order (reference mldp ``FileShuffler``) — feed the
+    result to ``Pipeline.iter`` for epoch-level file-order randomisation."""
+    import numpy as _np
+
+    paths = list(paths)
+    _np.random.default_rng(seed).shuffle(paths)
+    return paths
+
+
 def _rows_to_chunk(rows: List[dict]) -> DataChunk:
     keys = rows[0].keys()
     chunk = DataChunk()
