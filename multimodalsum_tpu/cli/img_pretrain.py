@@ -30,14 +30,14 @@ from multimodalsum_tpu.train.stages import img_pretrain_loss
 
 
 def img_label_batches(store, tokenizer, batch_size, *, epoch, train, seed=0,
-                      block=130):
+                      block=130, drop_last=True):
     """(img, img_mask, labels) batches: one sampled review per group as the
     reconstruction target (reference ``ImgDataset``, ``src/img_pretrain.py:22-83``)."""
     if epoch > 0:
         store.set_epoch()
     rng = np.random.default_rng(seed + epoch)
     order = rng.permutation(len(store)) if train else np.arange(len(store))
-    limit = (len(order) // batch_size) * batch_size
+    limit = (len(order) // batch_size) * batch_size if drop_last else len(order)
     for s in range(0, limit, batch_size):
         rows = [store.example(int(i), tokenizer, max_length=block, train=train, rng=rng)
                 for i in order[s:s + batch_size]]
@@ -111,7 +111,7 @@ def main(argv=None):
                               seed=args.seed), sharding=b_shard),
         lambda: prefetch_to_device(
             img_label_batches(val_store, tokenizer, args.batch_size, epoch=0,
-                              train=False), sharding=b_shard),
+                              train=False, drop_last=False), sharding=b_shard),
         num_epochs=args.num_epochs,
         rng=jax.random.PRNGKey(args.seed),
         mesh=mesh,

@@ -99,7 +99,8 @@ def main(argv=None):
         lambda e: prefetch_to_device(batches(epoch=e, train=True), sharding=b_shard),
         lambda: prefetch_to_device(
             multimodal_batches(val_store, tokenizer, args.batch_size, epoch=0,
-                               train=False, shuffle=False), sharding=b_shard),
+                               train=False, shuffle=False, drop_last=False),
+            sharding=b_shard),
         num_epochs=args.num_epochs,
         rng=jax.random.PRNGKey(args.seed),
         mesh=mesh,

@@ -12,8 +12,10 @@ Replaces ``multimodal_preprocessing/`` with the same on-disk outputs:
   per product; downloads are skipped offline);
 * **table** (``table_modality_preprocessing.py:101-345``): yelp
   business.json → the 47-field schema with ≥10%-non-null feature selection,
-  hierarchical attribute flattening, KMeans(+silhouette over {3,4,5,7,10})
-  clustering of opening-hour intervals, 4-bit binary star rating; amazon
+  hierarchical attribute flattening, KMeans(+silhouette, k restricted to
+  {3,4} so labels fit the schema's 4-slot one-hot — the reference sweeps
+  {3,4,5,7,10} and crashes downstream for k>4) clustering of opening-hour
+  intervals, 4-bit binary star rating; amazon
   meta → 11-bit price / 4-bit mean rating, HTML-cleaned description,
   '||'-joined category trees → ``meta.csv``.
 """
@@ -84,9 +86,12 @@ def ascii_clean(text: str) -> str:
 
 def to_binary(x: float, max_len: int, rounding: bool = True) -> str:
     """Binary-encode a numeric field (reference ``_to_binary``): integer part
-    in binary plus one half-star bit, zero-padded to ``max_len``."""
+    in binary plus one half-unit bit, zero-padded to ``max_len``. Values too
+    large for the fixed width are clamped (the reference would emit an
+    over-long string and crash batching — e.g. an Amazon price >= $1024)."""
     if rounding:
         x = round(x * 2.0) / 2.0
+    x = min(max(x, 0.0), float(2 ** (max_len - 1)) - 0.5)
     frac, integer = math.modf(x)
     bits = bin(int(integer))[2:] + bin(math.ceil(frac))[2:]
     return "0" * (max_len - len(bits)) + bits
@@ -316,8 +321,12 @@ def yelp_meta(data_root: str, log=print) -> pd.DataFrame:
     from sklearn.cluster import KMeans
     from sklearn.metrics import silhouette_score
 
+    # the 47-field schema one-hot-encodes hour clusters into 4 slots
+    # (data/tables.py, encoder Linear(4, d)); the reference sweeps
+    # {3,4,5,7,10} and would crash downstream for k>4 (np.eye(4)[label]),
+    # so the sweep is restricted to label spaces that fit the schema
     best_k, best_score = 3, -1.0
-    for k in (3, 4, 5, 7, 10):
+    for k in (3, 4):
         if k >= len(X):
             continue
         km = KMeans(n_clusters=k, random_state=0, n_init=10).fit(X)

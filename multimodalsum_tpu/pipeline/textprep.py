@@ -75,12 +75,16 @@ def iter_amazon_groups(path: str) -> Iterator[Tuple[str, List[dict]]]:
 
 
 def write_group_csv(path: str, units: List[dict]) -> None:
+    """Quote-aware writer (csv.QUOTE_MINIMAL) so texts containing quotes
+    round-trip exactly through read_group_csv / the runtime readers — the
+    reference writes naively and corrupts quoted reviews."""
     os.makedirs(os.path.dirname(path), exist_ok=True)
-    with open(path, "w", encoding="utf-8") as f:
+    with open(path, "w", encoding="utf-8", newline="") as f:
         header = list(units[0].keys())
-        f.write("\t".join(header) + "\n")
+        writer = csv.writer(f, delimiter="\t")
+        writer.writerow(header)
         for u in units:
-            f.write("\t".join(str(u[k]) for k in header) + "\n")
+            writer.writerow([str(u[k]) for k in header])
 
 
 def read_group_csv(path: str) -> List[dict]:
@@ -232,11 +236,16 @@ def partition(
     order = rng.permutation(len(group_units))
     n_train = int(len(order) * train_part)
     n_val = int(len(order) * val_part)
-    splits = {
-        "train": order[:n_train],
-        "val": order[n_train:n_train + n_val],
-        "test": order[n_train + n_val:] if test_part > 0 else [],
-    }
+    if test_part > 0:
+        splits = {
+            "train": order[:n_train],
+            "val": order[n_train:n_train + n_val],
+            "test": order[n_train + n_val:],
+        }
+    else:
+        # remainder groups fold into val so nothing is silently dropped
+        # (reference partition(): val_groups += groups[val_part_end:])
+        splits = {"train": order[:n_train], "val": order[n_train:], "test": []}
     for title, idxs in splits.items():
         for i in idxs:
             units = group_units[int(i)]

@@ -101,7 +101,7 @@ def make_train_step_with_stats(loss_fn: Callable, tx: optax.GradientTransformati
     BatchNorm updates running stats in training mode (torch semantics)."""
 
     def train_step(state: TrainStateWithStats, batch, rng):
-        step_rng = jax.random.fold_in(rng, state.step)
+        step_rng = None if rng is None else jax.random.fold_in(rng, state.step)
 
         def wrapped(params):
             return loss_fn(params, state.batch_stats, batch, step_rng)
