@@ -53,6 +53,14 @@ def test_roundtrip(trained):
         assert mine.decode(ids) == s
 
 
+def test_decode_matches_hf_tokenizers(trained):
+    hf, mine = trained
+    for s in ["great food and friendly service!", "10/10 would recommend.",
+              "Das Essen war ausgezeichnet! éèü"]:
+        ids = hf.encode(s).ids
+        assert mine.decode(ids, skip_special_tokens=False) == hf.decode(ids)
+
+
 def test_prefix_space_and_reference_shapes(trained):
     """The data layer's 130-token encode then [1:-1] strip (reference
     src/data_utils.py:48-52)."""
