@@ -22,7 +22,8 @@ from multimodalsum_tpu.cli.common import (
 from multimodalsum_tpu.data.noising import BartNoiser
 from multimodalsum_tpu.data.prefetch import prefetch_to_device
 from multimodalsum_tpu.models.bart import BartModel
-from multimodalsum_tpu.parallel.mesh import batch_sharding, make_mesh
+from multimodalsum_tpu.cli.common import mesh_for_batch
+from multimodalsum_tpu.parallel.mesh import batch_sharding
 from multimodalsum_tpu.train.loop import LoopHooks, TrainState, make_eval_step, make_train_step, train_model
 from multimodalsum_tpu.train.optim import make_optimizer
 from multimodalsum_tpu.train.stages import denoising_loss
@@ -100,7 +101,7 @@ def main(argv=None):
 
     ckpt_dir = os.path.join(args.ckpt_root, f"bart-review_{args.dataset}")
     save_args(args, ckpt_dir)
-    mesh = make_mesh()
+    mesh = mesh_for_batch(args.batch_size)
     b_shard = batch_sharding(mesh)
     hooks = LoopHooks(save=lambda st, epoch, vl: save_checkpoint(
         ckpt_dir, st, save_option="whole", epoch=epoch, val_loss=vl))

@@ -69,6 +69,18 @@ def load_tokenizer(args):
     return ByteLevelBPETokenizer.from_dir(args.tokenizer_dir)
 
 
+def mesh_for_batch(batch_size: int):
+    """Data-parallel mesh over as many devices as the batch divides into —
+    a batch smaller than the device count shards over a device subset."""
+    import math
+
+    from multimodalsum_tpu.parallel.mesh import make_mesh
+
+    devices = jax.devices()
+    data = math.gcd(len(devices), batch_size) or 1
+    return make_mesh(data=data, model=1, devices=devices[:data])
+
+
 def save_args(args, ckpt_dir: str) -> None:
     """Snapshot CLI args beside the checkpoint (reference
     ``training_args.bin``, ``src/train_utils.py:13-16``)."""

@@ -21,7 +21,8 @@ from multimodalsum_tpu.cli.common import (
 from multimodalsum_tpu.data.multimodal_data import MultimodalStore
 from multimodalsum_tpu.data.prefetch import prefetch_to_device
 from multimodalsum_tpu.models.multimodal import MultimodalSum
-from multimodalsum_tpu.parallel.mesh import batch_sharding, make_mesh
+from multimodalsum_tpu.cli.common import mesh_for_batch
+from multimodalsum_tpu.parallel.mesh import batch_sharding
 from multimodalsum_tpu.train.loop import (
     LoopHooks, TrainStateWithStats, make_train_step_with_stats, train_model,
 )
@@ -92,7 +93,7 @@ def main(argv=None):
 
     ckpt_dir = os.path.join(args.ckpt_root, f"img_pretrained_{args.dataset}")
     save_args(args, ckpt_dir)
-    mesh = make_mesh()
+    mesh = mesh_for_batch(args.batch_size)
     b_shard = batch_sharding(mesh)
     hooks = LoopHooks(save=lambda st, epoch, vl: save_checkpoint(
         ckpt_dir, st, save_option="img", epoch=epoch, val_loss=vl))

@@ -20,7 +20,8 @@ from multimodalsum_tpu.cli.common import (
 from multimodalsum_tpu.data.prefetch import prefetch_to_device
 from multimodalsum_tpu.data.text import ReviewGroupStore, TextBatches
 from multimodalsum_tpu.models.bart import BartModel
-from multimodalsum_tpu.parallel.mesh import batch_sharding, make_mesh
+from multimodalsum_tpu.cli.common import mesh_for_batch
+from multimodalsum_tpu.parallel.mesh import batch_sharding
 from multimodalsum_tpu.train.loop import LoopHooks, TrainState, make_eval_step, make_train_step, train_model
 from multimodalsum_tpu.train.optim import NO_DECAY_TEXT, make_optimizer
 from multimodalsum_tpu.train.stages import text_pretrain_loss
@@ -85,7 +86,7 @@ def main(argv=None):
 
     ckpt_dir = os.path.join(args.ckpt_root, f"text_pretrained_{args.dataset}")
     save_args(args, ckpt_dir)
-    mesh = make_mesh()
+    mesh = mesh_for_batch(args.batch_size)
     b_shard = batch_sharding(mesh)
 
     hooks = LoopHooks(save=lambda st, epoch, vl: save_checkpoint(

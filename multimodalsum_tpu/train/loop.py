@@ -177,6 +177,10 @@ def train_model(
         in_shardings=(r_shard, b_shard), out_shardings=(r_shard, r_shard),
     )
     jit_eval = jax.jit(eval_step, in_shardings=(r_shard, b_shard), out_shardings=r_shard)
+    # tail val batches (drop_last=False) may not divide the data axis; they
+    # run unsharded instead of being dropped or padded
+    jit_eval_unsharded = jax.jit(eval_step)
+    data_size = mesh.shape[next(iter(mesh.axis_names))]
 
     start = time.time()
     val_losses = []
@@ -202,7 +206,11 @@ def train_model(
         total, count = 0.0, 0
         for batch in val_batches():
             n = jax.tree.leaves(batch)[0].shape[0]
-            total += float(jit_eval(state, batch)) * n
+            if n % data_size == 0:
+                total += float(jit_eval(state, batch)) * n
+            else:
+                host_batch = jax.device_get(batch)
+                total += float(jit_eval_unsharded(state, host_batch)) * n
             count += n
         val_loss = total / max(count, 1)
         if count == 0:

@@ -90,6 +90,38 @@ def test_beam_search_parity(setup, kw):
     _compare(ref_out, res.sequences[:, 0], res.lengths[:, 0], setup["cfg"].pad_token_id)
 
 
+@pytest.mark.parametrize("seed", [101, 202, 303])
+def test_beam_parity_model_sweep(torch_mod, seed):
+    """Beam parity across independently-seeded models (diversity beats depth
+    for catching tie-handling / bookkeeping divergences)."""
+    import torch
+
+    from multimodalsum_tpu.ckpt.convert import bart_params_from_torch
+    from multimodalsum_tpu.core.config import GenerationConfig
+    from multimodalsum_tpu.decode.engine import generate
+    from multimodalsum_tpu.models.bart import BartModel
+
+    cfg = tiny_jax_config()
+    ref = make_enc_model(seed=seed)
+    rng = np.random.default_rng(seed)
+    bsz, ents, src = 2, 3, 7
+    eh = torch.from_numpy(rng.normal(size=(bsz, ents, src, cfg.d_model)).astype(np.float32))
+    mask = torch.ones(bsz, ents, src, dtype=torch.long)
+    mask[0, 1, 3:] = 0
+    rating = torch.zeros(bsz, 1)
+    kw = dict(num_beams=4, max_length=15, min_length=3, length_penalty=2.0,
+              early_stopping=True, no_repeat_ngram_size=3)
+
+    with torch.no_grad():
+        ref_out = ref.generate(eh, mask, rating_diff=rating, **kw)
+
+    model = BartModel(cfg)
+    params = bart_params_from_torch(ref.state_dict(), cfg)
+    res = generate(model, params, [eh.numpy()], [mask.numpy().astype(bool)],
+                   rating.numpy(), GenerationConfig(do_sample=False, **kw))
+    _compare(ref_out, res.sequences[:, 0], res.lengths[:, 0], cfg.pad_token_id)
+
+
 def test_greedy_parity(setup):
     import torch
 

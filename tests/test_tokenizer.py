@@ -53,6 +53,22 @@ def test_roundtrip(trained):
         assert mine.decode(ids) == s
 
 
+def test_native_engine_active_and_equivalent(trained):
+    """The C++ merge engine must build in this environment and match the
+    pure-Python BPE id-for-id."""
+    _, mine = trained
+    assert mine._native is not None, "native BPE failed to build/load"
+    samples = ["great food!", "I'd come back again!!", "unseen w0rds @#$ éèü"]
+    native_ids = [mine.tokenize_to_ids(s) for s in samples]
+    saved, mine._native = mine._native, None
+    try:
+        mine._cache.clear()
+        python_ids = [mine.tokenize_to_ids(s) for s in samples]
+    finally:
+        mine._native = saved
+    assert native_ids == python_ids
+
+
 def test_decode_matches_hf_tokenizers(trained):
     hf, mine = trained
     for s in ["great food and friendly service!", "10/10 would recommend.",
