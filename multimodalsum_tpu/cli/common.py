@@ -78,6 +78,10 @@ def mesh_for_batch(batch_size: int):
 
     devices = jax.devices()
     data = math.gcd(len(devices), batch_size) or 1
+    if data < len(devices):
+        print(f"warning: batch_size {batch_size} shards over only {data} of "
+              f"{len(devices)} devices; pick a batch divisible by the device "
+              f"count to use the whole mesh")
     return make_mesh(data=data, model=1, devices=devices[:data])
 
 

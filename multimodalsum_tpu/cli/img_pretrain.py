@@ -55,6 +55,11 @@ def main(argv=None):
     p = base_parser("MultimodalSum-TPU stage 2a: image pretraining")
     p.add_argument("--img_model", type=str, default="resnet101")
     p.add_argument("--bart_init", type=str, default=None, required=False)
+    p.add_argument("--torch_resnet", type=str, default=None,
+                   help="torchvision ResNet state dict (e.g. an ImageNet-"
+                        "pretrained resnet101 dump) — strongly recommended: "
+                        "stages 1-2 are frozen, so without pretrained weights "
+                        "they stay random (reference uses pretrained=True)")
     args = p.parse_args(argv)
     setup_environment(args)
 
@@ -73,6 +78,17 @@ def main(argv=None):
     params, batch_stats = variables["params"], variables["batch_stats"]
     if args.bart_init:
         params["bart"] = load_export(args.bart_init, params["bart"])
+    if args.torch_resnet:
+        import torch
+
+        from multimodalsum_tpu.ckpt.checkpoint import _merge
+        from multimodalsum_tpu.ckpt.convert import resnet_params_from_torch
+
+        sd = torch.load(args.torch_resnet, map_location="cpu")
+        prefix = "resnet." if any(k.startswith("resnet.") for k in sd) else ""
+        rp, rs = resnet_params_from_torch(sd, prefix=prefix)
+        params["img_encoder"] = _merge(params["img_encoder"], rp)
+        batch_stats["img_encoder"] = _merge(batch_stats["img_encoder"], rs)
 
     store = MultimodalStore(args.data_root, args.dataset, "train")
     val_store = MultimodalStore(args.data_root, args.dataset, "val")

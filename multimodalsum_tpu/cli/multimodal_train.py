@@ -56,7 +56,11 @@ def main(argv=None):
     if args.bart_init:
         params["bart"] = load_export(args.bart_init, params["bart"])
     if args.img_init:
+        from multimodalsum_tpu.ckpt.checkpoint import load_export_stats
+
         params["img_encoder"] = load_export(args.img_init, params["img_encoder"])
+        batch_stats["img_encoder"] = load_export_stats(
+            args.img_init, batch_stats["img_encoder"])
     if args.table_init:
         params["table_encoder"] = load_export(args.table_init, params["table_encoder"])
 

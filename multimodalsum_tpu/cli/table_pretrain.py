@@ -40,7 +40,8 @@ def table_label_batches(store, tokenizer, batch_size, *, epoch, train, seed=0,
     order = rng.permutation(len(store)) if train else np.arange(len(store))
     limit = (len(order) // batch_size) * batch_size if drop_last else len(order)
     for s in range(0, limit, batch_size):
-        rows = [store.example(int(i), tokenizer, max_length=block, train=False)
+        rows = [store.example(int(i), tokenizer, max_length=block, train=False,
+                              skip_images=True)  # the table stage reads no photos
                 for i in order[s:s + batch_size]]
         yield dict(
             field_values=stack_features([r["field_values"] for r in rows]),

@@ -17,7 +17,6 @@ import os
 
 import jax
 
-from multimodalsum_tpu.ckpt.checkpoint import restore_checkpoint
 from multimodalsum_tpu.cli.common import (
     base_parser, load_model_config, load_tokenizer, setup_environment,
 )
@@ -65,13 +64,14 @@ def main(argv=None):
                            method=MultimodalSum.init_all)
     params, batch_stats = variables["params"], variables["batch_stats"]
     if args.multimodal_trained:
-        from multimodalsum_tpu.train.loop import TrainStateWithStats
-        from multimodalsum_tpu.train.optim import make_optimizer
+        # raw restore + merge: evaluation must not depend on how the
+        # checkpoint's optimizer was configured (opt_state structure varies
+        # with e.g. --max_grad_norm)
+        from multimodalsum_tpu.ckpt.checkpoint import _merge, load_state_raw
 
-        tx = make_optimizer(params, learning_rate=1e-5, total_steps=1)
-        template = TrainStateWithStats.create(params, batch_stats, tx)
-        restored = restore_checkpoint(args.multimodal_trained, template)
-        params, batch_stats = restored.params, restored.batch_stats
+        raw = load_state_raw(args.multimodal_trained)
+        params = _merge(jax.device_get(params), raw.get("params"))
+        batch_stats = _merge(jax.device_get(batch_stats), raw.get("batch_stats"))
 
     gen = GenerationConfig(
         num_beams=args.num_beams, length_penalty=args.length_penalty,

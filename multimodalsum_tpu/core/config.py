@@ -41,6 +41,7 @@ class BartConfig:
     dropout: float = 0.1
     attention_dropout: float = 0.0
     activation_dropout: float = 0.0
+    classif_dropout: float = 0.0
     init_std: float = 0.02
     normalize_embedding: bool = True
     normalize_before: bool = False

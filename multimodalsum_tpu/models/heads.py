@@ -43,7 +43,7 @@ class BartForSequenceClassification(nn.Module):
     def setup(self):
         self.model = BartModel(self.config, dtype=self.dtype, name="model")
         self.classification_head = ClassificationHead(
-            self.config.d_model, self.num_classes, self.config.dropout,
+            self.config.d_model, self.num_classes, self.config.classif_dropout,
             name="classification_head",
         )
 
@@ -56,7 +56,10 @@ class BartForSequenceClassification(nn.Module):
                   else jnp.ones((b, s), bool))[:, None])]
         dec = self.model.decoder(decoder_input_ids, mods,
                                  deterministic=deterministic)
-        # pool the LAST EOS position of the decoder inputs (reference :3176-3184)
+        # pool the LAST EOS position of the decoder inputs (reference
+        # :3176-3184). The reference raises on rows without EOS; data-dependent
+        # errors are impossible under jit, so a missing EOS falls back to the
+        # first position — callers must ensure EOS-terminated inputs.
         is_eos = decoder_input_ids == self.config.eos_token_id
         pos = jnp.arange(decoder_input_ids.shape[1])
         last_eos = jnp.max(jnp.where(is_eos, pos[None, :], -1), axis=1)

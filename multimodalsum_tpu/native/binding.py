@@ -92,15 +92,19 @@ class NativeBPE:
             raise RuntimeError("bpe_create failed")
         lib.bpe_set_unk(self._handle, unk_id)
         self._buf = (ctypes.c_int32 * 4096)()
+        self._call_lock = threading.Lock()  # the C engine's memo cache and
+        # the result buffer are per-instance mutable state; ctypes releases
+        # the GIL during the call
 
     def encode_pretokens(self, pretokens: List[str]) -> List[int]:
         """pretokens: byte-mapped strings (no raw newlines by construction)."""
         joined = "\n".join(pretokens).encode("utf-8")
-        n = self._lib.bpe_encode(self._handle, joined, self._buf, len(self._buf))
-        if n > len(self._buf):  # grow and retry
-            self._buf = (ctypes.c_int32 * (2 * n))()
+        with self._call_lock:
             n = self._lib.bpe_encode(self._handle, joined, self._buf, len(self._buf))
-        return list(np.ctypeslib.as_array(self._buf)[:n])
+            if n > len(self._buf):  # grow and retry
+                self._buf = (ctypes.c_int32 * (2 * n))()
+                n = self._lib.bpe_encode(self._handle, joined, self._buf, len(self._buf))
+            return list(np.ctypeslib.as_array(self._buf)[:n])
 
     def __del__(self):
         handle = getattr(self, "_handle", None)

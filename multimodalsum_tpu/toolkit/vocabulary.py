@@ -52,7 +52,7 @@ class Vocabulary:
             counts.update(tokens)
         items = [(t, c) for t, c in counts.most_common() if c >= min_count]
         if max_size is not None:
-            items = items[: max_size - len(self._by_id)]
+            items = items[: max(max_size - len(self._by_id), 0)]
         for t, c in items:
             self._add(t, c)
         return self
