@@ -143,3 +143,24 @@ def generate(
         return beam_search(step_fn, cache, batch, rng=rng,
                            reorder_cache_fn=reorder_cache_fn, **common)
     return greedy_search(step_fn, cache, batch, rng=rng, **common)
+
+
+def generate_from_input_ids(
+    model: BartModel,
+    params,
+    input_ids: jnp.ndarray,
+    attention_mask: Optional[jnp.ndarray],
+    gen: GenerationConfig,
+    **kwargs,
+):
+    """Stock seq2seq generation (the reference
+    ``BartForConditionalGeneration.generate`` path, stage-0 model): encode
+    ``input_ids`` then beam/greedy decode — the encoder output becomes a
+    single-entity modality bundle."""
+    hiddens = model.apply({"params": params}, input_ids, attention_mask,
+                          method=BartModel.encode)
+    b, s = input_ids.shape
+    mask = (attention_mask.astype(bool) if attention_mask is not None
+            else jnp.ones((b, s), bool))
+    return generate(model, params, [hiddens[:, None]], [mask[:, None]],
+                    None, gen, **kwargs)
