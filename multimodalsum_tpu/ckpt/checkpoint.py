@@ -1,0 +1,175 @@
+"""Orbax checkpointing with the reference's per-stage export contract.
+
+The reference saves ``pytorch_model.bin`` (+ ``training_state.bin``) per
+stage, exporting only the submodule the next stage consumes
+(``save_option ∈ {whole, text, img, table}``, ``src/train_utils.py:79-97``),
+and the next stage loads it with ``load_state_dict``
+(``src/multimodal_train.py:116-122``). The HF Trainer additionally rotates
+checkpoints and supports full resume (``trainer.py:421-493``), which the
+reference's custom loops lack — this framework supports resume for every
+stage.
+
+Layout under ``<dir>``:
+  ``state/``          full TrainState pytree (params, opt_state, step[, batch_stats])
+  ``export/``         the stage's exported submodule params (what the next stage loads)
+  ``meta.json``       stage name, epoch, val loss, config snapshot
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Optional  # noqa: F401 (Optional used in helpers)
+
+import jax
+import orbax.checkpoint as ocp
+
+EXPORT_SUBTREES = {
+    "whole": None,        # full params
+    "text": ("bart",),    # the BART model for stages 2/3 (reference saves model.bart_model)
+    "img": ("img_encoder",),
+    "table": ("table_encoder",),
+}
+
+
+def _subtree(params, option: str):
+    path = EXPORT_SUBTREES[option]
+    if path is None:
+        return params
+    node = params
+    for k in path:
+        node = node[k]  # KeyError = caller picked the wrong save_option
+    return node
+
+
+def save_checkpoint(
+    directory: str,
+    state: Any,
+    *,
+    save_option: str = "whole",
+    epoch: int = 0,
+    val_loss: float | None = None,
+    extra_meta: Optional[dict] = None,
+) -> None:
+    directory = os.path.abspath(directory)
+    os.makedirs(directory, exist_ok=True)
+    ckptr = ocp.StandardCheckpointer()
+    state = jax.device_get(state)
+    ckptr.save(os.path.join(directory, "state"), state, force=True)
+    ckptr.save(
+        os.path.join(directory, "export"), _subtree(state.params, save_option), force=True
+    )
+    # BatchNorm running statistics travel with the export (torch state_dicts
+    # include BN buffers; load_state_dict transfers them — reference
+    # multimodal_train.py:121-122)
+    stats = getattr(state, "batch_stats", None)
+    if stats is not None:
+        try:
+            stats_sub = _subtree(stats, save_option)
+        except (KeyError, TypeError):
+            stats_sub = None
+        if stats_sub:
+            ckptr.save(os.path.join(directory, "export_stats"), stats_sub, force=True)
+    ckptr.wait_until_finished()
+    meta = dict(save_option=save_option, epoch=epoch, val_loss=val_loss,
+                step=int(state.step), **(extra_meta or {}))
+    with open(os.path.join(directory, "meta.json"), "w") as f:
+        json.dump(meta, f, indent=2)
+
+
+def restore_checkpoint(directory: str, template: Any) -> Any:
+    """Full-state resume: ``template`` is a TrainState with the right structure
+    (e.g. freshly created); returns the restored state."""
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(os.path.join(os.path.abspath(directory), "state"),
+                         jax.device_get(template))
+
+
+def _merge(template, restored, path=""):
+    """Recursively overlay ``restored`` onto ``template``; keys present only
+    in the template keep their (fresh-init) values — the orbax analog of the
+    reference's ``authorized_missing_keys`` (e.g. the multimodal alpha/beta
+    gate projections are missing from a text-stage BART export,
+    ``modeling_multimodalsum.py:2183``)."""
+    if isinstance(template, dict):
+        out = {}
+        for k, v in template.items():
+            if isinstance(restored, dict) and k in restored:
+                out[k] = _merge(v, restored[k], f"{path}/{k}")
+            else:
+                out[k] = v
+        return out
+    if restored is None:
+        return template
+    assert getattr(restored, "shape", None) == getattr(template, "shape", None), (
+        f"shape mismatch at {path}: {getattr(restored, 'shape', None)} vs "
+        f"{getattr(template, 'shape', None)}"
+    )
+    return restored
+
+
+def load_export(directory: str, template: Any) -> Any:
+    """Load a previous stage's exported submodule params onto ``template``.
+
+    Keys absent from the export keep the template's fresh initialisation
+    (partial restore); shapes of restored leaves must match."""
+    ckptr = ocp.StandardCheckpointer()
+    restored = ckptr.restore(os.path.join(os.path.abspath(directory), "export"))
+    return _merge(jax.device_get(template), restored)
+
+
+def load_export_stats(directory: str, template: Any) -> Any:
+    """Load the export's BatchNorm running stats onto ``template`` (identity
+    when the export carries none)."""
+    path = os.path.join(os.path.abspath(directory), "export_stats")
+    if not os.path.isdir(path):
+        return template
+    ckptr = ocp.StandardCheckpointer()
+    return _merge(jax.device_get(template), ckptr.restore(path))
+
+
+def load_state_raw(directory: str):
+    """Restore the full saved state as raw nested dicts (no template) —
+    robust to optimizer-structure differences when only params/batch_stats
+    are needed (e.g. evaluation of a checkpoint trained with different
+    optimizer options)."""
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(os.path.join(os.path.abspath(directory), "state"))
+
+
+def read_meta(directory: str) -> dict:
+    with open(os.path.join(directory, "meta.json")) as f:
+        return json.load(f)
+
+
+def save_rotating_checkpoint(
+    root: str, state: Any, *, keep: int = 3, save_option: str = "whole",
+    epoch: int = 0, val_loss: float | None = None,
+) -> str:
+    """Step-numbered checkpoints with rotation (the HF Trainer's
+    ``checkpoint-<step>`` dirs + ``_rotate_checkpoints``, reference
+    ``trainer.py:573-596,843-857``). Returns the new checkpoint dir."""
+    step = int(state.step)
+    directory = os.path.join(root, f"checkpoint-{step}")
+    save_checkpoint(directory, state, save_option=save_option, epoch=epoch,
+                    val_loss=val_loss)
+    existing = sorted(
+        (d for d in os.listdir(root) if d.startswith("checkpoint-")),
+        key=lambda d: int(d.split("-")[1]),
+    )
+    for stale in existing[:-keep] if keep > 0 else []:
+        import shutil
+
+        shutil.rmtree(os.path.join(root, stale), ignore_errors=True)
+    return directory
+
+
+def latest_checkpoint(root: str) -> Optional[str]:
+    """Most recent ``checkpoint-<step>`` dir for resume, or None."""
+    if not os.path.isdir(root):
+        return None
+    dirs = [d for d in os.listdir(root) if d.startswith("checkpoint-")]
+    if not dirs:
+        return None
+    best = max(dirs, key=lambda d: int(d.split("-")[1]))
+    return os.path.join(root, best)

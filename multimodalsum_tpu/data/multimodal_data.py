@@ -1,0 +1,222 @@
+"""Multimodal datasets: text + images + table per group.
+
+Equivalents of reference ``MultimodalDataset`` (``src/multimodal_train.py:23-110``),
+``ImgDataset`` (``src/img_pretrain.py:22-83``), ``TableDataset``
+(``src/table_pretrain.py:21-82``) and ``MultimodalTestDataset``
+(``src/test.py:50-134``), over the same on-disk contract:
+
+* ``data/<ds>/5.text/<mode>/*.csv`` — grouped raw reviews;
+* ``data/<ds>/meta.csv`` — tab-separated metadata table (``na_filter=False``);
+* ``data/<ds>/photo_dict.pickle`` / ``photo_business_dict.pickle`` — photo id
+  maps (yelp); amazon uses ``<group_id>.jpg`` files directly;
+* ``data/<ds>/raw_others/photos/*.jpg``.
+
+Max images: 10 (yelp) / 1 (amazon) (``src/test.py:121-124``).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from typing import Dict, Iterator, List, Optional
+
+import numpy as np
+import pandas as pd
+
+from multimodalsum_tpu.data.images import photo_paths, stack_images
+from multimodalsum_tpu.data.tables import (
+    amazon_field_tokens,
+    amazon_table_features,
+    stack_features,
+    yelp_field_tokens,
+    yelp_table_features,
+)
+from multimodalsum_tpu.data.text import ReviewGroupStore, read_review_csvs, tokenize_reviews
+
+MAX_IMGS = {"yelp": 10, "amazon": 1}
+
+
+def load_meta(data_root: str, dataset: str) -> pd.DataFrame:
+    return pd.read_csv(os.path.join(data_root, dataset, "meta.csv"),
+                       sep="\t", na_filter=False, dtype=str)
+
+
+def load_photo_map(data_root: str, dataset: str, mode: str) -> Dict[str, List[str]]:
+    """group_id -> photo id list for the split (reference
+    ``append_photo``, ``src/data_utils.py:35-45``)."""
+    base = os.path.join(data_root, dataset)
+    pbd_path = os.path.join(base, "photo_business_dict.pickle")
+    members = None
+    if os.path.exists(pbd_path):
+        # the dict carries train/val only; eval ("test"/"dev") uses all photos
+        # (reference src/test.py:91-96 bypasses photo_business_dict)
+        members = pd.read_pickle(pbd_path).get(mode)
+        members = set(members) if members is not None else None
+    if dataset == "yelp":
+        pd_path = os.path.join(base, "photo_dict.pickle")
+        photo_dict = pd.read_pickle(pd_path) if os.path.exists(pd_path) else {}
+        out = {}
+        for gid, photos in photo_dict.items():
+            if members is None or gid in members:
+                out[gid] = list(photos)
+        return out
+    # amazon: one photo named <group_id>.jpg when present
+    have = {os.path.basename(p)[:-4]
+            for p in glob.glob(os.path.join(base, "raw_others", "photos", "*.jpg"))}
+    ids = have if members is None else (have & members)
+    return {gid: [gid] for gid in ids}
+
+
+class MultimodalStore:
+    """Per-group store joining reviews, photos and the metadata table."""
+
+    def __init__(self, data_root: str, dataset: str, mode: str,
+                 reviews_per_group: int = 9):
+        self.data_root, self.dataset, self.mode = data_root, dataset, mode
+        frame = read_review_csvs(
+            os.path.join(data_root, dataset, "5.text", mode, "*.csv"))
+        self.text = ReviewGroupStore(frame, mode=mode, reviews_per_group=reviews_per_group)
+        self.meta = load_meta(data_root, dataset)
+        self.meta_by_id = {r["group_id"]: r for _, r in self.meta.iterrows()}
+        self.photos = load_photo_map(data_root, dataset, mode)
+        # train/val keeps only groups present in meta (reference
+        # multimodal_train.py:54-56 intersects group ids)
+        keep = self.text.df.group_id.isin(self.meta_by_id)
+        self.text.df = self.text.df[keep].reset_index(drop=True)
+
+    def set_epoch(self):
+        self.text.set_epoch()
+        keep = self.text.df.group_id.isin(self.meta_by_id)
+        self.text.df = self.text.df[keep].reset_index(drop=True)
+
+    def __len__(self):
+        return len(self.text)
+
+    def meta_columns(self) -> List[str]:
+        return list(self.meta.columns)[1:]
+
+    def field_tokens(self, tokenizer) -> np.ndarray:
+        cols = self.meta_columns()
+        return (yelp_field_tokens(tokenizer, cols) if self.dataset == "yelp"
+                else amazon_field_tokens(tokenizer, cols))
+
+    def example(self, idx: int, tokenizer, *, max_length: int = 130,
+                train: bool = False, rng: Optional[np.random.Generator] = None,
+                skip_images: bool = False):
+        """``skip_images`` avoids photo IO/decode entirely (zero images +
+        empty mask) for consumers that never read the image modality, e.g.
+        the table-pretrain stage."""
+        gid, texts, rates = self.text.group(idx)
+        ids, mask = tokenize_reviews(tokenizer, texts, max_length)
+
+        meta_row = self.meta_by_id.get(gid)
+        if self.dataset == "yelp":
+            cols = self.meta_columns()
+            vals = ({c: meta_row[c] for c in cols} if meta_row is not None else None)
+            table = yelp_table_features(tokenizer, vals)
+        else:
+            table = amazon_table_features(tokenizer, meta_row)
+
+        if skip_images:
+            n = MAX_IMGS[self.dataset]
+            img = np.zeros((n, 224, 224, 3), np.float32)
+            img_mask = np.zeros((n,), bool)
+        else:
+            paths = photo_paths(self.data_root, self.dataset, self.photos.get(gid, []))
+            paths = [p for p in paths if os.path.exists(p)]
+            img, img_mask = stack_images(paths, MAX_IMGS[self.dataset],
+                                         train=train, rng=rng)
+        return dict(group_id=gid, reviews=ids, reviews_mask=mask,
+                    reviews_rating=np.asarray(rates, np.float32),
+                    field_values=table, img=img, img_mask=img_mask)
+
+
+def multimodal_batches(store: MultimodalStore, tokenizer, batch_size: int, *,
+                       epoch: int = 0, max_length: int = 130, train: bool = True,
+                       shuffle: bool = True, drop_last: bool = True, seed: int = 0,
+                       shard_index: int = 0, shard_count: int = 1) -> Iterator[dict]:
+    """Fixed-shape multimodal batches for the stage-3 loop."""
+    if epoch > 0:
+        store.set_epoch()
+    rng = np.random.default_rng(seed + epoch)
+    n = len(store)
+    order = rng.permutation(n) if shuffle else np.arange(n)
+    order = order[shard_index::shard_count]
+    limit = (len(order) // batch_size) * batch_size if drop_last else len(order)
+    for start in range(0, limit, batch_size):
+        rows = [store.example(int(i), tokenizer, max_length=max_length,
+                              train=train, rng=rng)
+                for i in order[start:start + batch_size]]
+        yield dict(
+            reviews=np.stack([r["reviews"] for r in rows]),
+            reviews_mask=np.stack([r["reviews_mask"] for r in rows]),
+            reviews_rating=np.stack([r["reviews_rating"] for r in rows]),
+            field_values=stack_features([r["field_values"] for r in rows]),
+            img=np.stack([r["img"] for r in rows]),
+            img_mask=np.stack([r["img_mask"] for r in rows]),
+        )
+
+
+class EvalDataset:
+    """Gold evaluation data (reference ``MultimodalTestDataset``,
+    ``src/test.py:50-134``): Yelp dev rows 0-99 / test rows 100-199 of
+    ``summaries_0-200_cleaned.csv``; Amazon ``dev.csv``/``test.csv`` with 3
+    summaries per product. Review max length: 160 (yelp) / 120 (amazon)."""
+
+    MAX_LEN = {"yelp": 160, "amazon": 120}
+
+    def __init__(self, data_root: str, dataset: str, mode: str = "test"):
+        self.dataset = dataset
+        self.data_root = data_root
+        if dataset == "yelp":
+            csv = pd.read_csv(
+                os.path.join(data_root, "yelp", "test", "summaries_0-200_cleaned.csv"))
+            csv = csv.iloc[:100] if mode == "dev" else csv.iloc[100:]
+            gid = csv["Input.business_id"]
+            reviews = csv[[f"Input.original_review_{i}" for i in range(8)]]
+            summaries = csv[["Answer.summary"]]
+        else:
+            csv = pd.read_csv(
+                os.path.join(data_root, "amazon", "test", f"{mode}.csv"), sep="\t")
+            gid = csv["prod_id"]
+            reviews = csv[[f"rev{i}" for i in range(1, 9)]]
+            summaries = csv[[f"summ{i}" for i in range(1, 4)]]
+
+        clean_review = lambda x: " ".join(x.encode("ascii", "ignore").decode().split())
+        clean_summary = lambda x: " ".join(x.split())
+        self.group_ids = list(gid)
+        self.reviews = [[clean_review(x) for x in row] for row in reviews.itertuples(index=False)]
+        self.summaries = [[clean_summary(x) for x in row] for row in summaries.itertuples(index=False)]
+
+        self.meta = load_meta(data_root, dataset)
+        self.meta_by_id = {r["group_id"]: r for _, r in self.meta.iterrows()}
+        self.photos = load_photo_map(data_root, dataset, mode="test")
+
+    def __len__(self):
+        return len(self.group_ids)
+
+    def meta_columns(self):
+        return list(self.meta.columns)[1:]
+
+    def field_tokens(self, tokenizer) -> np.ndarray:
+        cols = self.meta_columns()
+        return (yelp_field_tokens(tokenizer, cols) if self.dataset == "yelp"
+                else amazon_field_tokens(tokenizer, cols))
+
+    def example(self, idx: int, tokenizer):
+        gid = self.group_ids[idx]
+        ids, mask = tokenize_reviews(tokenizer, self.reviews[idx],
+                                     self.MAX_LEN[self.dataset])
+        meta_row = self.meta_by_id.get(gid)
+        if self.dataset == "yelp":
+            cols = self.meta_columns()
+            vals = ({c: meta_row[c] for c in cols} if meta_row is not None else None)
+            table = yelp_table_features(tokenizer, vals)
+        else:
+            table = amazon_table_features(tokenizer, meta_row)
+        paths = [p for p in photo_paths(self.data_root, self.dataset,
+                                        self.photos.get(gid, []))
+                 if os.path.exists(p)]
+        img, img_mask = stack_images(paths, MAX_IMGS[self.dataset], train=False)
+        return dict(group_id=gid, reviews=ids, reviews_mask=mask,
+                    field_values=table, img=img, img_mask=img_mask)
