@@ -118,7 +118,9 @@ def main():
         from multimodalsum_tpu.ops.ancestry_attention import set_ancestry_impl
 
         cache_mode = "ancestry"
-        set_ancestry_impl("pallas" if "--pallas" in sys.argv else "xla")
+        # the XLA ancestry fallback exists for testing; on hardware the
+        # kernel is the point of the mode
+        set_ancestry_impl("pallas")
 
     batches = [32, 8]
     for a in sys.argv:

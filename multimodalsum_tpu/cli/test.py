@@ -41,6 +41,9 @@ def main(argv=None):
                    help="write generated summaries, one per line")
     p.add_argument("--kv_quant", type=str, default=None, choices=["int8"],
                    help="quantize decode-time cross-attention K/V")
+    p.add_argument("--cache_mode", type=str, default="reorder",
+                   choices=["reorder", "ancestry"],
+                   help="beam KV-cache handling (ancestry = reorder-free)")
     p.add_argument("--pallas", action="store_true",
                    help="use the fused Pallas entity-attention kernel")
     args = p.parse_args(argv)
@@ -81,7 +84,7 @@ def main(argv=None):
     dataset = EvalDataset(args.data_root, args.dataset, args.mode)
     metrics, preds = evaluate(model, params, batch_stats, dataset, tokenizer, gen,
                               batch_size=args.batch_size, with_bert=args.with_bert,
-                              kv_quant=args.kv_quant)
+                              kv_quant=args.kv_quant, cache_mode=args.cache_mode)
 
     if args.output:
         os.makedirs(os.path.dirname(args.output) or ".", exist_ok=True)

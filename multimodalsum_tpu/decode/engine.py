@@ -58,6 +58,17 @@ def generate(
     cfg: BartConfig = model.config
     K = gen.num_beams
 
+    if not gen.do_sample and gen.num_return_sequences > 1:
+        if K == 1:
+            raise ValueError(
+                "greedy decoding always produces the same output; set "
+                "do_sample=True or num_beams > 1 for multiple sequences "
+                "(reference generate() asserts the same)")
+        if gen.num_return_sequences > K:
+            raise ValueError(
+                f"num_return_sequences ({gen.num_return_sequences}) cannot "
+                f"exceed num_beams ({K}) for greedy beam search")
+
     if gen.do_sample and gen.num_return_sequences > 1:
         # sampling draws num_return_sequences INDEPENDENT samples per input
         # via an expanded effective batch (reference generation setup

@@ -37,6 +37,7 @@ def generate_summaries(
     batch_size: int = 8,
     log=print,
     kv_quant: str | None = None,
+    cache_mode: str = "reorder",
 ) -> List[str]:
     field = dataset.field_tokens(tokenizer)
     bart = BartModel(model.config, multimodal=True, dtype=model.dtype)
@@ -53,7 +54,7 @@ def generate_summaries(
         res = generate(bart, params["bart"],
                        [text_h, table_h, img_h],
                        [reviews_mask.astype(bool), table_m, img_m],
-                       rating, gen, kv_quant=kv_quant)
+                       rating, gen, kv_quant=kv_quant, cache_mode=cache_mode)
         return res.sequences[:, 0], res.lengths[:, 0]
 
     outputs: List[str] = []
@@ -92,9 +93,11 @@ def evaluate(
     batch_size: int = 8,
     with_bert: bool = False,
     kv_quant: str | None = None,
+    cache_mode: str = "reorder",
 ) -> tuple[Dict[str, float], List[str]]:
     """Generate + score (reference ``src/test.py:218-236``); returns
     (metrics, generated summaries)."""
     preds = generate_summaries(model, params, batch_stats, dataset, tokenizer,
-                               gen, batch_size, kv_quant=kv_quant)
+                               gen, batch_size, kv_quant=kv_quant,
+                               cache_mode=cache_mode)
     return aggregate_multi_reference(preds, dataset.summaries, with_bert=with_bert), preds

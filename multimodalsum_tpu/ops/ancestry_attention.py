@@ -95,38 +95,42 @@ def ancestry_attention_xla(
 
 
 def _kernel(q_ref, k_ref, v_ref, anc_ref, idx_ref, out_ref):
-    """Per-head ancestry attention. Blocks:
-    q [1, rows, h], k/v [1, rows, L, h] (the head's full slabs),
-    anc [rows, L], idx scalar in SMEM; out [1, rows, h]."""
+    """Ancestry attention for one (head, row-block). Blocks:
+    q [1, 1, rb, h], k/v [1, rows, L, h] (the head's full slabs — any row can
+    be an ancestor, so the gather needs them all), anc [1, rb, L], idx scalar
+    in SMEM; out [1, 1, rb, h]. The gather runs in the cache dtype on the MXU
+    (accumulating f32) so full-precision slab copies never materialise, and
+    row-block tiling keeps the one-hot within VMEM at serving shapes."""
     _, rows, L, h = k_ref.shape
-    anc = anc_ref[:, :]                                   # [rows, L] int32
+    rb = q_ref.shape[2]
+    anc = anc_ref[0, :, :]                                # [rb, L] int32
     onehot = (anc[:, :, None]
-              == jax.lax.broadcasted_iota(jnp.int32, (rows, L, rows), 2))
-    onehot = onehot.astype(jnp.float32)
+              == jax.lax.broadcasted_iota(jnp.int32, (rb, L, rows), 2))
+    k = k_ref[0, :, :, :]                                 # [rows(x), L, h]
+    v = v_ref[0, :, :, :]
+    onehot = onehot.astype(k.dtype)
 
-    k = k_ref[0, :, :, :].astype(jnp.float32)             # [rows(x), L, h]
-    v = v_ref[0, :, :, :].astype(jnp.float32)
     # gather on the MXU: k_eff[p, r, h] = onehot[p, r, x] @ k[x, p, h]
-    onehot_p = jnp.transpose(onehot, (1, 0, 2))           # [L, rows, rows]
+    onehot_p = jnp.transpose(onehot, (1, 0, 2))           # [L, rb, rows]
     k_p = jnp.transpose(k, (1, 0, 2))                     # [L, rows, h]
     v_p = jnp.transpose(v, (1, 0, 2))
     k_eff = jax.lax.dot_general(
         onehot_p, k_p, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)               # [L, rows, h]
+        preferred_element_type=jnp.float32)               # [L, rb, h]
     v_eff = jax.lax.dot_general(
         onehot_p, v_p, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)
 
-    q = q_ref[0, :, :].astype(jnp.float32)                # [rows, h]
-    logits = jnp.einsum("lrh,rh->rl", k_eff, q)           # [rows, L]
-    pos = jax.lax.broadcasted_iota(jnp.int32, (rows, L), 1)
+    q = q_ref[0, 0, :, :].astype(jnp.float32)             # [rb, h]
+    logits = jnp.einsum("lrh,rh->rl", k_eff, q)           # [rb, L]
+    pos = jax.lax.broadcasted_iota(jnp.int32, (rb, L), 1)
     logits = jnp.where(pos <= idx_ref[0], logits, TOKEN_MASK_VALUE)
-    probs = jax.nn.softmax(logits, axis=-1)               # [rows, L]
+    probs = jax.nn.softmax(logits, axis=-1)               # [rb, L]
     ctx = jnp.einsum("rl,lrh->rh", probs, v_eff)
-    out_ref[0, :, :] = ctx.astype(out_ref.dtype)
+    out_ref[0, 0, :, :] = ctx.astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "row_block"))
 def ancestry_attention_pallas(
     q: jnp.ndarray,          # [rows, 1, n, h]
     k_cache: jnp.ndarray,    # [rows, L, n, h]
@@ -134,29 +138,40 @@ def ancestry_attention_pallas(
     anc: jnp.ndarray,        # [rows, L]
     index,
     interpret: bool = False,
+    row_block: int = 32,
 ) -> jnp.ndarray:
     rows, L, n, h = k_cache.shape
-    qh = jnp.transpose(q[:, 0], (1, 0, 2))                # [n, rows, h]
+    # largest divisor of rows not exceeding row_block (VMEM budget for the
+    # [rb, L, rows] one-hot and the [L, rb, h] gathered slabs)
+    rb = min(row_block, rows)
+    while rows % rb:
+        rb -= 1
+    n_blocks = rows // rb
+
+    qh = jnp.transpose(q[:, 0], (1, 0, 2)).reshape(n, n_blocks, rb, h)
     kh = jnp.transpose(k_cache, (2, 0, 1, 3))             # [n, rows, L, h]
     vh = jnp.transpose(v_cache, (2, 0, 1, 3))
+    anc_b = anc.reshape(n_blocks, rb, L)
     idx = jnp.asarray(index, jnp.int32).reshape(1)
 
     out = pl.pallas_call(
         _kernel,
-        grid=(n,),
+        grid=(n, n_blocks),
         in_specs=[
-            pl.BlockSpec((1, rows, h), lambda ni: (ni, 0, 0),
+            pl.BlockSpec((1, 1, rb, h), lambda ni, bi: (ni, bi, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, rows, L, h), lambda ni: (ni, 0, 0, 0),
+            pl.BlockSpec((1, rows, L, h), lambda ni, bi: (ni, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, rows, L, h), lambda ni: (ni, 0, 0, 0),
+            pl.BlockSpec((1, rows, L, h), lambda ni, bi: (ni, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((rows, L), lambda ni: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rb, L), lambda ni, bi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
-        out_specs=pl.BlockSpec((1, rows, h), lambda ni: (ni, 0, 0),
+        out_specs=pl.BlockSpec((1, 1, rb, h), lambda ni, bi: (ni, bi, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((n, rows, h), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((n, n_blocks, rb, h), q.dtype),
         interpret=interpret,
-    )(qh, kh, vh, anc, idx)
+    )(qh, kh, vh, anc_b, idx)
+    out = out.reshape(n, rows, h)
     return jnp.transpose(out, (1, 0, 2))[:, None]         # [rows, 1, n, h]

@@ -42,6 +42,7 @@ def main():
     import tempfile
 
     work = sys.argv[1] if len(sys.argv) > 1 else tempfile.mkdtemp(prefix="mms_e2e_")
+    work = os.path.abspath(work)  # paths below are used after chdir
     os.makedirs(work, exist_ok=True)
     os.chdir(work)
     rng = np.random.default_rng(0)

@@ -8,10 +8,11 @@ Usage:  python scripts/profile_decode.py [--batch 8] [--trace /tmp/trace]
 """
 
 import argparse
+import os
 import sys
 import time
 
-sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp

@@ -60,6 +60,27 @@ def test_ancestry_pallas_matches_xla_interpret():
     np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
 
 
+def test_ancestry_pallas_row_block_tiling():
+    """Multi-row-block grid must equal the single-block result."""
+    from multimodalsum_tpu.ops.ancestry_attention import (
+        ancestry_attention_pallas,
+        ancestry_attention_xla,
+    )
+
+    rng = np.random.default_rng(3)
+    rows, L, n, h = 8, 10, 2, 16
+    index = 7
+    q = rng.normal(size=(rows, 1, n, h)).astype(np.float32)
+    k_cache = rng.normal(size=(rows, L, n, h)).astype(np.float32)
+    v_cache = rng.normal(size=(rows, L, n, h)).astype(np.float32)
+    anc = _random_valid_ancestry(rng, 2, 4, L, index + 1)
+
+    want = np.asarray(ancestry_attention_xla(q, k_cache, v_cache, anc, index))
+    got = np.asarray(ancestry_attention_pallas(q, k_cache, v_cache, anc, index,
+                                               interpret=True, row_block=4))
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+
 def test_update_ancestry_semantics():
     import jax.numpy as jnp
 
