@@ -46,6 +46,9 @@ def main(argv=None):
                    help="beam KV-cache handling (ancestry = reorder-free)")
     p.add_argument("--pallas", action="store_true",
                    help="use the fused Pallas entity-attention kernel")
+    p.add_argument("--dp", type=int, default=0,
+                   help="data-parallel eval over N devices (0 = single "
+                        "device, -1 = all); batch_size must divide by N")
     args = p.parse_args(argv)
     setup_environment(args)
     if args.pallas:
@@ -81,10 +84,18 @@ def main(argv=None):
         max_length=args.max_length, min_length=args.min_length,
         no_repeat_ngram_size=3, early_stopping=True,  # fixed (src/test.py:158)
     )
+    mesh = None
+    if args.dp:
+        from multimodalsum_tpu.parallel.mesh import make_mesh
+
+        n = len(jax.devices()) if args.dp == -1 else args.dp
+        mesh = make_mesh(data=n, model=1, devices=jax.devices()[:n])
+
     dataset = EvalDataset(args.data_root, args.dataset, args.mode)
     metrics, preds = evaluate(model, params, batch_stats, dataset, tokenizer, gen,
                               batch_size=args.batch_size, with_bert=args.with_bert,
-                              kv_quant=args.kv_quant, cache_mode=args.cache_mode)
+                              kv_quant=args.kv_quant, cache_mode=args.cache_mode,
+                              mesh=mesh)
 
     if args.output:
         os.makedirs(os.path.dirname(args.output) or ".", exist_ok=True)

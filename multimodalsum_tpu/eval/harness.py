@@ -38,11 +38,11 @@ def generate_summaries(
     log=print,
     kv_quant: str | None = None,
     cache_mode: str = "reorder",
+    mesh=None,
 ) -> List[str]:
     field = dataset.field_tokens(tokenizer)
     bart = BartModel(model.config, multimodal=True, dtype=model.dtype)
 
-    @jax.jit
     def pipeline(params, batch_stats, reviews, reviews_mask, field_values, img, img_mask):
         vs = {"params": params, "batch_stats": batch_stats}
         b = reviews.shape[0]
@@ -56,6 +56,23 @@ def generate_summaries(
                        [reviews_mask.astype(bool), table_m, img_m],
                        rating, gen, kv_quant=kv_quant, cache_mode=cache_mode)
         return res.sequences[:, 0], res.lengths[:, 0]
+
+    if mesh is not None:
+        # SPMD data-parallel eval: batch args sharded on the data axis,
+        # params replicated (tests/test_parallel_generate.py shows the
+        # sharded run is token-identical). The reference serves one process
+        # per GPU instead; one mesh-wide jit amortises compile + weights.
+        from multimodalsum_tpu.parallel.mesh import batch_sharding, dp_shardings
+
+        n_data = mesh.shape["data"]
+        if batch_size % n_data:
+            raise ValueError(
+                f"batch_size ({batch_size}) must be divisible by the mesh "
+                f"data axis ({n_data}) for data-parallel eval")
+        pipeline = jax.jit(pipeline, in_shardings=dp_shardings(mesh, 7, 2),
+                           out_shardings=batch_sharding(mesh))
+    else:
+        pipeline = jax.jit(pipeline)
 
     outputs: List[str] = []
     n = len(dataset)
@@ -94,10 +111,11 @@ def evaluate(
     with_bert: bool = False,
     kv_quant: str | None = None,
     cache_mode: str = "reorder",
+    mesh=None,
 ) -> tuple[Dict[str, float], List[str]]:
     """Generate + score (reference ``src/test.py:218-236``); returns
     (metrics, generated summaries)."""
     preds = generate_summaries(model, params, batch_stats, dataset, tokenizer,
                                gen, batch_size, kv_quant=kv_quant,
-                               cache_mode=cache_mode)
+                               cache_mode=cache_mode, mesh=mesh)
     return aggregate_multi_reference(preds, dataset.summaries, with_bert=with_bert), preds

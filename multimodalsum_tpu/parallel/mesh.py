@@ -53,3 +53,18 @@ def shard_batch(batch, mesh: Mesh):
 
 def replicate(tree, mesh: Mesh):
     return jax.device_put(tree, replicated(mesh))
+
+
+def dp_shardings(mesh: Mesh, n_args: int, n_replicated: int):
+    """``in_shardings`` tuple for a data-parallel jit: the first
+    ``n_replicated`` args (params/stats) replicated, the remaining batch
+    args sharded on their leading axis.
+
+    Generation/eval is embarrassingly data-parallel (no cross-batch
+    collectives — the reference reaches the same effect with one process
+    per GPU, ``src/train_utils.py:28``); each sharding applies as a pytree
+    prefix, so a whole feature tree can sit behind one entry.
+    """
+    repl, bs = replicated(mesh), batch_sharding(mesh)
+    assert 0 <= n_replicated <= n_args
+    return tuple([repl] * n_replicated + [bs] * (n_args - n_replicated))

@@ -93,3 +93,43 @@ def test_amazon_store_and_eval_dataset(amazon_root):
     ex = ds.example(0, tok)
     assert ex["reviews"].shape == (8, 118)  # 120-token cap minus bos/eos
     assert len(ds.summaries[0]) == 3
+
+
+def test_harness_data_parallel_eval(amazon_root):
+    """generate_summaries with a data mesh is text-identical to single-device
+    (and rejects a batch that doesn't divide over the mesh)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import pytest as _pytest
+
+    from multimodalsum_tpu.core.config import TINY_CONFIG, GenerationConfig
+    from multimodalsum_tpu.data.multimodal_data import EvalDataset
+    from multimodalsum_tpu.data.tokenizer import train_bpe
+    from multimodalsum_tpu.eval.harness import generate_summaries
+    from multimodalsum_tpu.models.multimodal import MultimodalSum, amazon_dummy_table
+    from multimodalsum_tpu.parallel.mesh import make_mesh
+
+    tok = train_bpe(["sturdy battery cheap love size great summary review text here"] * 50,
+                    300, os.path.join(amazon_root, "_tok_dp"))
+    cfg = dataclasses.replace(TINY_CONFIG, vocab_size=320)
+    model = MultimodalSum(cfg, dataset="amazon", img_model="tiny")
+    fd, vd = amazon_dummy_table(1)
+    variables = model.init(jax.random.PRNGKey(0), fd, vd,
+                           method=MultimodalSum.init_all)
+    params, batch_stats = variables["params"], variables["batch_stats"]
+    gen = GenerationConfig(num_beams=2, max_length=8, min_length=2,
+                           length_penalty=1.0, early_stopping=True)
+    ds = EvalDataset(amazon_root, "amazon", "test")
+
+    ref = generate_summaries(model, params, batch_stats, ds, tok, gen,
+                             batch_size=8, log=lambda *a: None)
+    mesh = make_mesh(data=len(jax.devices()), model=1)
+    dp = generate_summaries(model, params, batch_stats, ds, tok, gen,
+                            batch_size=8, log=lambda *a: None, mesh=mesh)
+    assert dp == ref and len(dp) == len(ds)
+
+    with _pytest.raises(ValueError, match="divisible"):
+        generate_summaries(model, params, batch_stats, ds, tok, gen,
+                           batch_size=3, log=lambda *a: None, mesh=mesh)
