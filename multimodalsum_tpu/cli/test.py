@@ -48,7 +48,11 @@ def main(argv=None):
                    help="use the fused Pallas entity-attention kernel")
     p.add_argument("--dp", type=int, default=0,
                    help="data-parallel eval over N devices (0 = single "
-                        "device, -1 = all); batch_size must divide by N")
+                        "device, -1 = all remaining); batch_size must "
+                        "divide by N")
+    p.add_argument("--tp", type=int, default=1,
+                   help="tensor-parallel width (model mesh axis); uses "
+                        "dp*tp devices")
     args = p.parse_args(argv)
     setup_environment(args)
     if args.pallas:
@@ -85,11 +89,13 @@ def main(argv=None):
         no_repeat_ngram_size=3, early_stopping=True,  # fixed (src/test.py:158)
     )
     mesh = None
-    if args.dp:
+    if args.dp or args.tp > 1:
         from multimodalsum_tpu.parallel.mesh import make_mesh
 
-        n = len(jax.devices()) if args.dp == -1 else args.dp
-        mesh = make_mesh(data=n, model=1, devices=jax.devices()[:n])
+        avail = len(jax.devices())
+        dp = avail // args.tp if args.dp in (0, -1) else args.dp
+        mesh = make_mesh(data=dp, model=args.tp,
+                         devices=jax.devices()[:dp * args.tp])
 
     dataset = EvalDataset(args.data_root, args.dataset, args.mode)
     metrics, preds = evaluate(model, params, batch_stats, dataset, tokenizer, gen,

@@ -62,14 +62,23 @@ def generate_summaries(
         # params replicated (tests/test_parallel_generate.py shows the
         # sharded run is token-identical). The reference serves one process
         # per GPU instead; one mesh-wide jit amortises compile + weights.
-        from multimodalsum_tpu.parallel.mesh import batch_sharding, dp_shardings
+        from multimodalsum_tpu.parallel.mesh import (
+            MODEL_AXIS, batch_sharding, dp_shardings,
+        )
 
         n_data = mesh.shape["data"]
         if batch_size % n_data:
             raise ValueError(
                 f"batch_size ({batch_size}) must be divisible by the mesh "
                 f"data axis ({n_data}) for data-parallel eval")
-        pipeline = jax.jit(pipeline, in_shardings=dp_shardings(mesh, 7, 2),
+        in_sh = list(dp_shardings(mesh, 7, 2))
+        if mesh.shape.get(MODEL_AXIS, 1) > 1:
+            # tensor-parallel decode: weights sharded with the Megatron
+            # rules instead of replicated (parallel/sharding.py)
+            from multimodalsum_tpu.parallel.sharding import param_shardings
+
+            in_sh[0] = param_shardings(params, mesh)
+        pipeline = jax.jit(pipeline, in_shardings=tuple(in_sh),
                            out_shardings=batch_sharding(mesh))
     else:
         pipeline = jax.jit(pipeline)

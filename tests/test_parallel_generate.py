@@ -10,6 +10,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 from multimodalsum_tpu.core.config import TINY_CONFIG, GenerationConfig
 from multimodalsum_tpu.decode.engine import generate
@@ -59,3 +60,24 @@ def test_dp_shardings_prefixes():
     sh = dp_shardings(mesh, 4, 2)
     assert sh[0] == replicated(mesh) == sh[1]
     assert sh[2] == batch_sharding(mesh) == sh[3]
+
+
+def test_tp_dp_beam_generate_matches_single_device(setup):
+    """Tensor-parallel decode: params sharded with the Megatron rules over a
+    (data=4, model=2) mesh, batch over data — still token-identical."""
+    from multimodalsum_tpu.parallel.sharding import param_shardings
+
+    params, hiddens, mask, pipeline = setup
+    ref_seqs, ref_lens = jax.jit(pipeline)(params, hiddens, mask)
+
+    n = len(jax.devices())
+    if n % 2:
+        pytest.skip("needs an even device count")
+    mesh = make_mesh(data=n // 2, model=2)
+    bs = NamedSharding(mesh, P("data"))
+    tp = jax.jit(pipeline,
+                 in_shardings=(param_shardings(params, mesh), bs, bs),
+                 out_shardings=bs)
+    seqs, lens = tp(params, hiddens, mask)
+    np.testing.assert_array_equal(np.asarray(seqs), np.asarray(ref_seqs))
+    np.testing.assert_array_equal(np.asarray(lens), np.asarray(ref_lens))
