@@ -81,3 +81,25 @@ def test_tp_dp_beam_generate_matches_single_device(setup):
     seqs, lens = tp(params, hiddens, mask)
     np.testing.assert_array_equal(np.asarray(seqs), np.asarray(ref_seqs))
     np.testing.assert_array_equal(np.asarray(lens), np.asarray(ref_lens))
+
+
+def test_dp_ancestry_generate_matches_single_device(setup):
+    """The reorder-free ancestry cache under a sharded batch (the
+    ``--dp --cache_mode ancestry`` CLI combination)."""
+    params, hiddens, mask, _ = setup
+    gen = GenerationConfig(num_beams=4, max_length=12, min_length=3,
+                           length_penalty=2.0, early_stopping=True)
+    model = BartModel(TINY_CONFIG, multimodal=False)
+
+    def pipeline(params, hiddens, mask):
+        res = generate(model, params, [hiddens], [mask],
+                       jnp.zeros((hiddens.shape[0], 1), jnp.float32), gen,
+                       cache_mode="ancestry")
+        return res.sequences, res.lengths
+
+    ref_seqs, _ = jax.jit(pipeline)(params, hiddens, mask)
+    mesh = make_mesh(data=len(jax.devices()), model=1)
+    dp = jax.jit(pipeline, in_shardings=dp_shardings(mesh, 3, 1),
+                 out_shardings=batch_sharding(mesh))
+    seqs, _ = dp(params, hiddens, mask)
+    np.testing.assert_array_equal(np.asarray(seqs), np.asarray(ref_seqs))
