@@ -38,6 +38,9 @@ def base_parser(description: str) -> argparse.ArgumentParser:
                    help="force a jax platform (e.g. cpu for dry runs)")
     p.add_argument("--multihost", action="store_true",
                    help="call jax.distributed.initialize() for pod slices")
+    p.add_argument("--metrics_log", type=str, default=None,
+                   help="append JSON-lines training metrics to this file "
+                        "(the vendored Trainer's log format, trainer.py:617)")
     return p
 
 
@@ -83,6 +86,25 @@ def mesh_for_batch(batch_size: int):
               f"{len(devices)} devices; pick a batch divisible by the device "
               f"count to use the whole mesh")
     return make_mesh(data=data, model=1, devices=devices[:data])
+
+
+def make_hooks(args, save):
+    """LoopHooks with the console line plus, when ``--metrics_log`` is set,
+    a JSON-lines record per logged step (``core/observability.MetricLogger``)."""
+    from multimodalsum_tpu.train.loop import LoopHooks
+
+    if not getattr(args, "metrics_log", None):
+        return LoopHooks(save=save)
+    from multimodalsum_tpu.core.observability import MetricLogger
+
+    console, ml = LoopHooks().log, MetricLogger(log_path=args.metrics_log,
+                                                stdout=False)
+
+    def log(m):
+        console(m)
+        ml.log(m.get("step", 0), **{k: v for k, v in m.items() if k != "step"})
+
+    return LoopHooks(log=log, save=save)
 
 
 def save_args(args, ckpt_dir: str) -> None:

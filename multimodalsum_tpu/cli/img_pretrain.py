@@ -16,7 +16,7 @@ import numpy as np
 
 from multimodalsum_tpu.ckpt.checkpoint import load_export, save_checkpoint
 from multimodalsum_tpu.cli.common import (
-    base_parser, load_model_config, load_tokenizer, save_args, setup_environment,
+    base_parser, load_model_config, load_tokenizer, save_args, setup_environment, make_hooks,
 )
 from multimodalsum_tpu.data.multimodal_data import MultimodalStore
 from multimodalsum_tpu.data.prefetch import prefetch_to_device
@@ -111,7 +111,7 @@ def main(argv=None):
     save_args(args, ckpt_dir)
     mesh = mesh_for_batch(args.batch_size)
     b_shard = batch_sharding(mesh)
-    hooks = LoopHooks(save=lambda st, epoch, vl: save_checkpoint(
+    hooks = make_hooks(args, save=lambda st, epoch, vl: save_checkpoint(
         ckpt_dir, st, save_option="img", epoch=epoch, val_loss=vl))
 
     def eval_step(state, batch):

@@ -58,6 +58,11 @@ def generate(
     cfg: BartConfig = model.config
     K = gen.num_beams
 
+    if gen.max_length > cfg.max_position_embeddings:
+        raise ValueError(
+            f"max_length ({gen.max_length}) exceeds max_position_embeddings "
+            f"({cfg.max_position_embeddings})")
+
     if not gen.do_sample and gen.num_return_sequences > 1:
         if K == 1:
             raise ValueError(

@@ -433,6 +433,13 @@ class BartEncoder(nn.Module):
                  deterministic: bool = True) -> jnp.ndarray:
         cfg = self.config
         seq_len = input_ids.shape[-1]
+        if seq_len > cfg.max_position_embeddings:
+            # shapes are static under tracing, so this raises at trace time;
+            # an out-of-range learned-position gather would otherwise clamp
+            # silently and corrupt the forward pass
+            raise ValueError(
+                f"sequence length {seq_len} exceeds max_position_embeddings "
+                f"({cfg.max_position_embeddings})")
         # Positions are a plain arange + offset, independent of padding
         # (reference LearnedPositionalEmbedding.forward, :958-968).
         if cfg.static_position_embeddings:
@@ -523,6 +530,10 @@ class BartDecoder(nn.Module):
         """Full-sequence (teacher forcing) forward -> hidden [b, t, d]."""
         cfg = self.config
         t = input_ids.shape[-1]
+        if t > cfg.max_position_embeddings:
+            raise ValueError(
+                f"target length {t} exceeds max_position_embeddings "
+                f"({cfg.max_position_embeddings})")
         positions = jnp.arange(t)
         x = self._embed(input_ids, positions, rating_diff, deterministic)
         causal_bias = make_causal_mask(t)

@@ -65,3 +65,46 @@ def test_tp_sharding_rules():
     assert shardings["shared"]["embedding"].spec == P()
     assert dec0["self_attn_layer_norm"]["scale"].spec == P()
     assert dec0["encoder_attn"]["alpha_proj"]["kernel"].spec == P()
+
+
+def test_position_overflow_raises():
+    """Sequences longer than the position table raise at trace time instead
+    of silently clamping the gather (which produced NaN losses)."""
+    import jax
+    import jax.numpy as jnp
+    import pytest
+
+    from multimodalsum_tpu.core.config import TINY_CONFIG, GenerationConfig
+    from multimodalsum_tpu.decode.engine import generate
+    from multimodalsum_tpu.models.bart import BartModel
+
+    cfg = TINY_CONFIG  # max_position_embeddings = 64
+    model = BartModel(cfg, multimodal=False)
+    params = model.init(jax.random.PRNGKey(0), method=BartModel.init_all)["params"]
+
+    ids = jnp.ones((1, cfg.max_position_embeddings + 1), jnp.int32)
+    with pytest.raises(ValueError, match="max_position_embeddings"):
+        model.apply({"params": params}, ids, None, method=BartModel.encode)
+
+    hid = jnp.zeros((1, 1, 4, cfg.d_model))
+    gen = GenerationConfig(num_beams=2, max_length=cfg.max_position_embeddings + 1)
+    with pytest.raises(ValueError, match="max_position_embeddings"):
+        generate(model, params, [hid], [jnp.ones((1, 1, 4), bool)], None, gen)
+
+
+def test_make_hooks_metrics_log(tmp_path):
+    """--metrics_log plumbing: console line plus one JSON record per log call."""
+    import argparse
+    import json as _json
+
+    from multimodalsum_tpu.cli.common import make_hooks
+
+    path = str(tmp_path / "m.jsonl")
+    args = argparse.Namespace(metrics_log=path)
+    hooks = make_hooks(args, save=None)
+    hooks.log(dict(epoch=1, step=3, steps_per_epoch=10, loss=1.25, elapsed="00:00:01"))
+    rec = _json.loads(open(path).read().strip())
+    assert rec["step"] == 3 and rec["loss"] == 1.25
+
+    args = argparse.Namespace(metrics_log=None)
+    assert make_hooks(args, save=None).save is None
