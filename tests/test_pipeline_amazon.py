@@ -113,7 +113,8 @@ def test_harness_data_parallel_eval(amazon_root):
 
     tok = train_bpe(["sturdy battery cheap love size great summary review text here"] * 50,
                     300, os.path.join(amazon_root, "_tok_dp"))
-    cfg = dataclasses.replace(TINY_CONFIG, vocab_size=320)
+    cfg = dataclasses.replace(TINY_CONFIG, vocab_size=320,
+                              max_position_embeddings=160)
     model = MultimodalSum(cfg, dataset="amazon", img_model="tiny")
     fd, vd = amazon_dummy_table(1)
     variables = model.init(jax.random.PRNGKey(0), fd, vd,
