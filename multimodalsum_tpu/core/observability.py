@@ -114,8 +114,23 @@ class MetricLogger:
             except ImportError:
                 self._tb = None
 
+    @staticmethod
+    def _sanitize(v):
+        # non-finite floats (diverged loss) serialize as null — bare NaN/Inf
+        # literals are not valid JSON and break line parsers
+        import math
+
+        if isinstance(v, (float, int, str, bool)) or v is None:
+            return None if isinstance(v, float) and not math.isfinite(v) else v
+        try:
+            f = float(v)  # numpy / jax scalars
+        except (TypeError, ValueError):
+            return v
+        return None if not math.isfinite(f) else f
+
     def log(self, step: int, **metrics) -> None:
         record = dict(step=step, time=time.time(), **metrics)
+        record = {k: self._sanitize(v) for k, v in record.items()}
         line = json.dumps(record, default=float)
         if self.stdout:
             print(line, flush=True)
