@@ -39,7 +39,7 @@ def main(argv=None):
     p.add_argument("--with_bert", action="store_true")
     p.add_argument("--output", type=str, default=None,
                    help="write generated summaries, one per line")
-    p.add_argument("--kv_quant", type=str, default=None, choices=["int8"],
+    p.add_argument("--kv_quant", type=str, default=None, choices=["int8", "int4"],
                    help="quantize decode-time cross-attention K/V")
     p.add_argument("--cache_mode", type=str, default="reorder",
                    choices=["reorder", "ancestry"],

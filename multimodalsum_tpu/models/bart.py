@@ -199,12 +199,13 @@ class EntityCrossAttention(nn.Module):
         return k, v
 
     def _attend(self, q, kv, mask, deterministic=True):
-        from multimodalsum_tpu.ops.quantization import QuantizedKV, dequantize
+        from multimodalsum_tpu.ops.quantization import (QuantizedKV, QuantizedKV4,
+                                                         dequantize)
 
         k, v = kv
-        if isinstance(k, QuantizedKV):
+        if isinstance(k, (QuantizedKV, QuantizedKV4)):
             k = dequantize(k, self.dtype)
-        if isinstance(v, QuantizedKV):
+        if isinstance(v, (QuantizedKV, QuantizedKV4)):
             v = dequantize(v, self.dtype)
         rate = self.config.attention_dropout
         rng = (self.make_rng("dropout")

@@ -1,12 +1,13 @@
-"""Int8 quantization for decode-time cross-attention K/V.
+"""Int8 / int4 quantization for decode-time cross-attention K/V.
 
 The cross-attention K/V of the three modalities are the largest per-step HBM
 read of the beam decode (every step touches all layers' projected encoder
 states — text 8×160 + img 10×196 + table rows, ×12 layers). They are
 computed once per sequence and read ~max_length times, so symmetric int8
 with per-(entity, head, channel) scales halves that traffic at negligible
-quality cost; dequantisation is an elementwise multiply XLA fuses into the
-attention einsum's operand.
+quality cost; int4 (two nibbles packed per byte) quarters it at a larger
+but still small roundtrip error. Dequantisation is elementwise work XLA
+fuses into the attention einsum's operand load.
 
 No reference equivalent (the reference serves in fp16 at best); this is a
 TPU-serving feature, disabled by default and off for all parity tests.
@@ -34,16 +35,46 @@ def quantize_int8(x: jnp.ndarray, axis: int) -> QuantizedKV:
     return QuantizedKV(values=q, scale=scale)
 
 
-def dequantize(q: QuantizedKV, dtype=jnp.bfloat16) -> jnp.ndarray:
+class QuantizedKV4(NamedTuple):
+    """Symmetric int4 tensor: two signed nibbles packed per int8 along the
+    last axis (head dim), plus a per-channel f32 scale (amax/7)."""
+
+    values: jnp.ndarray   # int8, last axis = original // 2
+    scale: jnp.ndarray    # f32, the reduced axis kept at 1
+
+
+def quantize_int4(x: jnp.ndarray, axis: int) -> QuantizedKV4:
+    """Symmetric per-channel int4 quantisation along ``axis``; adjacent pairs
+    of the last axis pack into one byte (low nibble = even index)."""
+    if x.shape[-1] % 2:
+        raise ValueError(f"int4 packing needs an even last axis, got {x.shape}")
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=axis, keepdims=True)
+    scale = jnp.maximum(amax, 1e-8) / 7.0
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -7, 7).astype(jnp.int8)
+    lo, hi = q[..., 0::2], q[..., 1::2]
+    packed = jnp.bitwise_or(jnp.bitwise_and(lo, 0x0F), jnp.left_shift(hi, 4))
+    return QuantizedKV4(values=packed.astype(jnp.int8), scale=scale)
+
+
+def dequantize(q, dtype=jnp.bfloat16) -> jnp.ndarray:
+    if isinstance(q, QuantizedKV4):
+        packed = q.values
+        # arithmetic right shift on int8 sign-extends the nibbles
+        lo = jnp.right_shift(jnp.left_shift(packed, 4), 4)
+        hi = jnp.right_shift(packed, 4)
+        vals = jnp.stack([lo, hi], axis=-1).reshape(*packed.shape[:-1],
+                                                    packed.shape[-1] * 2)
+        return (vals.astype(jnp.float32) * q.scale).astype(dtype)
     return (q.values.astype(jnp.float32) * q.scale).astype(dtype)
 
 
-def quantize_cross_kv(cross_kv, *, seq_axis: int = 2):
+def quantize_cross_kv(cross_kv, *, seq_axis: int = 2, bits: int = 8):
     """Quantize a layers×modalities nested tuple of (k, v) pairs
     (each ``[b, e, s, n, h]``), reducing over the sequence axis."""
+    quant = {8: quantize_int8, 4: quantize_int4}[bits]
     return tuple(
         tuple(
-            (quantize_int8(k, axis=seq_axis), quantize_int8(v, axis=seq_axis))
+            (quant(k, axis=seq_axis), quant(v, axis=seq_axis))
             for (k, v) in per_layer
         )
         for per_layer in cross_kv

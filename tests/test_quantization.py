@@ -1,4 +1,4 @@
-"""Int8 cross-KV quantization: roundtrip accuracy and decode integration."""
+"""Int8/int4 cross-KV quantization: roundtrip accuracy and decode integration."""
 
 import numpy as np
 import pytest
@@ -16,6 +16,27 @@ def test_quantize_roundtrip():
     back = np.asarray(dequantize(q, jnp.float32))
     err = np.abs(back - x).max() / np.abs(x).max()
     assert err < 0.02, err  # <2% of the dynamic range
+
+
+def test_quantize_int4_roundtrip():
+    import jax.numpy as jnp
+
+    from multimodalsum_tpu.ops.quantization import dequantize, quantize_int4
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(2, 3, 16, 4, 8)).astype(np.float32) * 3.0
+    q = quantize_int4(jnp.asarray(x), axis=2)
+    assert q.values.dtype == jnp.int8
+    assert q.values.shape == (2, 3, 16, 4, 4)  # two nibbles per byte
+    back = np.asarray(dequantize(q, jnp.float32))
+    err = np.abs(back - x).max() / np.abs(x).max()
+    assert err < 0.12, err  # <12% of the dynamic range (4-bit grid)
+    # exact nibble reconstruction: requantizing the dequantized tensor is a fixpoint
+    q2 = quantize_int4(jnp.asarray(back), axis=2)
+    np.testing.assert_array_equal(np.asarray(q.values), np.asarray(q2.values))
+
+    with pytest.raises(ValueError):
+        quantize_int4(jnp.zeros((2, 4, 7)), axis=1)  # odd last axis
 
 
 def test_decode_with_int8_kv():
@@ -44,5 +65,10 @@ def test_decode_with_int8_kv():
     np.testing.assert_allclose(np.asarray(quant.scores), np.asarray(full.scores),
                                atol=0.15)
 
+    quant4 = generate(model, params, [eh], [mask], rating, gen, kv_quant="int4")
+    assert np.isfinite(np.asarray(quant4.scores)).all()
+    np.testing.assert_allclose(np.asarray(quant4.scores), np.asarray(full.scores),
+                               atol=0.5)
+
     with pytest.raises(ValueError):
-        generate(model, params, [eh], [mask], rating, gen, kv_quant="int4")
+        generate(model, params, [eh], [mask], rating, gen, kv_quant="int2")
