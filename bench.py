@@ -6,10 +6,12 @@ Measures end-to-end summaries/sec/chip for the production eval configuration
 142 (config default), no_repeat_ngram 3, early stopping — the whole pipeline
 (3 encoders + on-device beam search) jitted, bf16.
 
-Batch defaults to 32 (vs the reference's eval batch 8): the metric is
-per-chip throughput, and batching is the TPU-native way to amortise the
-sequential decode loop. Falls back to batch 8 automatically if the large
-batch fails (e.g. memory on a smaller chip).
+Default serving config (measured-best on one TPU v5e chip, 2026-08 A/B —
+SCALING.md has the full table): batch 64, reorder-free ancestry beam cache,
+int8 cross-attention KV. Falls back to smaller batches / exact config
+automatically if compilation fails (e.g. memory on a smaller chip).
+``--exact`` benchmarks the fully token-exact path (no KV quantization)
+instead; ``--cache_mode/--kv_quant/--batch/--pallas`` override individually.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
@@ -120,32 +122,42 @@ def main():
 
         set_entity_attention_impl("pallas")
 
-    cache_mode = "reorder"
-    if "--ancestry" in sys.argv:
-        from multimodalsum_tpu.ops.ancestry_attention import set_ancestry_impl
+    # (batch, cache_mode, kv_quant) attempts, best-first. Measured on one
+    # v5e chip: b64/ancestry/int8 12.0 sum/s; b32/ancestry/exact 10.8;
+    # b32/reorder/exact 4.3; bigger batches fail to compile (HBM).
+    attempts = [(64, "ancestry", "int8"), (32, "ancestry", None),
+                (32, "reorder", None), (8, "reorder", None)]
+    if "--exact" in sys.argv:
+        attempts = [a for a in attempts if a[2] is None]
 
-        cache_mode = "ancestry"
-        # the XLA ancestry fallback exists for testing; on hardware the
-        # kernel is the point of the mode
-        set_ancestry_impl("pallas")
-
-    kv_quant = "int8" if "--kv_quant" in sys.argv else None
-
-    batches = [32, 8]
+    cache_mode = kv_quant = batch = None
     for a in sys.argv:
         if a.startswith("--batch="):
-            batches = [int(a.split("=")[1])]
+            batch = int(a.split("=")[1])
+        elif a.startswith("--cache_mode="):
+            cache_mode = a.split("=")[1]
+        elif a.startswith("--kv_quant="):
+            kv_quant = a.split("=")[1]
+        elif a == "--ancestry":  # back-compat
+            cache_mode = "ancestry"
+    if batch or cache_mode or kv_quant:
+        first = attempts[0]
+        attempts = [(batch or first[0], cache_mode or first[1],
+                     kv_quant if kv_quant is not None else first[2])]
+        attempts = [(b, c, None if q in (None, "none") else q)
+                    for (b, c, q) in attempts]
 
     summaries_per_sec = None
-    for b in batches:
+    for b, cm, kvq in attempts:
         try:
-            summaries_per_sec = bench_batch(b, cache_mode=cache_mode, kv_quant=kv_quant)
+            print(f"# config: batch={b} cache_mode={cm} kv_quant={kvq}", flush=True)
+            summaries_per_sec = bench_batch(b, cache_mode=cm, kv_quant=kvq)
             break
         except Exception:
-            print(f"# batch {b} failed, falling back:", flush=True)
+            print(f"# config (batch={b}, {cm}, {kvq}) failed, falling back:", flush=True)
             traceback.print_exc()
     if summaries_per_sec is None:
-        raise SystemExit("bench failed at every batch size")
+        raise SystemExit("bench failed at every config")
 
     print(json.dumps({
         "metric": "multimodal_beam5_summaries_per_sec_per_chip",
