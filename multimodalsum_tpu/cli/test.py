@@ -39,6 +39,8 @@ def main(argv=None):
     p.add_argument("--with_bert", action="store_true")
     p.add_argument("--output", type=str, default=None,
                    help="write generated summaries, one per line")
+    p.add_argument("--self_kv_quant", type=str, default=None, choices=["int8"],
+                   help="quantize the decoder self-attention KV cache")
     p.add_argument("--kv_quant", type=str, default=None, choices=["int8", "int4"],
                    help="quantize decode-time cross-attention K/V")
     p.add_argument("--cache_mode", type=str, default="ancestry",
@@ -102,7 +104,9 @@ def main(argv=None):
     dataset = EvalDataset(args.data_root, args.dataset, args.mode)
     metrics, preds = evaluate(model, params, batch_stats, dataset, tokenizer, gen,
                               batch_size=args.batch_size, with_bert=args.with_bert,
-                              kv_quant=args.kv_quant, cache_mode=args.cache_mode,
+                              kv_quant=args.kv_quant,
+                              self_kv_quant=args.self_kv_quant,
+                              cache_mode=args.cache_mode,
                               mesh=mesh)
 
     if args.output:

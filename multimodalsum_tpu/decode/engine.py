@@ -40,6 +40,7 @@ def generate(
     bad_lengths: jnp.ndarray | None = None,
     rng: jnp.ndarray | None = None,
     kv_quant: str | None = None,
+    self_kv_quant: str | None = None,
     cache_mode: str = "reorder",
 ):
     """Beam-search (num_beams > 1) or greedy/sampling generation.
@@ -50,6 +51,11 @@ def generate(
       modality_masks: matching bool masks ``[b, e, s]`` (or None).
       rating_diff: ``[b, 1]`` or None (evaluation uses zeros —
         reference ``src/test.py:155``).
+      kv_quant: "int8"/"int4" quantizes the (write-once, read-every-step)
+        cross-attention K/V; scale-folded attention reads the int values
+        directly (ops/attention.entity_cross_attention_quantized).
+      self_kv_quant: "int8" quantizes the decoder self-attention cache
+        (per-position scales, folded into logits/probs).
 
     Returns:
       :class:`BeamResult` or :class:`GreedyResult` (sequences include the
@@ -112,7 +118,8 @@ def generate(
     masks = [None if m is None else m.astype(bool) for m in modality_masks]
 
     rows = batch * K if K > 1 else batch
-    cache = init_self_attn_cache(cfg, rows, gen.max_length, dtype=model.dtype)
+    cache = init_self_attn_cache(cfg, rows, gen.max_length, dtype=model.dtype,
+                                 quant=self_kv_quant)
     rating_rows = None
     if rating_diff is not None:
         rating_rows = jnp.repeat(rating_diff, rows // batch, axis=0)

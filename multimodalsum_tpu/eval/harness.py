@@ -37,6 +37,7 @@ def generate_summaries(
     batch_size: int = 8,
     log=print,
     kv_quant: str | None = None,
+    self_kv_quant: str | None = None,
     cache_mode: str = "reorder",
     mesh=None,
 ) -> List[str]:
@@ -54,7 +55,8 @@ def generate_summaries(
         res = generate(bart, params["bart"],
                        [text_h, table_h, img_h],
                        [reviews_mask.astype(bool), table_m, img_m],
-                       rating, gen, kv_quant=kv_quant, cache_mode=cache_mode)
+                       rating, gen, kv_quant=kv_quant,
+                       self_kv_quant=self_kv_quant, cache_mode=cache_mode)
         return res.sequences[:, 0], res.lengths[:, 0]
 
     if mesh is not None:
@@ -119,6 +121,7 @@ def evaluate(
     batch_size: int = 8,
     with_bert: bool = False,
     kv_quant: str | None = None,
+    self_kv_quant: str | None = None,
     cache_mode: str = "reorder",
     mesh=None,
 ) -> tuple[Dict[str, float], List[str]]:
@@ -126,5 +129,6 @@ def evaluate(
     (metrics, generated summaries)."""
     preds = generate_summaries(model, params, batch_stats, dataset, tokenizer,
                                gen, batch_size, kv_quant=kv_quant,
+                               self_kv_quant=self_kv_quant,
                                cache_mode=cache_mode, mesh=mesh)
     return aggregate_multi_reference(preds, dataset.summaries, with_bert=with_bert), preds

@@ -151,15 +151,36 @@ class SelfAttention(nn.Module):
 
         Returns (out [b, 1, d], new_k_cache, new_v_cache).
         """
+        from multimodalsum_tpu.ops.quantization import QuantizedKV, quantize_int8
+
         q = _split_heads(self.q_proj(x) * self.scaling, self.num_heads)
         k_new = _split_heads(self.k_proj(x), self.num_heads)  # [b, 1, n, h]
         v_new = _split_heads(self.v_proj(x), self.num_heads)
-        k_cache = jax.lax.dynamic_update_slice(k_cache, k_new.astype(k_cache.dtype), (0, index, 0, 0))
-        v_cache = jax.lax.dynamic_update_slice(v_cache, v_new.astype(v_cache.dtype), (0, index, 0, 0))
+
+        def _update(cache, new):
+            if isinstance(cache, QuantizedKV):
+                # int8 cache: quantize the new slice with a per-(row, head)
+                # scale over the head dim and update values + scales in place
+                nq = quantize_int8(new, axis=-1)
+                return QuantizedKV(
+                    values=jax.lax.dynamic_update_slice(
+                        cache.values, nq.values, (0, index, 0, 0)),
+                    scale=jax.lax.dynamic_update_slice(
+                        cache.scale, nq.scale, (0, index, 0, 0)),
+                )
+            return jax.lax.dynamic_update_slice(
+                cache, new.astype(cache.dtype), (0, index, 0, 0))
+
+        k_cache = _update(k_cache, k_new)
+        v_cache = _update(v_cache, v_new)
         if anc is not None:
             from multimodalsum_tpu.ops.ancestry_attention import ancestry_attention
 
             ctx = ancestry_attention(q, k_cache, v_cache, anc, index)
+        elif isinstance(k_cache, QuantizedKV):
+            from multimodalsum_tpu.ops.attention import cached_self_attention_step_quantized
+
+            ctx = cached_self_attention_step_quantized(q, k_cache, v_cache, index)
         else:
             ctx = cached_self_attention_step(q, k_cache, v_cache, index)
         return self.out_proj(_merge_heads(ctx)), k_cache, v_cache
@@ -199,20 +220,23 @@ class EntityCrossAttention(nn.Module):
         return k, v
 
     def _attend(self, q, kv, mask, deterministic=True):
-        from multimodalsum_tpu.ops.quantization import (QuantizedKV, QuantizedKV4,
-                                                         dequantize)
+        from multimodalsum_tpu.ops.attention import entity_cross_attention_quantized
+        from multimodalsum_tpu.ops.quantization import QuantizedKV, QuantizedKV4
 
         k, v = kv
-        if isinstance(k, (QuantizedKV, QuantizedKV4)):
-            k = dequantize(k, self.dtype)
-        if isinstance(v, (QuantizedKV, QuantizedKV4)):
-            v = dequantize(v, self.dtype)
         rate = self.config.attention_dropout
         rng = (self.make_rng("dropout")
                if (not deterministic and rate > 0.0) else None)
-        ctx = entity_cross_attention(q, k, v, mask,
-                                     dropout_rate=0.0 if deterministic else rate,
-                                     dropout_rng=rng)
+        if isinstance(k, (QuantizedKV, QuantizedKV4)):
+            # scale-folded path: the int8/int4 values feed the einsums
+            # directly, the dequantised tensors never hit HBM
+            ctx = entity_cross_attention_quantized(
+                q, k, v, mask,
+                dropout_rate=0.0 if deterministic else rate, dropout_rng=rng)
+        else:
+            ctx = entity_cross_attention(q, k, v, mask,
+                                         dropout_rate=0.0 if deterministic else rate,
+                                         dropout_rng=rng)
         return self.out_proj(_merge_heads(ctx))
 
     def __call__(
@@ -665,11 +689,25 @@ class BartModel(nn.Module):
 
 
 def init_self_attn_cache(
-    config: BartConfig, batch: int, max_length: int, num_layers: int | None = None, dtype=jnp.float32
+    config: BartConfig, batch: int, max_length: int, num_layers: int | None = None,
+    dtype=jnp.float32, quant: str | None = None,
 ):
-    """Static-shape decoder self-attention KV cache pytree."""
+    """Static-shape decoder self-attention KV cache pytree.
+
+    ``quant="int8"`` builds a quantized cache (int8 values + per-(row,
+    position, head) f32 scales); the decode step then writes quantized
+    slices and attends via the scale-folded paths.
+    """
     n = config.decoder_attention_heads
     h = config.d_model // n
     num_layers = num_layers if num_layers is not None else config.decoder_layers
+    if quant == "int8":
+        from multimodalsum_tpu.ops.quantization import QuantizedKV
+
+        zq = QuantizedKV(values=jnp.zeros((batch, max_length, n, h), jnp.int8),
+                         scale=jnp.ones((batch, max_length, n, 1), jnp.float32))
+        return tuple((zq, zq) for _ in range(num_layers))
+    if quant is not None:
+        raise ValueError(f"unknown self-KV quant {quant!r} (supported: 'int8')")
     zeros = jnp.zeros((batch, max_length, n, h), dtype)
     return tuple((zeros, zeros) for _ in range(num_layers))

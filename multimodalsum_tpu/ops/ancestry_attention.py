@@ -49,7 +49,12 @@ def set_ancestry_impl(impl: str) -> None:
 
 
 def ancestry_attention(q, k_cache, v_cache, anc, index):
-    """Dispatch to the active implementation."""
+    """Dispatch to the active implementation (quantized caches always take
+    the XLA path — the Pallas kernel reads raw arrays)."""
+    from multimodalsum_tpu.ops.quantization import QuantizedKV
+
+    if isinstance(k_cache, QuantizedKV):
+        return ancestry_attention_xla_quantized(q, k_cache, v_cache, anc, index)
     if _ANCESTRY_IMPL == "pallas":
         return ancestry_attention_pallas(q, k_cache, v_cache, anc, index)
     return ancestry_attention_xla(q, k_cache, v_cache, anc, index)
@@ -90,6 +95,34 @@ def ancestry_attention_xla(
     valid = (jnp.arange(L) <= index)[None, None, :]
     logits = jnp.where(valid, logits, TOKEN_MASK_VALUE)
     probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(v_eff.dtype)
+    ctx = jnp.einsum("nrp,rpnh->rnh", probs, v_eff, precision=matmul_precision())
+    return ctx[:, None]  # [rows, 1, n, h]
+
+
+def ancestry_attention_xla_quantized(q, kq, vq, anc, index) -> jnp.ndarray:
+    """:func:`ancestry_attention_xla` over an int8-quantized cache
+    (values ``[rows, L, n, h]`` int8, scale ``[rows, L, n, 1]`` f32,
+    per-(row, position, head)). The one-hot gather reads the int8 values
+    directly (halving the dominant cache read); the gathered scales fold
+    into the logits / probabilities like in
+    :func:`~multimodalsum_tpu.ops.attention.cached_self_attention_step_quantized`.
+    """
+    dtype = q.dtype
+    rows, L, n, h = kq.values.shape
+    onehot = (anc[:, :, None] == jnp.arange(rows)[None, None, :]).astype(dtype)
+    k_eff = jnp.einsum("rpx,xpnh->rpnh", onehot, kq.values.astype(dtype),
+                       precision=matmul_precision())
+    v_eff = jnp.einsum("rpx,xpnh->rpnh", onehot, vq.values.astype(dtype),
+                       precision=matmul_precision())
+    ks_eff = jnp.einsum("rpx,xpn->nrp", onehot, kq.scale[..., 0].astype(jnp.float32))
+    vs_eff = jnp.einsum("rpx,xpn->nrp", onehot, vq.scale[..., 0].astype(jnp.float32))
+    logits = jnp.einsum("rnh,rpnh->nrp", q[:, 0], k_eff,
+                        precision=matmul_precision())
+    logits = logits.astype(jnp.float32) * ks_eff
+    valid = (jnp.arange(L) <= index)[None, None, :]
+    logits = jnp.where(valid, logits, TOKEN_MASK_VALUE)
+    probs = jax.nn.softmax(logits, axis=-1)
+    probs = (probs * vs_eff).astype(dtype)
     ctx = jnp.einsum("nrp,rpnh->rnh", probs, v_eff, precision=matmul_precision())
     return ctx[:, None]  # [rows, 1, n, h]
 

@@ -100,6 +100,37 @@ def cached_self_attention_step(
     return jnp.einsum("bnts,bsnh->btnh", probs, v_cache, precision=matmul_precision())
 
 
+def cached_self_attention_step_quantized(q, kq, vq, index) -> jnp.ndarray:
+    """:func:`cached_self_attention_step` over an int8-quantized KV cache.
+
+    The cache carries per-(row, position, head) scales (reduced over the
+    head dim). The K scale cannot fold into the query (it varies along the
+    attended position axis), but it folds into the *logits* and the V scale
+    into the *probabilities* — both tiny ``[b, n, t, s]`` elementwise
+    multiplies — so the int8 values feed the einsums directly and the
+    dequantised cache never materialises.
+
+    Args:
+      q: ``[b, 1, n, h]`` pre-scaled query.
+      kq / vq: :class:`~multimodalsum_tpu.ops.quantization.QuantizedKV` with
+        values ``[b, L, n, h]`` int8 and scale ``[b, L, n, 1]`` f32.
+      index: scalar int32 current position.
+    """
+    dtype = q.dtype
+    length = kq.values.shape[1]
+    logits = jnp.einsum("btnh,bsnh->bnts", q, kq.values.astype(dtype),
+                        precision=matmul_precision())
+    k_scale = jnp.transpose(kq.scale[..., 0], (0, 2, 1))[:, :, None, :]  # [b,n,1,s]
+    logits = logits.astype(jnp.float32) * k_scale
+    valid = (jnp.arange(length) <= index)[None, None, None, :]
+    logits = jnp.where(valid, logits, TOKEN_MASK_VALUE)
+    probs = jax.nn.softmax(logits, axis=-1)
+    v_scale = jnp.transpose(vq.scale[..., 0], (0, 2, 1))[:, :, None, :]
+    probs = (probs * v_scale).astype(dtype)
+    return jnp.einsum("bnts,bsnh->btnh", probs, vq.values.astype(dtype),
+                      precision=matmul_precision())
+
+
 # Implementation switch for the entity-attention hot op: "xla" (default,
 # differentiable, used in training) or "pallas" (fused VMEM kernel for the
 # decode path — no autodiff). Set via set_entity_attention_impl.
@@ -164,8 +195,71 @@ def entity_cross_attention(
     if mask is None:
         return jnp.mean(ctx, axis=1)
 
+    return _entity_parallel_mean(ctx, mask)
+
+
+def _entity_parallel_mean(ctx: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Mean of per-entity contexts ``[b, e, t, n, h]`` over valid entities
+    (entity valid iff any key position is valid), with the all-null-batch
+    guard (reference ``:854-869``)."""
     valid_entity = jnp.any(mask, axis=-1)  # [b, e]
     ctx = jnp.where(valid_entity[:, :, None, None, None], ctx, 0.0)
     count = jnp.sum(valid_entity, axis=1).astype(ctx.dtype)  # [b]
     count = jnp.maximum(count, 1.0)  # all-null-batch guard
     return jnp.sum(ctx, axis=1) / count[:, None, None, None]
+
+
+def entity_cross_attention_quantized(
+    q: jnp.ndarray,
+    kq,
+    vq,
+    mask: jnp.ndarray | None,
+    dropout_rate: float = 0.0,
+    dropout_rng=None,
+) -> jnp.ndarray:
+    """:func:`entity_cross_attention` over int8/int4-quantized K/V without
+    ever materialising the dequantised tensors in HBM.
+
+    The per-channel scales are folded out of the big value tensors
+    algebraically: the K scale multiplies the *query* (the scale lives on
+    the contracted head-dim axis, so ``q·(k_int*s) == (q*s)·k_int``) and the
+    V scale multiplies the per-entity *context* (``(p@v_int)*s``). Both are
+    tiny ``[b, e, t, n, h]``-broadcast elementwise ops, and the einsums read
+    the int8 values directly — XLA fuses the int8→bf16 convert into the dot
+    operand load, so per-step cross-KV HBM traffic actually halves (the
+    ``dequantize()+entity_cross_attention`` composition materialises bf16
+    copies instead). Numerics match the dequantised path to bf16 rounding.
+
+    Args:
+      q: ``[b, t, n, h]`` pre-scaled queries (any float dtype).
+      kq / vq: :class:`~multimodalsum_tpu.ops.quantization.QuantizedKV` or
+        ``QuantizedKV4`` with values ``[b, e, s, n, h]`` (packed on the last
+        axis for int4) and scale ``[b, e, 1, n, h]``.
+      mask: bool ``[b, e, s]`` or None.
+    """
+    from multimodalsum_tpu.ops.quantization import QuantizedKV4, unpack_int4_values
+
+    k_int = (unpack_int4_values(kq.values) if isinstance(kq, QuantizedKV4)
+             else kq.values)
+    v_int = (unpack_int4_values(vq.values) if isinstance(vq, QuantizedKV4)
+             else vq.values)
+    dtype = q.dtype
+
+    # fold the K scale into the query, per entity: [b, e, t, n, h]
+    q_e = (q[:, None].astype(jnp.float32) * kq.scale).astype(dtype)
+    logits = jnp.einsum("betnh,besnh->bents", q_e, k_int.astype(dtype),
+                        precision=matmul_precision())
+    if mask is not None:
+        logits = jnp.where(
+            mask[:, :, None, None, :], logits, jnp.asarray(ENTITY_MASK_VALUE, logits.dtype)
+        )
+    probs = _attn_dropout(_softmax_f32(logits, dtype), dropout_rate, dropout_rng)
+    ctx = jnp.einsum("bents,besnh->betnh", probs, v_int.astype(dtype),
+                     precision=matmul_precision())
+    # fold the V scale into the per-entity context ([b,e,1,n,h] broadcasts
+    # over the t axis)
+    ctx = (ctx.astype(jnp.float32) * vq.scale).astype(dtype)
+
+    if mask is None:
+        return jnp.mean(ctx, axis=1)
+    return _entity_parallel_mean(ctx, mask)

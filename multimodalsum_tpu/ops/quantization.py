@@ -59,13 +59,18 @@ def quantize_int4(x: jnp.ndarray, axis: int) -> QuantizedKV4:
     return QuantizedKV4(values=packed.astype(jnp.int8), scale=scale)
 
 
+def unpack_int4_values(packed: jnp.ndarray) -> jnp.ndarray:
+    """Packed int4 bytes -> int8 values (inverse of the packing in
+    :func:`quantize_int4`, without applying the scale)."""
+    # arithmetic right shift on int8 sign-extends the nibbles
+    lo = jnp.right_shift(jnp.left_shift(packed, 4), 4)
+    hi = jnp.right_shift(packed, 4)
+    return jnp.concatenate([lo, hi], axis=-1)
+
+
 def dequantize(q, dtype=jnp.bfloat16) -> jnp.ndarray:
     if isinstance(q, QuantizedKV4):
-        packed = q.values
-        # arithmetic right shift on int8 sign-extends the nibbles
-        lo = jnp.right_shift(jnp.left_shift(packed, 4), 4)
-        hi = jnp.right_shift(packed, 4)
-        vals = jnp.concatenate([lo, hi], axis=-1)
+        vals = unpack_int4_values(q.values)
         return (vals.astype(jnp.float32) * q.scale).astype(dtype)
     return (q.values.astype(jnp.float32) * q.scale).astype(dtype)
 

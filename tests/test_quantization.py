@@ -39,6 +39,38 @@ def test_quantize_int4_roundtrip():
         quantize_int4(jnp.zeros((2, 4, 7)), axis=1)  # odd last axis
 
 
+def test_quantized_attention_matches_dequantized():
+    """entity_cross_attention_quantized (scales folded into q / ctx) must
+    match dequantize()+entity_cross_attention to float rounding, including
+    null entities and the all-null guard."""
+    import jax.numpy as jnp
+
+    from multimodalsum_tpu.ops.attention import (entity_cross_attention,
+                                                 entity_cross_attention_quantized)
+    from multimodalsum_tpu.ops.quantization import (dequantize, quantize_int4,
+                                                    quantize_int8)
+
+    rng = np.random.default_rng(3)
+    b, e, s, n, h, t = 3, 4, 16, 2, 8, 5
+    k = rng.normal(size=(b, e, s, n, h)).astype(np.float32)
+    v = rng.normal(size=(b, e, s, n, h)).astype(np.float32)
+    q = jnp.asarray(rng.normal(size=(b, t, n, h)).astype(np.float32))
+    mask = np.ones((b, e, s), bool)
+    mask[0, 1] = False          # null entity
+    mask[2] = False             # all-null batch element
+    mask = jnp.asarray(mask)
+
+    for quant in (quantize_int8, quantize_int4):
+        kq, vq = quant(jnp.asarray(k), axis=2), quant(jnp.asarray(v), axis=2)
+        ref = entity_cross_attention(q, dequantize(kq, jnp.float32),
+                                     dequantize(vq, jnp.float32), mask)
+        got = entity_cross_attention_quantized(q, kq, vq, mask)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-5, rtol=1e-4)
+        # all-null batch element must be exactly zero in both
+        assert np.abs(np.asarray(got)[2]).max() == 0.0
+
+
 def test_decode_with_int8_kv():
     import jax
 
@@ -70,5 +102,49 @@ def test_decode_with_int8_kv():
     np.testing.assert_allclose(np.asarray(quant4.scores), np.asarray(full.scores),
                                atol=0.5)
 
+    # int8 self-attention cache (per-position scales folded into logits/probs),
+    # in both cache modes
+    for cm in ("reorder", "ancestry"):
+        qself = generate(model, params, [eh], [mask], rating, gen,
+                         self_kv_quant="int8", cache_mode=cm)
+        assert np.isfinite(np.asarray(qself.scores)).all()
+        np.testing.assert_allclose(np.asarray(qself.scores), np.asarray(full.scores),
+                                   atol=0.15)
+
     with pytest.raises(ValueError):
         generate(model, params, [eh], [mask], rating, gen, kv_quant="int2")
+    with pytest.raises(ValueError):
+        generate(model, params, [eh], [mask], rating, gen, self_kv_quant="int4")
+
+
+def test_quantized_self_attention_step_matches_dequantized():
+    """cached_self_attention_step_quantized == dequantize + plain step."""
+    import jax.numpy as jnp
+
+    from multimodalsum_tpu.ops.attention import (cached_self_attention_step,
+                                                 cached_self_attention_step_quantized)
+    from multimodalsum_tpu.ops.quantization import dequantize, quantize_int8
+
+    rng = np.random.default_rng(5)
+    b, L, n, h, idx = 4, 12, 2, 8, 7
+    kc = rng.normal(size=(b, L, n, h)).astype(np.float32)
+    vc = rng.normal(size=(b, L, n, h)).astype(np.float32)
+    q = jnp.asarray(rng.normal(size=(b, 1, n, h)).astype(np.float32))
+    kq = quantize_int8(jnp.asarray(kc), axis=-1)
+    vq = quantize_int8(jnp.asarray(vc), axis=-1)
+
+    ref = cached_self_attention_step(q, dequantize(kq, jnp.float32),
+                                     dequantize(vq, jnp.float32), idx)
+    got = cached_self_attention_step_quantized(q, kq, vq, idx)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5, rtol=1e-4)
+
+    # ancestry variant with a non-trivial ancestry matrix
+    from multimodalsum_tpu.ops.ancestry_attention import (
+        ancestry_attention_xla, ancestry_attention_xla_quantized)
+
+    anc = jnp.asarray(rng.integers(0, b, (b, L)).astype(np.int32))
+    ref_a = ancestry_attention_xla(q, dequantize(kq, jnp.float32),
+                                   dequantize(vq, jnp.float32), anc, idx)
+    got_a = ancestry_attention_xla_quantized(q, kq, vq, anc, idx)
+    np.testing.assert_allclose(np.asarray(got_a), np.asarray(ref_a),
+                               atol=2e-5, rtol=1e-4)
