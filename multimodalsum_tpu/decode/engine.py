@@ -105,16 +105,22 @@ def generate(
         )
 
     cross_kv = model.apply({"params": params}, list(modality_hiddens), method=BartModel.init_decode)
-    if kv_quant in ("int8", "int4"):
+    if kv_quant in ("int8", "int4", "int8_kernel"):
         # shrink the dominant per-step HBM read of the decode loop (the
         # cross-attention K/V are read every step, written once): int8
-        # halves it, int4 quarters it
+        # halves it, int4 quarters it. "int8_kernel" additionally routes
+        # attention through the fused Pallas decode kernel (slabs arranged
+        # in kernel layout once, here).
         from multimodalsum_tpu.ops.quantization import quantize_cross_kv
 
-        cross_kv = quantize_cross_kv(cross_kv, bits=int(kv_quant[3:]))
+        cross_kv = quantize_cross_kv(
+            cross_kv,
+            bits=8 if kv_quant == "int8_kernel" else int(kv_quant[3:]),
+            kernel_layout=kv_quant == "int8_kernel")
     elif kv_quant is not None:
         raise ValueError(
-            f"unknown kv_quant {kv_quant!r} (supported: 'int8', 'int4')")
+            f"unknown kv_quant {kv_quant!r} "
+            "(supported: 'int8', 'int4', 'int8_kernel')")
     masks = [None if m is None else m.astype(bool) for m in modality_masks]
 
     rows = batch * K if K > 1 else batch
@@ -134,6 +140,12 @@ def generate(
         cache = dict(kv=cache, anc=init_ancestry(rows, gen.max_length))
 
         def step_fn(tokens, index, cache):
+            # NOTE: anc_beams deliberately NOT passed — the block-local
+            # gather (O(K) ancestors) measured 4x SLOWER than the global
+            # one-hot matmul on v5e: it lowers to b*L tiny [K,K]@[K,n*h]
+            # batched matmuls, while the global form is one MXU-shaped
+            # [rows,rows]@[rows,n*h] per position whose extra FLOPs ride
+            # otherwise-idle MXU cycles (SCALING.md).
             logits, new_kv = model.apply(
                 {"params": params}, tokens, index, cache["kv"], cross_kv, masks,
                 rating_rows, cache["anc"], method=BartModel.decode_step,

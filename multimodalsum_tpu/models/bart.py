@@ -145,9 +145,12 @@ class SelfAttention(nn.Module):
         v_cache: jnp.ndarray,
         index: jnp.ndarray,
         anc: Optional[jnp.ndarray] = None,
+        anc_beams: Optional[int] = None,
     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         """One decode step. x: [b, 1, d]; caches [b, L, n, h]; index scalar.
-        ``anc`` enables reorder-free ancestry attention (beam decode).
+        ``anc`` enables reorder-free ancestry attention (beam decode);
+        ``anc_beams`` (static) makes its gather block-local over the beam
+        width instead of all rows.
 
         Returns (out [b, 1, d], new_k_cache, new_v_cache).
         """
@@ -176,7 +179,8 @@ class SelfAttention(nn.Module):
         if anc is not None:
             from multimodalsum_tpu.ops.ancestry_attention import ancestry_attention
 
-            ctx = ancestry_attention(q, k_cache, v_cache, anc, index)
+            ctx = ancestry_attention(q, k_cache, v_cache, anc, index,
+                                     num_beams=anc_beams)
         elif isinstance(k_cache, QuantizedKV):
             from multimodalsum_tpu.ops.attention import cached_self_attention_step_quantized
 
@@ -221,13 +225,21 @@ class EntityCrossAttention(nn.Module):
 
     def _attend(self, q, kv, mask, deterministic=True):
         from multimodalsum_tpu.ops.attention import entity_cross_attention_quantized
-        from multimodalsum_tpu.ops.quantization import QuantizedKV, QuantizedKV4
+        from multimodalsum_tpu.ops.quantization import (QuantizedKV, QuantizedKV4,
+                                                         QuantizedKVKernel)
 
         k, v = kv
         rate = self.config.attention_dropout
         rng = (self.make_rng("dropout")
                if (not deterministic and rate > 0.0) else None)
-        if isinstance(k, (QuantizedKV, QuantizedKV4)):
+        if isinstance(k, QuantizedKVKernel):
+            # fused int8 Pallas decode kernel (layout arranged at init_decode)
+            from multimodalsum_tpu.ops.pallas_attention import (
+                decode_cross_attention_pallas_q8)
+
+            ctx = decode_cross_attention_pallas_q8(
+                q, k.values, v.values, k.scale, v.scale, mask)
+        elif isinstance(k, (QuantizedKV, QuantizedKV4)):
             # scale-folded path: the int8/int4 values feed the einsums
             # directly, the dequantised tensors never hit HBM
             ctx = entity_cross_attention_quantized(
@@ -408,12 +420,14 @@ class DecoderLayer(nn.Module):
         v_cache: jnp.ndarray,
         index: jnp.ndarray,
         anc: Optional[jnp.ndarray] = None,
+        anc_beams: Optional[int] = None,
     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
         """One-token decode step (deterministic)."""
         residual = x
         if self.config.normalize_before:
             x = self.self_attn_layer_norm(x)
-        x, k_cache, v_cache = self.self_attn.step(x, k_cache, v_cache, index, anc=anc)
+        x, k_cache, v_cache = self.self_attn.step(x, k_cache, v_cache, index,
+                                                  anc=anc, anc_beams=anc_beams)
         x = residual + x
         if not self.config.normalize_before:
             x = self.self_attn_layer_norm(x)
@@ -589,9 +603,11 @@ class BartDecoder(nn.Module):
         modality_masks: Sequence[Optional[jnp.ndarray]],
         rating_diff: Optional[jnp.ndarray] = None,
         anc: Optional[jnp.ndarray] = None,
+        anc_beams: Optional[int] = None,
     ):
         """One-token decode: token_ids [b, 1], index scalar. ``anc`` [b, L]
-        enables reorder-free ancestry self-attention.
+        enables reorder-free ancestry self-attention (``anc_beams`` = static
+        beam width for the block-local gather).
 
         Returns (hidden [b, 1, d], new_cache).
         """
@@ -600,7 +616,8 @@ class BartDecoder(nn.Module):
         new_cache = []
         for i, layer in enumerate(self.layers):
             x, k_c, v_c = layer.step(x, modality_masks, cross_kv[i],
-                                     cache[i][0], cache[i][1], index, anc=anc)
+                                     cache[i][0], cache[i][1], index, anc=anc,
+                                     anc_beams=anc_beams)
             new_cache.append((k_c, v_c))
         if self.config.add_final_layer_norm:
             x = self.layer_norm(x)
@@ -680,10 +697,10 @@ class BartModel(nn.Module):
         return self.decoder.precompute_cross_kv(modality_hiddens)
 
     def decode_step(self, token_ids, index, cache, cross_kv, modality_masks,
-                    rating_diff=None, anc=None):
+                    rating_diff=None, anc=None, anc_beams=None):
         hidden, new_cache = self.decoder.step(
             token_ids, index, cache, cross_kv, modality_masks,
-            rating_diff=rating_diff, anc=anc,
+            rating_diff=rating_diff, anc=anc, anc_beams=anc_beams,
         )
         return self.lm_logits(hidden), new_cache
 

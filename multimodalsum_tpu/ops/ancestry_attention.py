@@ -48,16 +48,27 @@ def set_ancestry_impl(impl: str) -> None:
     _ANCESTRY_IMPL = impl
 
 
-def ancestry_attention(q, k_cache, v_cache, anc, index):
+def ancestry_attention(q, k_cache, v_cache, anc, index, num_beams: int | None = None):
     """Dispatch to the active implementation (quantized caches always take
-    the XLA path — the Pallas kernel reads raw arrays)."""
+    the XLA path — the Pallas kernel reads raw arrays).
+
+    ``num_beams``: static beam width. Beam selection never crosses batch
+    items, so when given, the one-hot gather runs block-locally over K
+    ancestor candidates instead of all ``batch*K`` rows — the gather FLOPs
+    drop by a factor of ``batch`` (they are O(rows^2) globally). Measured
+    caveat (v5e): the local form lowers to ``b*L`` tiny ``[K,K]`` batched
+    matmuls and ran 4x SLOWER than the global MXU-shaped one-hot despite
+    the FLOP saving — leave ``num_beams=None`` on TPU (SCALING.md).
+    """
     from multimodalsum_tpu.ops.quantization import QuantizedKV
 
     if isinstance(k_cache, QuantizedKV):
-        return ancestry_attention_xla_quantized(q, k_cache, v_cache, anc, index)
+        return ancestry_attention_xla_quantized(q, k_cache, v_cache, anc, index,
+                                                num_beams=num_beams)
     if _ANCESTRY_IMPL == "pallas":
         return ancestry_attention_pallas(q, k_cache, v_cache, anc, index)
-    return ancestry_attention_xla(q, k_cache, v_cache, anc, index)
+    return ancestry_attention_xla(q, k_cache, v_cache, anc, index,
+                                  num_beams=num_beams)
 
 
 def init_ancestry(rows: int, length: int) -> jnp.ndarray:
@@ -78,19 +89,43 @@ def update_ancestry(anc: jnp.ndarray, flat_idx: jnp.ndarray, cur_len) -> jnp.nda
     return jax.lax.dynamic_update_slice(anc, col, (0, cur_len))
 
 
+def _local_onehot(anc: jnp.ndarray, rows: int, num_beams: int | None, dtype):
+    """One-hot over ancestor candidates. Global: ``[rows, L, rows]``.
+    Block-local (num_beams given): ``[B, K, L, K]`` — beam selection stays
+    within a batch item, so only the K same-block rows can be ancestors."""
+    if num_beams is None or num_beams >= rows:
+        return (anc[:, :, None] == jnp.arange(rows)[None, None, :]).astype(dtype)
+    K = num_beams
+    B = rows // K
+    anc_local = anc.reshape(B, K, -1) - (jnp.arange(B) * K)[:, None, None]
+    return (anc_local[..., None] == jnp.arange(K)).astype(dtype)
+
+
 def ancestry_attention_xla(
     q: jnp.ndarray,          # [rows, 1, n, h] pre-scaled
     k_cache: jnp.ndarray,    # [rows, L, n, h] (unreordered)
     v_cache: jnp.ndarray,
     anc: jnp.ndarray,        # [rows, L] int32
     index,                   # scalar: current position
+    num_beams: int | None = None,
 ) -> jnp.ndarray:
-    """One-hot-matmul gather + attention, all in XLA."""
+    """One-hot-matmul gather + attention, all in XLA. With ``num_beams`` the
+    gather is block-local (O(rows*K*L*n*h) instead of O(rows^2*L*n*h))."""
     rows, L, n, h = k_cache.shape
-    onehot = (anc[:, :, None] == jnp.arange(rows)[None, None, :]).astype(k_cache.dtype)
-    # k_eff[r, p, n, h] = sum_x onehot[r, p, x] * k_cache[x, p, n, h]
-    k_eff = jnp.einsum("rpx,xpnh->rpnh", onehot, k_cache, precision=matmul_precision())
-    v_eff = jnp.einsum("rpx,xpnh->rpnh", onehot, v_cache, precision=matmul_precision())
+    onehot = _local_onehot(anc, rows, num_beams, k_cache.dtype)
+    if onehot.ndim == 4:  # block-local [B, K, L, K]
+        B, K = onehot.shape[0], onehot.shape[1]
+        k5 = k_cache.reshape(B, K, L, n, h)
+        v5 = v_cache.reshape(B, K, L, n, h)
+        # k_eff[b, k, p] = sum_j onehot[b, k, p, j] * k_cache[b, j, p]
+        k_eff = jnp.einsum("bkpj,bjpnh->bkpnh", onehot, k5,
+                           precision=matmul_precision()).reshape(rows, L, n, h)
+        v_eff = jnp.einsum("bkpj,bjpnh->bkpnh", onehot, v5,
+                           precision=matmul_precision()).reshape(rows, L, n, h)
+    else:
+        # k_eff[r, p, n, h] = sum_x onehot[r, p, x] * k_cache[x, p, n, h]
+        k_eff = jnp.einsum("rpx,xpnh->rpnh", onehot, k_cache, precision=matmul_precision())
+        v_eff = jnp.einsum("rpx,xpnh->rpnh", onehot, v_cache, precision=matmul_precision())
     logits = jnp.einsum("rnh,rpnh->nrp", q[:, 0], k_eff, precision=matmul_precision())
     valid = (jnp.arange(L) <= index)[None, None, :]
     logits = jnp.where(valid, logits, TOKEN_MASK_VALUE)
@@ -99,7 +134,8 @@ def ancestry_attention_xla(
     return ctx[:, None]  # [rows, 1, n, h]
 
 
-def ancestry_attention_xla_quantized(q, kq, vq, anc, index) -> jnp.ndarray:
+def ancestry_attention_xla_quantized(q, kq, vq, anc, index,
+                                     num_beams: int | None = None) -> jnp.ndarray:
     """:func:`ancestry_attention_xla` over an int8-quantized cache
     (values ``[rows, L, n, h]`` int8, scale ``[rows, L, n, 1]`` f32,
     per-(row, position, head)). The one-hot gather reads the int8 values
@@ -109,13 +145,28 @@ def ancestry_attention_xla_quantized(q, kq, vq, anc, index) -> jnp.ndarray:
     """
     dtype = q.dtype
     rows, L, n, h = kq.values.shape
-    onehot = (anc[:, :, None] == jnp.arange(rows)[None, None, :]).astype(dtype)
-    k_eff = jnp.einsum("rpx,xpnh->rpnh", onehot, kq.values.astype(dtype),
-                       precision=matmul_precision())
-    v_eff = jnp.einsum("rpx,xpnh->rpnh", onehot, vq.values.astype(dtype),
-                       precision=matmul_precision())
-    ks_eff = jnp.einsum("rpx,xpn->nrp", onehot, kq.scale[..., 0].astype(jnp.float32))
-    vs_eff = jnp.einsum("rpx,xpn->nrp", onehot, vq.scale[..., 0].astype(jnp.float32))
+    onehot = _local_onehot(anc, rows, num_beams, dtype)
+    if onehot.ndim == 4:  # block-local [B, K, L, K]
+        B, K = onehot.shape[0], onehot.shape[1]
+        kv5 = kq.values.reshape(B, K, L, n, h).astype(dtype)
+        vv5 = vq.values.reshape(B, K, L, n, h).astype(dtype)
+        k_eff = jnp.einsum("bkpj,bjpnh->bkpnh", onehot, kv5,
+                           precision=matmul_precision()).reshape(rows, L, n, h)
+        v_eff = jnp.einsum("bkpj,bjpnh->bkpnh", onehot, vv5,
+                           precision=matmul_precision()).reshape(rows, L, n, h)
+        ks5 = kq.scale[..., 0].reshape(B, K, L, n).astype(jnp.float32)
+        vs5 = vq.scale[..., 0].reshape(B, K, L, n).astype(jnp.float32)
+        ks_eff = jnp.einsum("bkpj,bjpn->nbkp", onehot.astype(jnp.float32),
+                            ks5).reshape(n, rows, L)
+        vs_eff = jnp.einsum("bkpj,bjpn->nbkp", onehot.astype(jnp.float32),
+                            vs5).reshape(n, rows, L)
+    else:
+        k_eff = jnp.einsum("rpx,xpnh->rpnh", onehot, kq.values.astype(dtype),
+                           precision=matmul_precision())
+        v_eff = jnp.einsum("rpx,xpnh->rpnh", onehot, vq.values.astype(dtype),
+                           precision=matmul_precision())
+        ks_eff = jnp.einsum("rpx,xpn->nrp", onehot, kq.scale[..., 0].astype(jnp.float32))
+        vs_eff = jnp.einsum("rpx,xpn->nrp", onehot, vq.scale[..., 0].astype(jnp.float32))
     logits = jnp.einsum("rnh,rpnh->nrp", q[:, 0], k_eff,
                         precision=matmul_precision())
     logits = logits.astype(jnp.float32) * ks_eff

@@ -62,6 +62,92 @@ def _kernel(q_ref, k_ref, v_ref, mask_ref, out_ref, acc_ref, count_ref):
         out_ref[0, 0, :, :] = (acc_ref[:] / denom).astype(out_ref.dtype)
 
 
+def _decode_q8_kernel(q_ref, k_ref, v_ref, ks_ref, vs_ref, mask_ref, out_ref):
+    """Int8 decode cross-attention for one (batch, head) cell.
+
+    Blocks: q ``[1, 1, T, h]`` bf16 (beam-folded queries), k/v
+    ``[1, 1, e, s, h]`` int8, scales ``[1, 1, e, h]`` f32, mask ``[1, e, s]``
+    f32, out ``[1, 1, T, h]``. The entity loop is unrolled inside the cell
+    (one output write); the K scale folds into the query and the V scale
+    into the per-entity context, so the int8 slabs never leave VMEM
+    dequantised. Accumulates the validity-weighted entity mean in f32.
+    """
+    e = k_ref.shape[2]
+    T, h = q_ref.shape[2], q_ref.shape[3]
+    q = q_ref[0, 0, :, :].astype(jnp.float32)              # [T, h]
+
+    ctx_acc = jnp.zeros((T, h), jnp.float32)
+    count = jnp.float32(0.0)
+    for ei in range(e):  # static unroll — e is 1..10
+        k = k_ref[0, 0, ei, :, :].astype(jnp.float32)      # [s, h]
+        v = v_ref[0, 0, ei, :, :].astype(jnp.float32)
+        ks = ks_ref[0, 0, ei, :].astype(jnp.float32)       # [h]
+        vs = vs_ref[0, 0, ei, :].astype(jnp.float32)
+        mask = mask_ref[0, ei, :].astype(jnp.float32)      # [s]
+
+        q_s = q * ks[None, :]
+        logits = jax.lax.dot_general(
+            q_s, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [T, s]
+        logits = jnp.where(mask[None, :] > 0, logits, ENTITY_MASK_VALUE)
+        probs = jax.nn.softmax(logits, axis=-1)
+        ctx = jnp.dot(probs, v, preferred_element_type=jnp.float32) * vs[None, :]
+
+        valid = (jnp.max(mask) > 0).astype(jnp.float32)
+        ctx_acc = ctx_acc + ctx * valid
+        count = count + valid
+
+    out_ref[0, 0, :, :] = (ctx_acc / jnp.maximum(count, 1.0)).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def decode_cross_attention_pallas_q8(
+    q: jnp.ndarray,          # [b, T, n, h] pre-scaled, beam-folded
+    k_vals: jnp.ndarray,     # [b, n, e, s, h] int8 (kernel layout)
+    v_vals: jnp.ndarray,
+    k_scale: jnp.ndarray,    # [b, n, e, h] f32
+    v_scale: jnp.ndarray,
+    mask: jnp.ndarray | None,  # [b, e, s] bool
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused int8 decode-time entity cross-attention (parallel-mean over
+    valid entities). Semantics match
+    :func:`multimodalsum_tpu.ops.attention.entity_cross_attention_quantized`
+    over the same quantized K/V; the kernel-layout tensors are arranged once
+    per generated sequence (``ops.quantization.to_kernel_layout``), so the
+    per-step work is one VMEM-resident pass over the int8 slabs."""
+    b, T, n, h = q.shape
+    _, _, e, s, _ = k_vals.shape
+    mask_f = (jnp.ones((b, e, s), jnp.float32) if mask is None
+              else mask.astype(jnp.float32))
+    qT = jnp.transpose(q, (0, 2, 1, 3))  # [b, n, T, h] — tiny per-step transpose
+
+    out = pl.pallas_call(
+        _decode_q8_kernel,
+        grid=(b, n),
+        in_specs=[
+            pl.BlockSpec((1, 1, T, h), lambda bi, ni: (bi, ni, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, e, s, h), lambda bi, ni: (bi, ni, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, e, s, h), lambda bi, ni: (bi, ni, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, e, h), lambda bi, ni: (bi, ni, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, e, h), lambda bi, ni: (bi, ni, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, e, s), lambda bi, ni: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, T, h), lambda bi, ni: (bi, ni, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, n, T, h), q.dtype),
+        interpret=interpret,
+    )(qT, k_vals, v_vals, k_scale, v_scale, mask_f)
+    return jnp.transpose(out, (0, 2, 1, 3))  # [b, T, n, h]
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def entity_cross_attention_pallas(
     q: jnp.ndarray,

@@ -75,14 +75,37 @@ def dequantize(q, dtype=jnp.bfloat16) -> jnp.ndarray:
     return (q.values.astype(jnp.float32) * q.scale).astype(dtype)
 
 
-def quantize_cross_kv(cross_kv, *, seq_axis: int = 2, bits: int = 8):
+class QuantizedKVKernel(NamedTuple):
+    """Int8 K/V pre-arranged for the fused Pallas decode kernel:
+    values ``[b, n, e, s, h]``, scale ``[b, n, e, h]`` (f32). Built once per
+    generated sequence so the decode loop never transposes the slabs."""
+
+    values: jnp.ndarray
+    scale: jnp.ndarray
+
+
+def to_kernel_layout(q: QuantizedKV) -> QuantizedKVKernel:
+    """``[b, e, s, n, h]``-quantized K/V -> Pallas kernel layout."""
+    vals = jnp.transpose(q.values, (0, 3, 1, 2, 4))      # [b, n, e, s, h]
+    scale = jnp.transpose(q.scale[:, :, 0], (0, 2, 1, 3))  # [b, n, e, h]
+    return QuantizedKVKernel(values=vals, scale=scale.astype(jnp.float32))
+
+
+def quantize_cross_kv(cross_kv, *, seq_axis: int = 2, bits: int = 8,
+                      kernel_layout: bool = False):
     """Quantize a layers×modalities nested tuple of (k, v) pairs
-    (each ``[b, e, s, n, h]``), reducing over the sequence axis."""
+    (each ``[b, e, s, n, h]``), reducing over the sequence axis.
+    ``kernel_layout`` additionally re-arranges for the fused Pallas decode
+    kernel (int8 only)."""
     quant = {8: quantize_int8, 4: quantize_int4}[bits]
+    if kernel_layout and bits != 8:
+        raise ValueError("kernel_layout requires bits=8")
+
+    def _q(x):
+        qx = quant(x, axis=seq_axis)
+        return to_kernel_layout(qx) if kernel_layout else qx
+
     return tuple(
-        tuple(
-            (quant(k, axis=seq_axis), quant(v, axis=seq_axis))
-            for (k, v) in per_layer
-        )
+        tuple((_q(k), _q(v)) for (k, v) in per_layer)
         for per_layer in cross_kv
     )

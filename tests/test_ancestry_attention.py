@@ -39,6 +39,25 @@ def test_ancestry_xla_matches_explicit_gather():
     want = np.asarray(cached_self_attention_step(q, k_g, v_g, index))
     np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
 
+    # block-local gather (num_beams static) must agree with the global form
+    local = np.asarray(ancestry_attention_xla(q, k_cache, v_cache, anc, index,
+                                              num_beams=3))
+    np.testing.assert_allclose(local, want, atol=1e-5, rtol=1e-5)
+
+    # quantized block-local vs quantized global
+    import jax.numpy as jnp
+
+    from multimodalsum_tpu.ops.ancestry_attention import ancestry_attention_xla_quantized
+    from multimodalsum_tpu.ops.quantization import quantize_int8
+
+    kq = quantize_int8(jnp.asarray(k_cache), axis=-1)
+    vq = quantize_int8(jnp.asarray(v_cache), axis=-1)
+    qg = np.asarray(ancestry_attention_xla_quantized(q, kq, vq, anc, index))
+    ql = np.asarray(ancestry_attention_xla_quantized(q, kq, vq, anc, index,
+                                                     num_beams=3))
+    np.testing.assert_allclose(ql, qg, atol=1e-5, rtol=1e-5)
+    np.testing.assert_allclose(qg, want, atol=8e-2, rtol=5e-2)  # int8 grid
+
 
 def test_ancestry_pallas_matches_xla_interpret():
     from multimodalsum_tpu.ops.ancestry_attention import (

@@ -23,6 +23,71 @@ def test_pallas_entity_attention_matches_xla():
     np.testing.assert_allclose(got, want, atol=2e-5, rtol=2e-5)
 
 
+def test_pallas_decode_q8_matches_quantized_xla():
+    """Fused int8 decode kernel vs entity_cross_attention_quantized
+    (interpret mode), incl. null entity / partial padding / all-null batch."""
+    import jax.numpy as jnp
+
+    from multimodalsum_tpu.ops.attention import entity_cross_attention_quantized
+    from multimodalsum_tpu.ops.pallas_attention import decode_cross_attention_pallas_q8
+    from multimodalsum_tpu.ops.quantization import quantize_int8, to_kernel_layout
+
+    rng = np.random.default_rng(2)
+    b, T, n, h = 3, 5, 4, 16
+    e, s = 3, 24
+    q = jnp.asarray(rng.normal(size=(b, T, n, h)).astype(np.float32))
+    k = rng.normal(size=(b, e, s, n, h)).astype(np.float32)
+    v = rng.normal(size=(b, e, s, n, h)).astype(np.float32)
+    mask = np.ones((b, e, s), bool)
+    mask[0, 2] = False          # null entity
+    mask[1, 1, 10:] = False     # partial padding
+    mask[2] = False             # all-null batch element
+    mask = jnp.asarray(mask)
+
+    kq = quantize_int8(jnp.asarray(k), axis=2)
+    vq = quantize_int8(jnp.asarray(v), axis=2)
+    want = np.asarray(entity_cross_attention_quantized(q, kq, vq, mask))
+    kk, vk = to_kernel_layout(kq), to_kernel_layout(vq)
+    got = np.asarray(decode_cross_attention_pallas_q8(
+        q, kk.values, vk.values, kk.scale, vk.scale, mask, interpret=True))
+    np.testing.assert_allclose(got, want, atol=2e-5, rtol=2e-5)
+    assert np.abs(got[2]).max() == 0.0
+
+
+def test_pallas_decode_q8_via_generate():
+    """generate(kv_quant=\"int8_kernel\") decodes like kv_quant=\"int8\"
+    (interpret-mode kernels on CPU are exercised through the engine)."""
+    import jax
+
+    from multimodalsum_tpu.core.config import TINY_CONFIG as cfg, GenerationConfig
+    from multimodalsum_tpu.decode.engine import generate
+    from multimodalsum_tpu.models.bart import BartModel
+    from multimodalsum_tpu.ops import pallas_attention as P
+
+    # route the kernel through interpret mode on CPU
+    orig = P.decode_cross_attention_pallas_q8
+    P.decode_cross_attention_pallas_q8 = lambda *a, **kw: orig(*a, interpret=True, **kw)
+    try:
+        model = BartModel(cfg)
+        params = model.init(jax.random.PRNGKey(0), method=BartModel.init_all)["params"]
+        rng = np.random.default_rng(4)
+        eh = (rng.normal(size=(2, 3, 8, cfg.d_model)) * 2.0).astype(np.float32)
+        mask = np.ones((2, 3, 8), bool)
+        rating = np.zeros((2, 1), np.float32)
+        gen = GenerationConfig(num_beams=2, max_length=10, min_length=2,
+                               length_penalty=1.0, early_stopping=True,
+                               no_repeat_ngram_size=0)
+        ref = generate(model, params, [eh], [mask], rating, gen, kv_quant="int8")
+        got = generate(model, params, [eh], [mask], rating, gen,
+                       kv_quant="int8_kernel")
+        np.testing.assert_array_equal(np.asarray(got.sequences),
+                                      np.asarray(ref.sequences))
+        np.testing.assert_allclose(np.asarray(got.scores), np.asarray(ref.scores),
+                                   atol=1e-4)
+    finally:
+        P.decode_cross_attention_pallas_q8 = orig
+
+
 def test_pallas_all_null_batch_guard():
     from multimodalsum_tpu.ops.pallas_attention import entity_cross_attention_pallas
 
