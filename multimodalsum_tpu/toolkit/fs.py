@@ -1,0 +1,140 @@
+"""Filesystem accessors: a small abstraction over local / S3 storage.
+
+Equivalent of the reference ``mltoolkit/mlutils/fs_accessors/
+{local,s3}_fs_accessor.py`` + ``helpers/aws.py``: pipeline code addresses
+files through an accessor so the same steps run against local disk or an
+object store. The S3 backend is import-gated on ``boto3`` (this environment
+has no egress); everything else is dependency-free.
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import os
+import shutil
+from typing import IO, Iterator, List
+
+
+class FsAccessor:
+    """Interface: open/list/exists/remove/makedirs over a storage backend."""
+
+    def open(self, path: str, mode: str = "r", **kw) -> IO:
+        raise NotImplementedError
+
+    def exists(self, path: str) -> bool:
+        raise NotImplementedError
+
+    def listdir(self, path: str) -> List[str]:
+        raise NotImplementedError
+
+    def glob(self, pattern: str) -> List[str]:
+        raise NotImplementedError
+
+    def makedirs(self, path: str) -> None:
+        raise NotImplementedError
+
+    def remove(self, path: str) -> None:
+        raise NotImplementedError
+
+    def copy(self, src: str, dst: str) -> None:
+        with self.open(src, "rb") as f_in, self.open(dst, "wb") as f_out:
+            shutil.copyfileobj(f_in, f_out)
+
+
+class LocalFsAccessor(FsAccessor):
+    """Plain local filesystem (reference ``local_fs_accessor.py``)."""
+
+    def open(self, path: str, mode: str = "r", **kw) -> IO:
+        if any(m in mode for m in ("w", "a")):
+            parent = os.path.dirname(path)
+            if parent:
+                os.makedirs(parent, exist_ok=True)
+        return open(path, mode, **kw)
+
+    def exists(self, path: str) -> bool:
+        return os.path.exists(path)
+
+    def listdir(self, path: str) -> List[str]:
+        return sorted(os.listdir(path))
+
+    def glob(self, pattern: str) -> List[str]:
+        return sorted(_glob.glob(pattern))
+
+    def makedirs(self, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+
+    def remove(self, path: str) -> None:
+        if os.path.isdir(path):
+            shutil.rmtree(path)
+        else:
+            os.remove(path)
+
+
+class S3FsAccessor(FsAccessor):
+    """S3-backed accessor (reference ``s3_fs_accessor.py``). Paths are
+    ``bucket/key``-style relative to the configured bucket. Requires
+    ``boto3``; constructing without it raises ImportError so local-only
+    environments fail fast and explicitly."""
+
+    def __init__(self, bucket: str, client=None):
+        if client is None:
+            try:
+                import boto3  # type: ignore
+            except ImportError as e:  # pragma: no cover - no egress here
+                raise ImportError(
+                    "S3FsAccessor requires boto3 (unavailable in offline "
+                    "environments); pass a client explicitly for testing") from e
+            client = boto3.client("s3")
+        self.bucket = bucket
+        self.client = client
+
+    def open(self, path: str, mode: str = "r", **kw) -> IO:
+        import io
+
+        if "r" in mode:
+            body = self.client.get_object(Bucket=self.bucket, Key=path)["Body"].read()
+            return io.BytesIO(body) if "b" in mode else io.StringIO(body.decode())
+        if "w" in mode:
+            accessor, bucket, client = self, self.bucket, self.client
+
+            class _Writer(io.BytesIO if "b" in mode else io.StringIO):  # type: ignore
+                def close(_self):
+                    data = _self.getvalue()
+                    if isinstance(data, str):
+                        data = data.encode()
+                    client.put_object(Bucket=bucket, Key=path, Body=data)
+                    super(type(_self), _self).close()
+
+            return _Writer()
+        raise ValueError(f"unsupported mode {mode!r}")
+
+    def exists(self, path: str) -> bool:
+        resp = self.client.list_objects_v2(Bucket=self.bucket, Prefix=path, MaxKeys=1)
+        return bool(resp.get("Contents"))
+
+    def listdir(self, path: str) -> List[str]:
+        prefix = path.rstrip("/") + "/" if path else ""
+        resp = self.client.list_objects_v2(Bucket=self.bucket, Prefix=prefix)
+        return sorted(o["Key"] for o in resp.get("Contents", []))
+
+    def glob(self, pattern: str) -> List[str]:
+        import fnmatch
+
+        prefix = pattern.split("*")[0].rsplit("/", 1)[0]
+        resp = self.client.list_objects_v2(Bucket=self.bucket, Prefix=prefix)
+        keys = (o["Key"] for o in resp.get("Contents", []))
+        return sorted(k for k in keys if fnmatch.fnmatch(k, pattern))
+
+    def makedirs(self, path: str) -> None:
+        pass  # object stores have no directories
+
+    def remove(self, path: str) -> None:
+        self.client.delete_object(Bucket=self.bucket, Key=path)
+
+
+def get_accessor(path: str) -> FsAccessor:
+    """``s3://bucket/...`` -> S3 accessor, anything else -> local."""
+    if path.startswith("s3://"):
+        bucket = path[5:].split("/", 1)[0]
+        return S3FsAccessor(bucket)
+    return LocalFsAccessor()

@@ -247,3 +247,49 @@ def test_datachunk_validation_and_equality():
     assert not bad.valid
     with pytest.raises(InvalidChunkError):
         bad.validate()
+
+
+def test_fs_accessors(tmp_path):
+    """Local accessor roundtrip + S3 accessor against a fake client
+    (reference mlutils fs_accessors)."""
+    from multimodalsum_tpu.toolkit.fs import (LocalFsAccessor, S3FsAccessor,
+                                              get_accessor)
+
+    fs = LocalFsAccessor()
+    p = str(tmp_path / "a" / "b.txt")
+    with fs.open(p, "w") as f:       # auto-creates parent dirs
+        f.write("hello")
+    assert fs.exists(p)
+    with fs.open(p) as f:
+        assert f.read() == "hello"
+    assert fs.glob(str(tmp_path / "a" / "*.txt")) == [p]
+    fs.copy(p, str(tmp_path / "a" / "c.txt"))
+    assert fs.listdir(str(tmp_path / "a")) == ["b.txt", "c.txt"]
+    fs.remove(p)
+    assert not fs.exists(p)
+    assert isinstance(get_accessor("/x/y"), LocalFsAccessor)
+
+    class FakeS3:
+        def __init__(self):
+            self.store = {}
+        def put_object(self, Bucket, Key, Body):
+            self.store[Key] = Body
+        def get_object(self, Bucket, Key):
+            import io
+            return {"Body": io.BytesIO(self.store[Key])}
+        def list_objects_v2(self, Bucket, Prefix, MaxKeys=1000):
+            keys = sorted(k for k in self.store if k.startswith(Prefix))
+            return {"Contents": [{"Key": k} for k in keys[:MaxKeys]]}
+        def delete_object(self, Bucket, Key):
+            self.store.pop(Key, None)
+
+    s3 = S3FsAccessor("bkt", client=FakeS3())
+    with s3.open("dir/x.txt", "w") as f:
+        f.write("payload")
+    assert s3.exists("dir/x.txt")
+    with s3.open("dir/x.txt") as f:
+        assert f.read() == "payload"
+    assert s3.listdir("dir") == ["dir/x.txt"]
+    assert s3.glob("dir/*.txt") == ["dir/x.txt"]
+    s3.remove("dir/x.txt")
+    assert not s3.exists("dir/x.txt")
