@@ -169,12 +169,17 @@ def train_model(
     b_shard = batch_sharding(mesh)
     r_shard = replicated(mesh)
 
+    # donate the state: without donation every step transiently holds TWO
+    # copies of params + optimizer state (~15 GB for BART-large + AdamW),
+    # which OOMs a 16 GB chip that fits the donated step comfortably
     jit_train = jax.jit(
-        train_step, in_shardings=(r_shard, b_shard, r_shard), out_shardings=(r_shard, r_shard)
+        train_step, in_shardings=(r_shard, b_shard, r_shard),
+        out_shardings=(r_shard, r_shard), donate_argnums=0,
     )
     jit_train_det = jax.jit(
         lambda s, b: train_step(s, b, None),
         in_shardings=(r_shard, b_shard), out_shardings=(r_shard, r_shard),
+        donate_argnums=0,
     )
     jit_eval = jax.jit(eval_step, in_shardings=(r_shard, b_shard), out_shardings=r_shard)
     # tail val batches (drop_last=False) may not divide the data axis; they
