@@ -136,10 +136,11 @@ def main():
         set_entity_attention_impl("pallas")
 
     # (batch, cache_mode, kv_quant) attempts, best-first. Measured on one
-    # v5e chip: b64/ancestry/int8 12.0 sum/s; b32/ancestry/exact 10.8;
+    # v5e chip: b64/ancestry/int8 15.0 sum/s; b48/ancestry/exact 12.25;
     # b32/reorder/exact 4.3; bigger batches fail to compile (HBM).
-    attempts = [(64, "ancestry", "int8"), (32, "ancestry", None),
-                (32, "reorder", None), (8, "reorder", None)]
+    attempts = [(64, "ancestry", "int8"), (48, "ancestry", None),
+                (32, "ancestry", None), (32, "reorder", None),
+                (8, "reorder", None)]
     if "--exact" in sys.argv:
         attempts = [a for a in attempts if a[2] is None]
 

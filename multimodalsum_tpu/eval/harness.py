@@ -87,27 +87,54 @@ def generate_summaries(
 
     outputs: List[str] = []
     n = len(dataset)
-    for start in range(0, n, batch_size):
-        idxs = list(range(start, min(start + batch_size, n)))
-        real = len(idxs)
-        # pad the final batch to the jit shape with repeats
-        while len(idxs) < batch_size:
-            idxs.append(idxs[-1])
-        rows = [dataset.example(i, tokenizer) for i in idxs]
+    n_batches = (n + batch_size - 1) // batch_size
+
+    def host_batches():
+        """Assemble + stack each batch on host (reference data_prefetcher's
+        worker side)."""
+        for start in range(0, n, batch_size):
+            idxs = list(range(start, min(start + batch_size, n)))
+            real = len(idxs)
+            # pad the final batch to the jit shape with repeats
+            while len(idxs) < batch_size:
+                idxs.append(idxs[-1])
+            rows = [dataset.example(i, tokenizer) for i in idxs]
+            yield real, (
+                np.stack([r["reviews"] for r in rows]),
+                np.stack([r["reviews_mask"] for r in rows]),
+                stack_features([r["field_values"] for r in rows]),
+                np.stack([r["img"] for r in rows]),
+                np.stack([r["img_mask"] for r in rows]),
+            )
+
+    # overlap host assembly + H2D transfer with device compute: device_put is
+    # async, so queuing the next batch while the current one decodes is the
+    # TPU-native double buffering (replaces the reference's CUDA-stream
+    # data_prefetcher, src/multimodal_train.py:196-343)
+    from multimodalsum_tpu.data.prefetch import prefetch_to_device
+
+    reals = []
+
+    def arrays_only():
+        for real, arrs in host_batches():
+            reals.append(real)
+            yield arrs
+
+    if mesh is not None:
+        from multimodalsum_tpu.parallel.mesh import batch_sharding as _bs
+
+        b_sh = _bs(mesh)
+    else:
+        b_sh = None
+    for bi, dev_args in enumerate(
+        prefetch_to_device(arrays_only(), size=2, sharding=b_sh)
+    ):
         t0 = time.time()
-        seqs, lengths = pipeline(
-            params, batch_stats,
-            np.stack([r["reviews"] for r in rows]),
-            np.stack([r["reviews_mask"] for r in rows]),
-            stack_features([r["field_values"] for r in rows]),
-            np.stack([r["img"] for r in rows]),
-            np.stack([r["img_mask"] for r in rows]),
-        )
+        seqs, lengths = pipeline(params, batch_stats, *dev_args)
         seqs = np.asarray(seqs)
-        for r in range(real):
+        for r in range(reals[bi]):
             outputs.append(tokenizer.decode(seqs[r], skip_special_tokens=True))
-        log(f"eval batch {start // batch_size + 1}/{(n + batch_size - 1) // batch_size} "
-            f"({time.time() - t0:.2f}s)")
+        log(f"eval batch {bi + 1}/{n_batches} ({time.time() - t0:.2f}s)")
     return outputs
 
 
