@@ -7,8 +7,8 @@ Measures end-to-end summaries/sec/chip for the production eval configuration
 (3 encoders + on-device beam search) jitted, bf16.
 
 Default serving config (measured-best on one TPU v5e chip, 2026-08 A/B —
-SCALING.md has the full table): batch 64, reorder-free ancestry beam cache,
-int8 cross-attention KV. Falls back to smaller batches / exact config
+SCALING.md has the full table): batch 72, reorder-free ancestry beam cache,
+scale-folded int8 cross-attention KV. Falls back to smaller batches / exact config
 automatically if compilation fails (e.g. memory on a smaller chip).
 ``--exact`` benchmarks the fully token-exact path (no KV quantization)
 instead; ``--cache_mode/--kv_quant/--batch/--pallas`` override individually.
@@ -136,11 +136,12 @@ def main():
         set_entity_attention_impl("pallas")
 
     # (batch, cache_mode, kv_quant) attempts, best-first. Measured on one
-    # v5e chip: b64/ancestry/int8 15.0 sum/s; b48/ancestry/exact 12.25;
-    # b32/reorder/exact 4.3; bigger batches fail to compile (HBM).
-    attempts = [(64, "ancestry", "int8"), (48, "ancestry", None),
-                (32, "ancestry", None), (32, "reorder", None),
-                (8, "reorder", None)]
+    # v5e chip: b72/ancestry/int8 17.4 sum/s (the sharp peak of the batch
+    # sweep: b64 15.0, b68 16.1, b76 15.0, b80 13.1); b48/ancestry/exact
+    # 12.25; b32/reorder/exact 4.3; b96+ fail to compile (HBM).
+    attempts = [(72, "ancestry", "int8"), (64, "ancestry", "int8"),
+                (48, "ancestry", None), (32, "ancestry", None),
+                (32, "reorder", None), (8, "reorder", None)]
     if "--exact" in sys.argv:
         attempts = [a for a in attempts if a[2] is None]
 

@@ -43,11 +43,12 @@ def main(argv=None):
                    help="quantize the decoder self-attention KV cache")
     p.add_argument("--kv_quant", type=str, default=None, choices=["int8", "int4"],
                    help="quantize decode-time cross-attention K/V")
-    p.add_argument("--cache_mode", type=str, default="ancestry",
+    p.add_argument("--cache_mode", type=str, default=None,
                    choices=["reorder", "ancestry"],
-                   help="beam KV-cache handling; ancestry (default) is "
-                        "reorder-free, token-identical to reorder, and "
-                        "~2.5x faster on TPU (SCALING.md)")
+                   help="beam KV-cache handling; default resolves to "
+                        "ancestry on one device (reorder-free, "
+                        "token-identical, ~2.5x faster) and reorder under "
+                        "--dp/--tp meshes (shard-local; SCALING.md)")
     p.add_argument("--pallas", action="store_true",
                    help="use the fused Pallas entity-attention kernel")
     p.add_argument("--dp", type=int, default=0,

@@ -38,9 +38,16 @@ def generate_summaries(
     log=print,
     kv_quant: str | None = None,
     self_kv_quant: str | None = None,
-    cache_mode: str = "reorder",
+    cache_mode: str | None = None,
     mesh=None,
 ) -> List[str]:
+    """``cache_mode=None`` resolves to "ancestry" on a single device (2.5x
+    faster, token-identical — SCALING.md) but "reorder" under a mesh: the
+    ancestry one-hot gather contracts over the full (batch-sharded) row
+    axis, which SPMD can only lower with per-step cross-device KV movement,
+    while the reorder ``take`` stays shard-local."""
+    if cache_mode is None:
+        cache_mode = "reorder" if mesh is not None else "ancestry"
     field = dataset.field_tokens(tokenizer)
     bart = BartModel(model.config, multimodal=True, dtype=model.dtype)
 
@@ -50,7 +57,22 @@ def generate_summaries(
         text_h = model.apply(vs, reviews, reviews_mask, method=MultimodalSum.encode_text)
         table_h, table_m = model.apply(vs, field, field_values,
                                        method=MultimodalSum.encode_table)
-        img_h, img_m = model.apply(vs, img, img_mask, method=MultimodalSum.encode_img)
+        # encode images in chunks: ResNet over b*10 images in one shot peaks
+        # activation memory well above the decode working set (bench.py uses
+        # the same chunking; keeps large serving batches compiling). Under a
+        # mesh the batch axis is already sharded (per-device count is small)
+        # and reshaping a sharded axis would fight the partitioner.
+        img_chunks = 1 if mesh is not None else max(1, b // 16)
+        if img_chunks > 1 and b % img_chunks == 0:
+            imgs = img.reshape(img_chunks, b // img_chunks, *img.shape[1:])
+            imasks = img_mask.reshape(img_chunks, b // img_chunks, img_mask.shape[1])
+            img_h, img_m = jax.lax.map(
+                lambda c: model.apply(vs, c[0], c[1], method=MultimodalSum.encode_img),
+                (imgs, imasks))
+            img_h = img_h.reshape(b, *img_h.shape[2:])
+            img_m = img_m.reshape(b, *img_m.shape[2:])
+        else:
+            img_h, img_m = model.apply(vs, img, img_mask, method=MultimodalSum.encode_img)
         rating = jnp.zeros((b, 1), jnp.float32)  # zeros at eval (src/test.py:155)
         res = generate(bart, params["bart"],
                        [text_h, table_h, img_h],
@@ -149,7 +171,7 @@ def evaluate(
     with_bert: bool = False,
     kv_quant: str | None = None,
     self_kv_quant: str | None = None,
-    cache_mode: str = "reorder",
+    cache_mode: str | None = None,
     mesh=None,
 ) -> tuple[Dict[str, float], List[str]]:
     """Generate + score (reference ``src/test.py:218-236``); returns

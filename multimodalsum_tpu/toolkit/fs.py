@@ -95,10 +95,12 @@ class S3FsAccessor(FsAccessor):
             body = self.client.get_object(Bucket=self.bucket, Key=path)["Body"].read()
             return io.BytesIO(body) if "b" in mode else io.StringIO(body.decode())
         if "w" in mode:
-            accessor, bucket, client = self, self.bucket, self.client
+            bucket, client = self.bucket, self.client
 
             class _Writer(io.BytesIO if "b" in mode else io.StringIO):  # type: ignore
                 def close(_self):
+                    if _self.closed:  # IOBase contract: close() is idempotent
+                        return
                     data = _self.getvalue()
                     if isinstance(data, str):
                         data = data.encode()
@@ -108,22 +110,48 @@ class S3FsAccessor(FsAccessor):
             return _Writer()
         raise ValueError(f"unsupported mode {mode!r}")
 
+    def _list_keys(self, prefix: str) -> Iterator[str]:
+        """All keys under ``prefix``, following pagination (a single
+        ``list_objects_v2`` call silently truncates at 1000 keys)."""
+        token = None
+        while True:
+            kw = dict(Bucket=self.bucket, Prefix=prefix)
+            if token:
+                kw["ContinuationToken"] = token
+            resp = self.client.list_objects_v2(**kw)
+            for o in resp.get("Contents", []):
+                yield o["Key"]
+            if not resp.get("IsTruncated"):
+                return
+            token = resp.get("NextContinuationToken")
+            if token is None:
+                return
+
     def exists(self, path: str) -> bool:
-        resp = self.client.list_objects_v2(Bucket=self.bucket, Prefix=path, MaxKeys=1)
-        return bool(resp.get("Contents"))
+        # exact-key match: a bare prefix match would return True for
+        # sibling keys like "<path>.tmp"
+        return any(k == path for k in self._list_keys(path))
 
     def listdir(self, path: str) -> List[str]:
+        """Immediate children (basenames), matching LocalFsAccessor."""
         prefix = path.rstrip("/") + "/" if path else ""
-        resp = self.client.list_objects_v2(Bucket=self.bucket, Prefix=prefix)
-        return sorted(o["Key"] for o in resp.get("Contents", []))
+        children = {
+            k[len(prefix):].split("/", 1)[0]
+            for k in self._list_keys(prefix)
+            if k != prefix
+        }
+        return sorted(children)
 
     def glob(self, pattern: str) -> List[str]:
-        import fnmatch
+        """Like local glob: ``*`` and ``?`` do not cross ``/`` boundaries
+        (fnmatch's ``*`` would)."""
+        import re
 
-        prefix = pattern.split("*")[0].rsplit("/", 1)[0]
-        resp = self.client.list_objects_v2(Bucket=self.bucket, Prefix=prefix)
-        keys = (o["Key"] for o in resp.get("Contents", []))
-        return sorted(k for k in keys if fnmatch.fnmatch(k, pattern))
+        prefix = pattern.split("*")[0].split("?")[0]
+        rx = re.compile(
+            "".join("[^/]*" if c == "*" else "[^/]" if c == "?" else re.escape(c)
+                    for c in pattern) + r"\Z")
+        return sorted(k for k in self._list_keys(prefix) if rx.match(k))
 
     def makedirs(self, path: str) -> None:
         pass  # object stores have no directories

@@ -277,19 +277,35 @@ def test_fs_accessors(tmp_path):
         def get_object(self, Bucket, Key):
             import io
             return {"Body": io.BytesIO(self.store[Key])}
-        def list_objects_v2(self, Bucket, Prefix, MaxKeys=1000):
+        def list_objects_v2(self, Bucket, Prefix, MaxKeys=1000,
+                            ContinuationToken=None):
             keys = sorted(k for k in self.store if k.startswith(Prefix))
-            return {"Contents": [{"Key": k} for k in keys[:MaxKeys]]}
+            if ContinuationToken:
+                keys = [k for k in keys if k > ContinuationToken]
+            page, rest = keys[:2], keys[2:]  # tiny pages exercise pagination
+            out = {"Contents": [{"Key": k} for k in page]}
+            if rest:
+                out["IsTruncated"] = True
+                out["NextContinuationToken"] = page[-1]
+            return out
         def delete_object(self, Bucket, Key):
             self.store.pop(Key, None)
 
     s3 = S3FsAccessor("bkt", client=FakeS3())
-    with s3.open("dir/x.txt", "w") as f:
-        f.write("payload")
+    w = s3.open("dir/x.txt", "w")
+    w.write("payload")
+    w.close()
+    w.close()  # IOBase contract: close is idempotent (no re-upload / raise)
     assert s3.exists("dir/x.txt")
+    assert not s3.exists("dir/x.tx")      # exact key, not prefix match
     with s3.open("dir/x.txt") as f:
         assert f.read() == "payload"
-    assert s3.listdir("dir") == ["dir/x.txt"]
+    with s3.open("dir/sub/deep.txt", "w") as f:
+        f.write("nested")
+    # listdir: immediate children only, basenames — like LocalFsAccessor
+    assert s3.listdir("dir") == ["sub", "x.txt"]
+    # glob: * must not cross "/" boundaries — like local glob
     assert s3.glob("dir/*.txt") == ["dir/x.txt"]
+    assert s3.glob("dir/*/*.txt") == ["dir/sub/deep.txt"]
     s3.remove("dir/x.txt")
     assert not s3.exists("dir/x.txt")
