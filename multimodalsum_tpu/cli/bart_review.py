@@ -92,7 +92,14 @@ def main(argv=None):
     def loss_fn(params, batch, rng):
         return denoising_loss(model, params, batch, rng=rng)
 
-    def batches(epoch, data, shuffle=True):
+    def batches(epoch, data, shuffle=True, fixed_noise_seed=None):
+        # fixed_noise_seed: reseed the noiser so every validation pass draws
+        # IDENTICAL corruptions — otherwise best-val checkpoint gating
+        # compares losses on different noise realizations across epochs
+        # (the text stage fixes its val sampling the same way,
+        # data/text.py random_state=7)
+        if fixed_noise_seed is not None:
+            noiser.rng = np.random.default_rng(fixed_noise_seed)
         order = np.random.default_rng(args.seed + epoch).permutation(len(data)) \
             if shuffle else np.arange(len(data))
         b = args.batch_size
@@ -111,7 +118,10 @@ def main(argv=None):
         make_train_step(loss_fn, tx),
         make_eval_step(lambda p, b, r: denoising_loss(model, p, b, rng=None)),
         lambda e: prefetch_to_device(batches(e, corpus), sharding=b_shard),
-        lambda: prefetch_to_device(batches(0, val_corpus, shuffle=False), sharding=b_shard),
+        lambda: prefetch_to_device(
+            batches(0, val_corpus, shuffle=False,
+                    fixed_noise_seed=args.seed + 7919),
+            sharding=b_shard),
         num_epochs=args.num_epochs,
         rng=jax.random.PRNGKey(args.seed),
         mesh=mesh,

@@ -67,6 +67,15 @@ def load_photo_map(data_root: str, dataset: str, mode: str) -> Dict[str, List[st
     return {gid: [gid] for gid in ids}
 
 
+def table_features_for(tokenizer, dataset: str, meta_row, columns) -> dict:
+    """Shared per-example table featurisation (handles a missing meta row
+    for both datasets) — used by the train store and the eval dataset."""
+    if dataset == "yelp":
+        vals = ({c: meta_row[c] for c in columns} if meta_row is not None else None)
+        return yelp_table_features(tokenizer, vals)
+    return amazon_table_features(tokenizer, meta_row)
+
+
 class MultimodalStore:
     """Per-group store joining reviews, photos and the metadata table."""
 
@@ -110,12 +119,8 @@ class MultimodalStore:
         ids, mask = tokenize_reviews(tokenizer, texts, max_length)
 
         meta_row = self.meta_by_id.get(gid)
-        if self.dataset == "yelp":
-            cols = self.meta_columns()
-            vals = ({c: meta_row[c] for c in cols} if meta_row is not None else None)
-            table = yelp_table_features(tokenizer, vals)
-        else:
-            table = amazon_table_features(tokenizer, meta_row)
+        table = table_features_for(tokenizer, self.dataset, meta_row,
+                                   self.meta_columns())
 
         if skip_images:
             n = MAX_IMGS[self.dataset]
@@ -141,7 +146,9 @@ def multimodal_batches(store: MultimodalStore, tokenizer, batch_size: int, *,
     rng = np.random.default_rng(seed + epoch)
     n = len(store)
     order = rng.permutation(n) if shuffle else np.arange(n)
-    order = order[shard_index::shard_count]
+    from multimodalsum_tpu.data.text import shard_order
+
+    order = shard_order(order, shard_index, shard_count)
     limit = (len(order) // batch_size) * batch_size if drop_last else len(order)
     for start in range(0, limit, batch_size):
         rows = [store.example(int(i), tokenizer, max_length=max_length,
@@ -208,12 +215,8 @@ class EvalDataset:
         ids, mask = tokenize_reviews(tokenizer, self.reviews[idx],
                                      self.MAX_LEN[self.dataset])
         meta_row = self.meta_by_id.get(gid)
-        if self.dataset == "yelp":
-            cols = self.meta_columns()
-            vals = ({c: meta_row[c] for c in cols} if meta_row is not None else None)
-            table = yelp_table_features(tokenizer, vals)
-        else:
-            table = amazon_table_features(tokenizer, meta_row)
+        table = table_features_for(tokenizer, self.dataset, meta_row,
+                                   self.meta_columns())
         paths = [p for p in photo_paths(self.data_root, self.dataset,
                                         self.photos.get(gid, []))
                  if os.path.exists(p)]

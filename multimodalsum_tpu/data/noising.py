@@ -165,6 +165,10 @@ class BartNoiser:
         if self.mask_ratio > 0.0:
             inputs = np.stack([self._infill(r) for r in inputs])
 
+        # NOTE: built from labels BEFORE the EOS splice below — the
+        # reference does the same (bart-review.py:70 computes
+        # create_decoder_input_ids(labels) and only then splices EOS into
+        # labels at :72-75), so the decoder input never contains that EOS
         decoder_input_ids = np.roll(labels, 1, axis=1)
         decoder_input_ids[:, 0] = self.tok.bos_token_id
 

@@ -23,7 +23,16 @@ def prefetch_to_device(
 
     def put(batch):
         if sharding is not None:
-            return jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+            def _put(x):
+                try:
+                    return jax.device_put(x, sharding)
+                except ValueError:
+                    # uneven tail batch (axis 0 not divisible by the mesh
+                    # data axis, e.g. drop_last=False validation): transfer
+                    # unsharded so the caller's unsharded-eval fallback can
+                    # run instead of crashing here
+                    return jax.device_put(x)
+            return jax.tree.map(_put, batch)
         return jax.tree.map(jax.device_put, batch)
 
     it = iter(batches)

@@ -70,9 +70,24 @@ def yelp_table_features(tokenizer, row: Mapping[str, str] | None) -> Dict[str, n
                 str_boolean=str_boolean, rating=rating, hours=hours)
 
 
-def amazon_table_features(tokenizer, row: Mapping[str, str]) -> Dict[str, np.ndarray]:
+def amazon_table_features(tokenizer, row: Mapping[str, str] | None) -> Dict[str, np.ndarray]:
     """One product's meta row → tensor dict (reference
-    ``amazon_table_processing``, ``src/data_utils.py:90-117``)."""
+    ``amazon_table_processing``, ``src/data_utils.py:90-117``).
+
+    ``row=None`` (product missing from meta.csv — the prep skips products
+    absent from the raw dumps) yields the all-null table: pad-id text
+    fields and zero binarisations, so every per-field validity mask is
+    False and the table modality is null for that example, mirroring the
+    yelp branch."""
+    if row is None:
+        return dict(
+            price=np.zeros(11, np.int32),
+            rating=np.zeros(4, np.int32),
+            brand=np.ones(12, np.int32),
+            name=np.ones(32, np.int32),
+            category=np.ones((3, 8, 12), np.int32),
+            description=np.ones(128, np.int32),
+        )
     price = np.asarray([int(x) for x in row["price"]], np.int32)
     rating = np.asarray([int(x) for x in row["ratings"]], np.int32)
     brand = (np.ones(12, np.int32) if row["brand"] == ""

@@ -42,6 +42,24 @@ def read_review_csvs(path_glob: str) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
+def shard_order(order, shard_index: int, shard_count: int):
+    """DistributedSampler-style equal-size sharding: pad ``order`` with
+    wrapped-around entries so every shard receives exactly
+    ``ceil(n / shard_count)`` indices (the reference pads the same way,
+    ``DistributedSampler.__iter__``). Unequal shards would make hosts run
+    different numbers of jitted steps per epoch and hang inside the
+    collectives of a multi-host run."""
+    import numpy as _np
+
+    if shard_count <= 1:
+        return order
+    per_shard = -(-len(order) // shard_count)  # ceil
+    total = per_shard * shard_count
+    if total > len(order):
+        order = _np.concatenate([order, order[: total - len(order)]])
+    return order[shard_index::shard_count]
+
+
 class ReviewGroupStore:
     """Groups of reviews with per-epoch resampling (9 per group)."""
 
@@ -153,7 +171,7 @@ class TextBatches:
         if self.shuffle:
             order = np.random.default_rng(self.seed + epoch).permutation(n)
         # per-host sharding replaces DistributedSampler (train_utils.py:38-43)
-        order = order[self.shard_index::self.shard_count]
+        order = shard_order(order, self.shard_index, self.shard_count)
 
         b = self.batch_size
         limit = (len(order) // b) * b if self.drop_last else len(order)

@@ -123,6 +123,20 @@ def text_modality(data_root: str, dataset: str, log=print) -> None:
     os.makedirs(os.path.join(base, "5.text", "train"), exist_ok=True)
     os.makedirs(os.path.join(base, "5.text", "val"), exist_ok=True)
 
+    # the 1.prep subdirectory is named after the raw input file's stem
+    # (textprep.source_name: reviews.json -> "reviews", but the standard
+    # dump is yelp_academic_dataset_review.json) — resolve it by lookup
+    # instead of hardcoding one stem
+    prep_dirs = sorted(d for d in glob.glob(os.path.join(base, "1.prep", "*"))
+                       if os.path.isdir(d))
+
+    def yelp_raw_path(gid: str) -> str:
+        for d in prep_dirs:
+            cand = os.path.join(d, f"{gid}.csv")
+            if os.path.exists(cand):
+                return cand
+        return os.path.join(base, "1.prep", "reviews", f"{gid}.csv")
+
     for mode in ("train", "val"):
         files = sorted(glob.glob(os.path.join(base, "4.part", mode, "*.csv")))
         log(f"text modality {dataset}/{mode}: {len(files)} groups")
@@ -130,7 +144,7 @@ def text_modality(data_root: str, dataset: str, log=print) -> None:
             gid = os.path.splitext(os.path.basename(fp))[0]
             part_rows = read_group_csv(fp)
             if dataset == "yelp":
-                raw_fp = os.path.join(base, "1.prep", "reviews", f"{gid}.csv")
+                raw_fp = yelp_raw_path(gid)
                 raw = {r["review_id"]: ascii_clean(r["review_text"])
                        for r in read_group_csv(raw_fp)}
                 rows = [dict(r, review_text=raw.get(r["review_id"], ""))
@@ -299,7 +313,9 @@ def yelp_meta(data_root: str, log=print) -> pd.DataFrame:
         if f"hours_{d}" not in df:
             df[f"hours_{d}"] = ""
 
-    # categories capped at the 90th percentile count (reference :183-186)
+    # categories capped at the 90th percentile count. The cap-1 slice is the
+    # reference's own behavior, reproduced deliberately
+    # (table_modality_preprocessing.py:184 slices [:int(threshold-1)])
     cat_len = df["categories"].apply(lambda v: len(str(v).split(", ")))
     cap = int(np.percentile(cat_len, 90))
     df["categories"] = df["categories"].apply(
@@ -310,7 +326,11 @@ def yelp_meta(data_root: str, log=print) -> pd.DataFrame:
     all_hours = pd.Series(list(itertools.chain(
         *[list(df[c][df[c] != ""]) for c in hours_cols])))
     counts = all_hours.value_counts()
-    # keep the most frequent interval strings covering ≥90% of occurrences
+    # keep the most frequent interval strings: the count threshold is the
+    # FIRST i whose coverage drops below 90% — i.e. the fit set covers
+    # slightly less than 90%. That is the reference's exact loop
+    # (table_modality_preprocessing.py:191-197 breaks then reuses i),
+    # reproduced deliberately for parity
     i = 0
     for i in range(len(counts)):
         if counts[counts >= i].sum() / len(all_hours) < 0.9:

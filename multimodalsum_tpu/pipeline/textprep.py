@@ -40,18 +40,47 @@ def clean_text(text: str) -> str:
 
 
 def iter_yelp_groups(path: str) -> Iterator[Tuple[str, List[dict]]]:
-    """Yelp review.json lines grouped by business (the reference first sorts
-    the file in place by business id — here grouping happens in memory)."""
-    groups: "OrderedDict[str, List[dict]]" = OrderedDict()
-    with open(path, encoding="utf-8") as f:
-        for line in f:
-            d = json.loads(line)
-            groups.setdefault(d["business_id"], []).append(
-                dict(group_id=d["business_id"], review_id=d["review_id"],
-                     review_text=clean_text(d["text"]), rating=d["stars"],
-                     category="business")
-            )
-    yield from groups.items()
+    """Yelp review.json lines grouped by business, streamed via an external
+    disk sort like the reference (``preprocessing/helpers/data_utils.py:12-69``
+    sorts the dump by business id then streams group-by-group). The real dump
+    is ~5-7 GB / ~7M reviews; accumulating per-review dicts in memory would
+    multiply that several-fold in Python object overhead and OOM the prep
+    host, so only ONE group is ever resident. Review order within a group is
+    the file order (``sort --stable`` on the business-id key only)."""
+    import subprocess
+    import tempfile
+
+    with tempfile.TemporaryDirectory(prefix="yelp_prep_") as tmp:
+        proj = os.path.join(tmp, "proj.tsv")
+        with open(path, encoding="utf-8") as f, \
+                open(proj, "w", encoding="utf-8") as out:
+            for line in f:
+                d = json.loads(line)
+                # json-encode the text: single line, no raw tabs/newlines
+                out.write(f"{d['business_id']}\t{d['review_id']}\t"
+                          f"{d['stars']}\t{json.dumps(d['text'])}\n")
+        sorted_fp = os.path.join(tmp, "sorted.tsv")
+        subprocess.run(
+            ["sort", "--stable", "-t", "\t", "-k1,1", "-o", sorted_fp, proj],
+            check=True, env=dict(os.environ, LC_ALL="C", TMPDIR=tmp),
+        )
+        os.remove(proj)
+
+        cur_gid, units = None, []
+        with open(sorted_fp, encoding="utf-8") as f:
+            for line in f:
+                gid, rid, stars, text_json = line.rstrip("\n").split("\t", 3)
+                if gid != cur_gid and units:
+                    yield cur_gid, units
+                    units = []
+                cur_gid = gid
+                units.append(
+                    dict(group_id=gid, review_id=rid,
+                         review_text=clean_text(json.loads(text_json)),
+                         rating=float(stars), category="business")
+                )
+        if units:
+            yield cur_gid, units
 
 
 def iter_amazon_groups(path: str) -> Iterator[Tuple[str, List[dict]]]:

@@ -108,3 +108,35 @@ def test_make_hooks_metrics_log(tmp_path):
 
     args = argparse.Namespace(metrics_log=None)
     assert make_hooks(args, save=None).save is None
+
+
+def test_prefetch_uneven_tail_falls_back_unsharded():
+    """drop_last=False validation tails whose size does not divide the mesh
+    data axis must transfer unsharded instead of raising (the train loop's
+    unsharded-eval fallback handles them)."""
+    import numpy as np
+
+    from multimodalsum_tpu.data.prefetch import prefetch_to_device
+    from multimodalsum_tpu.parallel.mesh import batch_sharding, make_mesh
+
+    mesh = make_mesh()  # 8 virtual CPU devices (conftest)
+    b_shard = batch_sharding(mesh)
+    batches = [dict(x=np.zeros((16, 3))), dict(x=np.zeros((5, 3)))]
+    out = list(prefetch_to_device(iter(batches), sharding=b_shard))
+    assert len(out) == 2
+    assert out[0]["x"].shape == (16, 3)
+    assert out[1]["x"].shape == (5, 3)  # uneven tail survives
+
+
+def test_shard_order_equal_counts():
+    """Per-host sharding pads with wrapped indices so every shard gets the
+    same count (multi-host steps-per-epoch must match or collectives hang)."""
+    import numpy as np
+
+    from multimodalsum_tpu.data.text import shard_order
+
+    order = np.arange(99)
+    shards = [shard_order(order, i, 2) for i in range(2)]
+    assert len(shards[0]) == len(shards[1]) == 50
+    assert shards[1][-1] == order[0]  # wrap-around pad
+    np.testing.assert_array_equal(shard_order(order, 0, 1), order)
