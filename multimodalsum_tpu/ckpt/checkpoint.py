@@ -85,26 +85,33 @@ def restore_checkpoint(directory: str, template: Any) -> Any:
                          jax.device_get(template))
 
 
-def _merge(template, restored, path=""):
+def _merge(template, restored, path="", stats=None):
     """Recursively overlay ``restored`` onto ``template``; keys present only
     in the template keep their (fresh-init) values — the orbax analog of the
     reference's ``authorized_missing_keys`` (e.g. the multimodal alpha/beta
     gate projections are missing from a text-stage BART export,
-    ``modeling_multimodalsum.py:2183``)."""
+    ``modeling_multimodalsum.py:2183``). ``stats`` (optional dict) counts
+    restored vs kept leaves so callers can detect a no-op restore."""
     if isinstance(template, dict):
         out = {}
         for k, v in template.items():
             if isinstance(restored, dict) and k in restored:
-                out[k] = _merge(v, restored[k], f"{path}/{k}")
+                out[k] = _merge(v, restored[k], f"{path}/{k}", stats)
             else:
+                if stats is not None:
+                    stats["kept"] = stats.get("kept", 0) + len(jax.tree.leaves(v))
                 out[k] = v
         return out
     if restored is None:
+        if stats is not None:
+            stats["kept"] = stats.get("kept", 0) + 1
         return template
     assert getattr(restored, "shape", None) == getattr(template, "shape", None), (
         f"shape mismatch at {path}: {getattr(restored, 'shape', None)} vs "
         f"{getattr(template, 'shape', None)}"
     )
+    if stats is not None:
+        stats["restored"] = stats.get("restored", 0) + 1
     return restored
 
 
@@ -112,10 +119,23 @@ def load_export(directory: str, template: Any) -> Any:
     """Load a previous stage's exported submodule params onto ``template``.
 
     Keys absent from the export keep the template's fresh initialisation
-    (partial restore); shapes of restored leaves must match."""
+    (partial restore); shapes of restored leaves must match. Raises when the
+    export shares NO leaves with the template — that always means the wrong
+    checkpoint directory / save_option (e.g. a whole-model export passed
+    where a bart submodule is expected), and silently training from random
+    init would waste the run."""
     ckptr = ocp.StandardCheckpointer()
     restored = ckptr.restore(os.path.join(os.path.abspath(directory), "export"))
-    return _merge(jax.device_get(template), restored)
+    stats: dict = {}
+    out = _merge(jax.device_get(template), restored, stats=stats)
+    if not stats.get("restored"):
+        top_t = sorted(template)[:6] if isinstance(template, dict) else type(template)
+        top_r = sorted(restored)[:6] if isinstance(restored, dict) else type(restored)
+        raise ValueError(
+            f"export at {directory!r} restored ZERO leaves onto the template "
+            f"(template keys {top_t}, export keys {top_r}) — wrong checkpoint "
+            f"dir or save_option?")
+    return out
 
 
 def load_export_stats(directory: str, template: Any) -> Any:
@@ -153,10 +173,7 @@ def save_rotating_checkpoint(
     directory = os.path.join(root, f"checkpoint-{step}")
     save_checkpoint(directory, state, save_option=save_option, epoch=epoch,
                     val_loss=val_loss)
-    existing = sorted(
-        (d for d in os.listdir(root) if d.startswith("checkpoint-")),
-        key=lambda d: int(d.split("-")[1]),
-    )
+    existing = sorted(_numbered_checkpoints(root), key=_ckpt_step)
     for stale in existing[:-keep] if keep > 0 else []:
         import shutil
 
@@ -164,12 +181,32 @@ def save_rotating_checkpoint(
     return directory
 
 
+def _ckpt_step(name: str) -> int:
+    return int(name.split("-")[1])
+
+
+def _numbered_checkpoints(root: str):
+    """``checkpoint-<int>`` dir names only — stray entries like
+    ``checkpoint-best`` or ``checkpoint-500-old`` are ignored instead of
+    crashing rotation/resume."""
+    out = []
+    for d in os.listdir(root):
+        parts = d.split("-")
+        if len(parts) == 2 and parts[0] == "checkpoint" and parts[1].isdigit():
+            out.append(d)
+    return out
+
+
 def latest_checkpoint(root: str) -> Optional[str]:
-    """Most recent ``checkpoint-<step>`` dir for resume, or None."""
+    """Most recent COMPLETE ``checkpoint-<step>`` dir for resume, or None.
+    A checkpoint is complete when its ``meta.json`` exists — save_checkpoint
+    writes it after the orbax state tree, so a run killed mid-save leaves no
+    meta.json and the previous good checkpoint is returned instead."""
     if not os.path.isdir(root):
         return None
-    dirs = [d for d in os.listdir(root) if d.startswith("checkpoint-")]
+    dirs = [d for d in _numbered_checkpoints(root)
+            if os.path.exists(os.path.join(root, d, "meta.json"))]
     if not dirs:
         return None
-    best = max(dirs, key=lambda d: int(d.split("-")[1]))
+    best = max(dirs, key=_ckpt_step)
     return os.path.join(root, best)

@@ -54,8 +54,10 @@ def main(argv=None):
                    help="disable dropout for the final fraction of steps "
                         "(reference trainer.py:419,524-527)")
     p.add_argument("--torch_init", type=str, default=None)
+    p.add_argument("--resume", type=str, default=None,
+                   help="checkpoint dir to resume full training state from")
+    p.set_defaults(num_epochs=3)  # stage-0 reference default (README:130-133)
     args = p.parse_args(argv)
-    args.num_epochs = args.num_epochs or 3
     setup_environment(args)
 
     cfg = load_model_config(args)
@@ -88,23 +90,36 @@ def main(argv=None):
         adam_eps=1e-8,  # HF Trainer default (training_args.py:165)
     )
     state = TrainState.create(params, tx)
+    if args.resume:
+        from multimodalsum_tpu.ckpt.checkpoint import restore_checkpoint
+
+        state = restore_checkpoint(args.resume, state)
+        print(f"resumed from {args.resume} at step {int(state.step)}")
+
 
     def loss_fn(params, batch, rng):
         return denoising_loss(model, params, batch, rng=rng)
 
     def batches(epoch, data, shuffle=True, fixed_noise_seed=None):
-        # fixed_noise_seed: reseed the noiser so every validation pass draws
-        # IDENTICAL corruptions — otherwise best-val checkpoint gating
-        # compares losses on different noise realizations across epochs
-        # (the text stage fixes its val sampling the same way,
-        # data/text.py random_state=7)
+        # fixed_noise_seed: swap in a fixed-seed generator so every
+        # validation pass draws IDENTICAL corruptions — otherwise best-val
+        # checkpoint gating compares losses on different noise realizations
+        # across epochs (the text stage fixes its val sampling the same way,
+        # data/text.py random_state=7). The training stream is saved and
+        # RESTORED afterwards so train epochs keep fresh noise.
+        saved_rng = None
         if fixed_noise_seed is not None:
+            saved_rng = noiser.rng
             noiser.rng = np.random.default_rng(fixed_noise_seed)
-        order = np.random.default_rng(args.seed + epoch).permutation(len(data)) \
-            if shuffle else np.arange(len(data))
-        b = args.batch_size
-        for s in range(0, (len(order) // b) * b, b):
-            yield noiser(data[order[s:s + b]])
+        try:
+            order = np.random.default_rng(args.seed + epoch).permutation(len(data)) \
+                if shuffle else np.arange(len(data))
+            b = args.batch_size
+            for s in range(0, (len(order) // b) * b, b):
+                yield noiser(data[order[s:s + b]])
+        finally:
+            if saved_rng is not None:
+                noiser.rng = saved_rng
 
     ckpt_dir = os.path.join(args.ckpt_root, f"bart-review_{args.dataset}")
     save_args(args, ckpt_dir)

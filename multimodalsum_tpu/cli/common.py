@@ -102,7 +102,12 @@ def make_hooks(args, save):
 
     def log(m):
         console(m)
-        ml.log(m.get("step", 0), **{k: v for k, v in m.items() if k != "step"})
+        # key JSON-lines records by the GLOBAL step (the per-epoch counter
+        # resets each epoch and would collide/overwrite in step-keyed
+        # consumers like TensorBoard) — the vendored Trainer logs the same
+        step = m.get("global_step", m.get("step", 0))
+        ml.log(step, **{k: v for k, v in m.items()
+                        if k not in ("step", "global_step")})
 
     return LoopHooks(log=log, save=save)
 

@@ -31,30 +31,34 @@ from multimodalsum_tpu.train.stages import img_pretrain_loss
 
 
 def img_label_batches(store, tokenizer, batch_size, *, epoch, train, seed=0,
-                      block=130, drop_last=True):
+                      block=130, drop_last=True, shard_index=0, shard_count=1):
     """(img, img_mask, labels) batches: one sampled review per group as the
-    reconstruction target (reference ``ImgDataset``, ``src/img_pretrain.py:22-83``)."""
-    if epoch > 0:
-        store.set_epoch()
-    rng = np.random.default_rng(seed + epoch)
-    order = rng.permutation(len(store)) if train else np.arange(len(store))
-    limit = (len(order) // batch_size) * batch_size if drop_last else len(order)
-    for s in range(0, limit, batch_size):
-        rows = [store.example(int(i), tokenizer, max_length=block, train=train, rng=rng)
-                for i in order[s:s + batch_size]]
-        # label: the group's first sampled review (the img dataset keeps one
-        # review per row; here a 1-review sample of the same distribution)
-        yield dict(
+    reconstruction target (reference ``ImgDataset``, ``src/img_pretrain.py:22-83``).
+    Label: the group's first sampled review (the img dataset keeps one
+    review per row; here a 1-review sample of the same distribution)."""
+    from multimodalsum_tpu.data.multimodal_data import example_batches
+
+    def project(rows):
+        return dict(
             img=np.stack([r["img"] for r in rows]),
             img_mask=np.stack([r["img_mask"] for r in rows]),
             labels=np.stack([r["reviews"][0] for r in rows]),
         )
+
+    yield from example_batches(
+        store, tokenizer, batch_size, project=project, epoch=epoch,
+        max_length=block, shuffle=train, drop_last=drop_last, seed=seed,
+        shard_index=shard_index, shard_count=shard_count,
+        example_kwargs=dict(train=train),
+    )
 
 
 def main(argv=None):
     p = base_parser("MultimodalSum-TPU stage 2a: image pretraining")
     p.add_argument("--img_model", type=str, default="resnet101")
     p.add_argument("--bart_init", type=str, default=None, required=False)
+    p.add_argument("--resume", type=str, default=None,
+                   help="checkpoint dir to resume full training state from")
     p.add_argument("--torch_resnet", type=str, default=None,
                    help="torchvision ResNet state dict (e.g. an ImageNet-"
                         "pretrained resnet101 dump) — strongly recommended: "
@@ -102,6 +106,12 @@ def main(argv=None):
         trainable=lambda n: n.startswith("img_encoder"),
     )
     state = TrainStateWithStats.create(params, batch_stats, tx)
+    if args.resume:
+        from multimodalsum_tpu.ckpt.checkpoint import restore_checkpoint
+
+        state = restore_checkpoint(args.resume, state)
+        print(f"resumed from {args.resume} at step {int(state.step)}")
+
 
     def loss_fn(params, stats, batch, rng):
         return img_pretrain_loss(model, params, stats, batch,

@@ -34,6 +34,8 @@ def main(argv=None):
     p = base_parser("MultimodalSum-TPU stage 3: multimodal training")
     p.add_argument("--img_model", type=str, default="resnet101")
     p.add_argument("--bart_init", type=str, default=None)
+    p.add_argument("--resume", type=str, default=None,
+                   help="checkpoint dir to resume full training state from")
     p.add_argument("--img_init", type=str, default=None)
     p.add_argument("--table_init", type=str, default=None)
     args = p.parse_args(argv)
@@ -76,6 +78,12 @@ def main(argv=None):
         max_grad_norm=args.max_grad_norm,
     )
     state = TrainStateWithStats.create(params, batch_stats, tx)
+    if args.resume:
+        from multimodalsum_tpu.ckpt.checkpoint import restore_checkpoint
+
+        state = restore_checkpoint(args.resume, state)
+        print(f"resumed from {args.resume} at step {int(state.step)}")
+
 
     def loss_fn(params, stats, batch, rng):
         full = dict(batch, field=field)

@@ -31,27 +31,30 @@ from multimodalsum_tpu.train.stages import table_pretrain_loss
 
 
 def table_label_batches(store, tokenizer, batch_size, *, epoch, train, seed=0,
-                        block=130, drop_last=True):
+                        block=130, drop_last=True, shard_index=0, shard_count=1):
     """(field_values, labels) batches (reference ``TableDataset``,
-    ``src/table_pretrain.py:21-82``)."""
-    if epoch > 0:
-        store.set_epoch()
-    rng = np.random.default_rng(seed + epoch)
-    order = rng.permutation(len(store)) if train else np.arange(len(store))
-    limit = (len(order) // batch_size) * batch_size if drop_last else len(order)
-    for s in range(0, limit, batch_size):
-        rows = [store.example(int(i), tokenizer, max_length=block, train=False,
-                              skip_images=True)  # the table stage reads no photos
-                for i in order[s:s + batch_size]]
-        yield dict(
+    ``src/table_pretrain.py:21-82``); the table stage reads no photos."""
+    from multimodalsum_tpu.data.multimodal_data import example_batches
+
+    def project(rows):
+        return dict(
             field_values=stack_features([r["field_values"] for r in rows]),
             labels=np.stack([r["reviews"][0] for r in rows]),
         )
+
+    yield from example_batches(
+        store, tokenizer, batch_size, project=project, epoch=epoch,
+        max_length=block, shuffle=train, drop_last=drop_last, seed=seed,
+        shard_index=shard_index, shard_count=shard_count,
+        example_kwargs=dict(train=False, skip_images=True),
+    )
 
 
 def main(argv=None):
     p = base_parser("MultimodalSum-TPU stage 2b: table pretraining")
     p.add_argument("--bart_init", type=str, default=None)
+    p.add_argument("--resume", type=str, default=None,
+                   help="checkpoint dir to resume full training state from")
     p.add_argument("--img_model", type=str, default="resnet50",
                    help="trunk held (frozen) in the composed model")
     args = p.parse_args(argv)
@@ -86,6 +89,12 @@ def main(argv=None):
         trainable=lambda n: n.startswith("table_encoder"),
     )
     state = TrainState.create(params, tx)
+    if args.resume:
+        from multimodalsum_tpu.ckpt.checkpoint import restore_checkpoint
+
+        state = restore_checkpoint(args.resume, state)
+        print(f"resumed from {args.resume} at step {int(state.step)}")
+
 
     def loss_fn(params, batch, rng):
         full = dict(batch, field=field)

@@ -117,9 +117,14 @@ class MetricLogger:
     @staticmethod
     def _sanitize(v):
         # non-finite floats (diverged loss) serialize as null — bare NaN/Inf
-        # literals are not valid JSON and break line parsers
+        # literals are not valid JSON and break line parsers. Recurses into
+        # lists/dicts (e.g. per-reference metric lists).
         import math
 
+        if isinstance(v, dict):
+            return {k: MetricLogger._sanitize(x) for k, x in v.items()}
+        if isinstance(v, (list, tuple)):
+            return [MetricLogger._sanitize(x) for x in v]
         if isinstance(v, (float, int, str, bool)) or v is None:
             return None if isinstance(v, float) and not math.isfinite(v) else v
         try:

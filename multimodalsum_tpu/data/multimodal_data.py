@@ -136,11 +136,16 @@ class MultimodalStore:
                     field_values=table, img=img, img_mask=img_mask)
 
 
-def multimodal_batches(store: MultimodalStore, tokenizer, batch_size: int, *,
-                       epoch: int = 0, max_length: int = 130, train: bool = True,
-                       shuffle: bool = True, drop_last: bool = True, seed: int = 0,
-                       shard_index: int = 0, shard_count: int = 1) -> Iterator[dict]:
-    """Fixed-shape multimodal batches for the stage-3 loop."""
+def example_batches(store: MultimodalStore, tokenizer, batch_size: int, *,
+                    project, epoch: int = 0, max_length: int = 130,
+                    shuffle: bool = True, drop_last: bool = True, seed: int = 0,
+                    shard_index: int = 0, shard_count: int = 1,
+                    example_kwargs: dict | None = None) -> Iterator[dict]:
+    """Shared per-epoch iterator for every training stage: resampling
+    (``set_epoch``), seeded permutation, equal-size per-host sharding,
+    drop_last, then ``project(rows)`` shapes the batch for the stage (the
+    reference re-implements this loop in each of ``ImgDataset`` /
+    ``TableDataset`` / ``MultimodalDataset``)."""
     if epoch > 0:
         store.set_epoch()
     rng = np.random.default_rng(seed + epoch)
@@ -150,11 +155,21 @@ def multimodal_batches(store: MultimodalStore, tokenizer, batch_size: int, *,
 
     order = shard_order(order, shard_index, shard_count)
     limit = (len(order) // batch_size) * batch_size if drop_last else len(order)
+    kw = example_kwargs or {}
     for start in range(0, limit, batch_size):
         rows = [store.example(int(i), tokenizer, max_length=max_length,
-                              train=train, rng=rng)
+                              rng=rng, **kw)
                 for i in order[start:start + batch_size]]
-        yield dict(
+        yield project(rows)
+
+
+def multimodal_batches(store: MultimodalStore, tokenizer, batch_size: int, *,
+                       epoch: int = 0, max_length: int = 130, train: bool = True,
+                       shuffle: bool = True, drop_last: bool = True, seed: int = 0,
+                       shard_index: int = 0, shard_count: int = 1) -> Iterator[dict]:
+    """Fixed-shape multimodal batches for the stage-3 loop."""
+    def project(rows):
+        return dict(
             reviews=np.stack([r["reviews"] for r in rows]),
             reviews_mask=np.stack([r["reviews_mask"] for r in rows]),
             reviews_rating=np.stack([r["reviews_rating"] for r in rows]),
@@ -162,6 +177,13 @@ def multimodal_batches(store: MultimodalStore, tokenizer, batch_size: int, *,
             img=np.stack([r["img"] for r in rows]),
             img_mask=np.stack([r["img_mask"] for r in rows]),
         )
+
+    yield from example_batches(
+        store, tokenizer, batch_size, project=project, epoch=epoch,
+        max_length=max_length, shuffle=shuffle, drop_last=drop_last, seed=seed,
+        shard_index=shard_index, shard_count=shard_count,
+        example_kwargs=dict(train=train),
+    )
 
 
 class EvalDataset:

@@ -49,14 +49,10 @@ def all_gather(x, axis: str = DATA_AXIS, *, tiled: bool = True):
     return jax.lax.all_gather(x, axis, tiled=tiled)
 
 
-def mean_grads(grads, mesh: Mesh, batch_spec: P = P(DATA_AXIS)):
-    """Explicit shard_map gradient mean for users who opt out of the
-    automatic jit lowering (apex ``delay_allreduce`` analog: one collective
-    per step, after the full backward)."""
-    from jax.experimental.shard_map import shard_map
-
-    def reduce_fn(g):
-        return jax.tree.map(lambda t: jax.lax.pmean(t, DATA_AXIS), g)
-
-    return shard_map(reduce_fn, mesh=mesh, in_specs=(P(),), out_specs=P(),
-                     check_rep=False)(grads)
+# NOTE: there is deliberately NO standalone "mean_grads(grads)" helper. A
+# global JAX array has one logical value, so a post-hoc shard_map pmean over
+# replicated inputs is an identity — per-shard gradients only exist INSIDE
+# the jitted train step, where the batch is sharded and XLA's SPMD lowering
+# of the loss mean already inserts the single fused all-reduce per step
+# (the apex ``delay_allreduce`` analog; see train/loop.py jit shardings).
+# Use jax.lax.pmean within shard_map/pjit bodies for custom reductions.

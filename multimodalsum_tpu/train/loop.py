@@ -202,6 +202,7 @@ def train_model(
             if i % max(log_interval, 1) == 0:
                 elapsed = time.strftime("%H:%M:%S", time.gmtime(time.time() - start))
                 hooks.log(dict(epoch=epoch + 1, step=i + 1,
+                               global_step=global_step,
                                steps_per_epoch=steps_per_epoch or "?",
                                loss=float(loss), elapsed=elapsed))
             i += 1
