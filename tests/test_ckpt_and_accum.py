@@ -75,3 +75,51 @@ def test_grad_accumulation_matches_full_batch():
         jax.device_get(s_acc.params), jax.device_get(s_full.params),
         rtol=2e-4, atol=1e-6,
     )
+
+
+def test_latest_checkpoint_ignores_incomplete_and_stray(tmp_path):
+    """Resume must skip partially-written checkpoints (no meta.json — the
+    completeness marker written after the orbax tree) and not crash on
+    stray checkpoint-* names."""
+    import os
+
+    from multimodalsum_tpu.ckpt.checkpoint import (latest_checkpoint,
+                                                   save_rotating_checkpoint)
+    from multimodalsum_tpu.train.loop import TrainState
+
+    cfg, model, params, tx = _tiny_setup()
+    state = TrainState.create(params, tx)
+    root = str(tmp_path / "ckpts")
+    save_rotating_checkpoint(root, state.replace(step=np.int32(7)), keep=3)
+
+    # partially-written checkpoint: state dir exists, meta.json missing
+    os.makedirs(os.path.join(root, "checkpoint-99", "state"))
+    # stray non-numeric entries must not crash rotation or resume
+    os.makedirs(os.path.join(root, "checkpoint-best"))
+    os.makedirs(os.path.join(root, "checkpoint-50-old"))
+
+    assert latest_checkpoint(root).endswith("checkpoint-7")
+    save_rotating_checkpoint(root, state.replace(step=np.int32(8)), keep=2)
+    assert latest_checkpoint(root).endswith("checkpoint-8")
+
+
+def test_load_export_rejects_zero_restore(tmp_path):
+    """A wrong checkpoint dir / save_option (no shared keys) must raise
+    instead of silently training from the fresh-init template."""
+    from multimodalsum_tpu.ckpt.checkpoint import (load_export,
+                                                   save_checkpoint)
+    from multimodalsum_tpu.train.loop import TrainState
+
+    cfg, model, params, tx = _tiny_setup()
+    state = TrainState.create(params, tx)
+    directory = str(tmp_path / "export_whole")
+    save_checkpoint(directory, state, save_option="whole")
+
+    # correct usage restores fine
+    merged = load_export(directory, params)
+    assert set(merged) == set(params)
+
+    # mismatched template (e.g. passing a whole-model export where a
+    # submodule is expected) shares no keys -> hard error
+    with pytest.raises(ValueError, match="ZERO leaves"):
+        load_export(directory, {"completely": {"different": np.zeros(2)}})
