@@ -169,14 +169,23 @@ def save_rotating_checkpoint(
     """Step-numbered checkpoints with rotation (the HF Trainer's
     ``checkpoint-<step>`` dirs + ``_rotate_checkpoints``, reference
     ``trainer.py:573-596,843-857``). Returns the new checkpoint dir."""
+    import shutil
+
     step = int(state.step)
     directory = os.path.join(root, f"checkpoint-{step}")
     save_checkpoint(directory, state, save_option=save_option, epoch=epoch,
                     val_loss=val_loss)
-    existing = sorted(_numbered_checkpoints(root), key=_ckpt_step)
+    # Incomplete numbered dirs (no meta.json — left by a mid-save kill) are
+    # unusable for resume; delete them eagerly so they never occupy a slot in
+    # the keep window (a stale incomplete dir with a high step number would
+    # otherwise sort newest and evict every COMPLETE checkpoint at keep=1).
+    existing = []
+    for d in sorted(_numbered_checkpoints(root), key=_ckpt_step):
+        if os.path.exists(os.path.join(root, d, "meta.json")):
+            existing.append(d)
+        elif os.path.join(root, d) != directory:
+            shutil.rmtree(os.path.join(root, d), ignore_errors=True)
     for stale in existing[:-keep] if keep > 0 else []:
-        import shutil
-
         shutil.rmtree(os.path.join(root, stale), ignore_errors=True)
     return directory
 

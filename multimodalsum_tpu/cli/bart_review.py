@@ -90,11 +90,11 @@ def main(argv=None):
         adam_eps=1e-8,  # HF Trainer default (training_args.py:165)
     )
     state = TrainState.create(params, tx)
+    start_epoch = 0
     if args.resume:
-        from multimodalsum_tpu.ckpt.checkpoint import restore_checkpoint
+        from multimodalsum_tpu.cli.common import resume_state
 
-        state = restore_checkpoint(args.resume, state)
-        print(f"resumed from {args.resume} at step {int(state.step)}")
+        state, start_epoch = resume_state(args.resume, state)
 
 
     def loss_fn(params, batch, rng):
@@ -144,6 +144,7 @@ def main(argv=None):
         early_stopping=args.early_stopping,
         hooks=hooks,
         deterministic_after=dropout_off_after,
+        start_epoch=start_epoch,
     )
 
 

@@ -112,6 +112,27 @@ def make_hooks(args, save):
     return LoopHooks(log=log, save=save)
 
 
+def resume_state(resume_dir: str, state):
+    """Restore a full training state from ``resume_dir`` and derive the epoch
+    to continue from (completed epoch in ``meta.json`` + 1, or 0 when the
+    meta is missing/unnumbered). Returns ``(state, start_epoch)`` — pass
+    ``start_epoch`` into ``train_model`` so resuming a crashed run continues
+    the interrupted epoch schedule instead of re-training ``num_epochs``
+    epochs on top of the restored step (which would run the LR schedule past
+    its horizon). HF-Trainer analog: reference ``trainer.py:477-493``."""
+    from multimodalsum_tpu.ckpt.checkpoint import read_meta, restore_checkpoint
+
+    state = restore_checkpoint(resume_dir, state)
+    start_epoch = 0
+    try:
+        start_epoch = int(read_meta(resume_dir).get("epoch", -1)) + 1
+    except (OSError, ValueError, TypeError):
+        pass
+    print(f"resumed from {resume_dir} at step {int(state.step)} "
+          f"(continuing at epoch {start_epoch})")
+    return state, start_epoch
+
+
 def save_args(args, ckpt_dir: str) -> None:
     """Snapshot CLI args beside the checkpoint (reference
     ``training_args.bin``, ``src/train_utils.py:13-16``)."""

@@ -78,11 +78,11 @@ def main(argv=None):
         max_grad_norm=args.max_grad_norm,
     )
     state = TrainStateWithStats.create(params, batch_stats, tx)
+    start_epoch = 0
     if args.resume:
-        from multimodalsum_tpu.ckpt.checkpoint import restore_checkpoint
+        from multimodalsum_tpu.cli.common import resume_state
 
-        state = restore_checkpoint(args.resume, state)
-        print(f"resumed from {args.resume} at step {int(state.step)}")
+        state, start_epoch = resume_state(args.resume, state)
 
 
     def loss_fn(params, stats, batch, rng):
@@ -120,6 +120,7 @@ def main(argv=None):
         log_interval=max(steps_per_epoch // 10, 1),
         early_stopping=args.early_stopping,
         hooks=hooks,
+        start_epoch=start_epoch,
     )
 
 

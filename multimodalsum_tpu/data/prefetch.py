@@ -15,23 +15,41 @@ from typing import Iterable, Iterator, Optional
 import jax
 
 
+def _axis0_divisor(sharding) -> Optional[int]:
+    """Number of shards the sharding splits axis 0 into, or None if that
+    cannot be determined statically (not a NamedSharding)."""
+    mesh = getattr(sharding, "mesh", None)
+    spec = getattr(sharding, "spec", None)
+    if mesh is None or spec is None:
+        return None
+    if not len(spec) or spec[0] is None:
+        return 1
+    names = spec[0] if isinstance(spec[0], tuple) else (spec[0],)
+    d = 1
+    for name in names:
+        d *= dict(mesh.shape)[name]
+    return d
+
+
 def prefetch_to_device(
     batches: Iterable, size: int = 2, sharding: Optional[object] = None
 ) -> Iterator:
     """Yield batches with up to ``size`` transfers in flight."""
     queue: deque = deque()
+    divisor = _axis0_divisor(sharding) if sharding is not None else None
 
     def put(batch):
         if sharding is not None:
             def _put(x):
-                try:
-                    return jax.device_put(x, sharding)
-                except ValueError:
-                    # uneven tail batch (axis 0 not divisible by the mesh
-                    # data axis, e.g. drop_last=False validation): transfer
-                    # unsharded so the caller's unsharded-eval fallback can
-                    # run instead of crashing here
+                # Uneven tail batch (axis 0 not divisible by the mesh data
+                # axis, e.g. drop_last=False validation): transfer unsharded
+                # so the caller's unsharded-eval fallback runs. Checked
+                # explicitly — any other ValueError from device_put (dtype /
+                # sharding-spec bugs) must surface, not silently replicate.
+                if (divisor is not None and getattr(x, "ndim", 0) >= 1
+                        and x.shape[0] % divisor != 0):
                     return jax.device_put(x)
+                return jax.device_put(x, sharding)
             return jax.tree.map(_put, batch)
         return jax.tree.map(jax.device_put, batch)
 

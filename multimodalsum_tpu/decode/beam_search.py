@@ -139,9 +139,11 @@ def beam_search(
 
         # Lazy log-softmax: with repetition_penalty == 1 and greedy beams the
         # normaliser is a per-row scalar that folds into the carried beam
-        # score (score = logit - lse + beam == logp + beam, exactly), and
-        # every remaining post-processing op is a -inf ban, which commutes
-        # with the shift. Skips one full [rows, vocab] pass per step
+        # score (score = logit + (beam - lse), identical to the eager
+        # (logit - lse) + beam up to float association — exact ties in top_k
+        # could in principle resolve differently), and every remaining
+        # post-processing op is a -inf ban, which commutes with the shift.
+        # Skips one full [rows, vocab] pass per step
         # (measured 0.6 ms at batch 64). The reference order is preserved:
         # forced BOS/EOS affect the normaliser (lse computed after
         # adjust_logits), bans do not (applied after).

@@ -128,9 +128,20 @@ class S3FsAccessor(FsAccessor):
                 return
 
     def exists(self, path: str) -> bool:
-        # exact-key match: a bare prefix match would return True for
-        # sibling keys like "<path>.tmp"
-        return any(k == path for k in self._list_keys(path))
+        # head_object is a single request (vs enumerating the whole
+        # "<path>*" prefix subtree just to stat one key); a bare prefix
+        # match would also wrongly return True for siblings like
+        # "<path>.tmp"
+        try:
+            self.client.head_object(Bucket=self.bucket, Key=path)
+            return True
+        except Exception as e:  # botocore ClientError (404/NoSuchKey)
+            code = getattr(e, "response", {}).get(
+                "ResponseMetadata", {}).get("HTTPStatusCode")
+            if code in (403, 404) or e.__class__.__name__ in (
+                    "ClientError", "NoSuchKey"):
+                return False
+            raise
 
     def listdir(self, path: str) -> List[str]:
         """Immediate children (basenames), matching LocalFsAccessor."""

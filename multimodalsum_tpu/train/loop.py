@@ -150,6 +150,7 @@ def train_model(
     early_stopping: bool = False,
     hooks: LoopHooks | None = None,
     deterministic_after: int | None = None,
+    start_epoch: int = 0,
 ):
     """Epoch loop mirroring reference ``train_model`` (``src/train_utils.py:65-97``):
     per-epoch resampling via ``train_batches(epoch)``, validation each epoch,
@@ -163,6 +164,13 @@ def train_model(
     the HF-Trainer customisation "model.eval() for the final 10% of steps"
     (reference ``trainer.py:419,524-527``). Implemented by passing
     ``rng=None`` (a second jit specialisation), not by mutating the model.
+
+    ``start_epoch``: first epoch index to run — pass the resumed checkpoint's
+    completed epoch + 1 so ``--resume`` continues the interrupted run instead
+    of re-training the full epoch count on top of the restored step (the HF
+    Trainer's epochs_trained fast-forward, reference ``trainer.py:477-493``).
+    The global step counter continues from ``state.step`` either way, so the
+    LR schedule and ``deterministic_after`` stay on their original horizon.
     """
     hooks = hooks or LoopHooks()
     mesh = mesh if mesh is not None else make_mesh()
@@ -190,8 +198,8 @@ def train_model(
     start = time.time()
     val_losses = []
     steps_per_epoch = None
-    global_step = 0
-    for epoch in range(num_epochs):
+    global_step = int(state.step)
+    for epoch in range(start_epoch, num_epochs):
         i = 0
         for batch in train_batches(epoch):
             if deterministic_after is not None and global_step >= deterministic_after:

@@ -101,6 +101,17 @@ def test_latest_checkpoint_ignores_incomplete_and_stray(tmp_path):
     assert latest_checkpoint(root).endswith("checkpoint-7")
     save_rotating_checkpoint(root, state.replace(step=np.int32(8)), keep=2)
     assert latest_checkpoint(root).endswith("checkpoint-8")
+    # the incomplete dir must not occupy a keep slot: with keep=2 both
+    # COMPLETE checkpoints survive and the unusable checkpoint-99 is removed
+    # (a high-step incomplete dir sorting "newest" would otherwise evict
+    # every complete checkpoint at keep=1 and lose resume entirely)
+    assert not os.path.exists(os.path.join(root, "checkpoint-99"))
+    assert os.path.exists(os.path.join(root, "checkpoint-7", "meta.json"))
+    save_rotating_checkpoint(root, state.replace(step=np.int32(9)), keep=1)
+    numbered = sorted(d for d in os.listdir(root)
+                      if d.split("-")[-1].isdigit())
+    assert numbered == ["checkpoint-9"]
+    assert latest_checkpoint(root).endswith("checkpoint-9")
 
 
 def test_load_export_rejects_zero_restore(tmp_path):

@@ -277,6 +277,13 @@ def test_fs_accessors(tmp_path):
         def get_object(self, Bucket, Key):
             import io
             return {"Body": io.BytesIO(self.store[Key])}
+        def head_object(self, Bucket, Key):
+            # mimic botocore: 404 ClientError with a response dict
+            if Key not in self.store:
+                e = Exception("Not Found")
+                e.response = {"ResponseMetadata": {"HTTPStatusCode": 404}}
+                raise e
+            return {"ContentLength": len(self.store[Key])}
         def list_objects_v2(self, Bucket, Prefix, MaxKeys=1000,
                             ContinuationToken=None):
             keys = sorted(k for k in self.store if k.startswith(Prefix))
