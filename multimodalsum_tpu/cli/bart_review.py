@@ -79,7 +79,9 @@ def main(argv=None):
     noiser = BartNoiser(tokenizer, args.block_size, args.permute_ratio,
                         args.mask_ratio, args.dist_lambda, seed=args.seed)
 
-    steps_per_epoch = len(corpus) // args.batch_size
+    from multimodalsum_tpu.cli.common import host_data_shard
+
+    si, sc, steps_per_epoch = host_data_shard(len(corpus), args.batch_size)
     total_steps = steps_per_epoch * args.num_epochs
     dropout_off_after = int(total_steps * (1.0 - args.dropout_off_ratio))
 
@@ -114,6 +116,10 @@ def main(argv=None):
         try:
             order = np.random.default_rng(args.seed + epoch).permutation(len(data)) \
                 if shuffle else np.arange(len(data))
+            # per-host sharding replaces DistributedSampler (train_utils.py:38-43)
+            from multimodalsum_tpu.data.text import shard_order
+
+            order = shard_order(order, si, sc)
             b = args.batch_size
             for s in range(0, (len(order) // b) * b, b):
                 yield noiser(data[order[s:s + b]])

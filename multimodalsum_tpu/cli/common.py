@@ -112,6 +112,20 @@ def make_hooks(args, save):
     return LoopHooks(log=log, save=save)
 
 
+def host_data_shard(n_examples: int, batch_size: int):
+    """``(shard_index, shard_count, steps_per_epoch)`` for per-host data
+    sharding (the DistributedSampler replacement,
+    reference ``src/train_utils.py:38-43``): each host of a multi-host run
+    iterates only its equal-size slice of the group list, so
+    steps-per-epoch (and hence the LR-schedule horizon) divides by the
+    process count. Identity on a single host."""
+    from multimodalsum_tpu.parallel.comm import host_shard
+
+    shard_index, shard_count = host_shard()
+    per_host = -(-n_examples // shard_count)  # ceil: shard_order pads
+    return shard_index, shard_count, per_host // batch_size
+
+
 def resume_state(resume_dir: str, state):
     """Restore a full training state from ``resume_dir`` and derive the epoch
     to continue from (completed epoch in ``meta.json`` + 1, or 0 when the

@@ -96,8 +96,9 @@ def main(argv=None):
 
     store = MultimodalStore(args.data_root, args.dataset, "train")
     val_store = MultimodalStore(args.data_root, args.dataset, "val")
+    from multimodalsum_tpu.cli.common import host_data_shard
 
-    steps_per_epoch = len(store) // args.batch_size
+    si, sc, steps_per_epoch = host_data_shard(len(store), args.batch_size)
     tx = make_optimizer(
         params, learning_rate=args.learning_rate,
         total_steps=steps_per_epoch * args.num_epochs,
@@ -135,10 +136,12 @@ def main(argv=None):
         eval_step,
         lambda e: prefetch_to_device(
             img_label_batches(store, tokenizer, args.batch_size, epoch=e, train=True,
-                              seed=args.seed), sharding=b_shard),
+                              seed=args.seed, shard_index=si, shard_count=sc),
+            sharding=b_shard),
         lambda: prefetch_to_device(
             img_label_batches(val_store, tokenizer, args.batch_size, epoch=0,
-                              train=False, drop_last=False), sharding=b_shard),
+                              train=False, drop_last=False,
+                              shard_index=si, shard_count=sc), sharding=b_shard),
         num_epochs=args.num_epochs,
         rng=jax.random.PRNGKey(args.seed),
         mesh=mesh,

@@ -69,8 +69,9 @@ def main(argv=None):
     store = MultimodalStore(args.data_root, args.dataset, "train")
     val_store = MultimodalStore(args.data_root, args.dataset, "val")
     field = store.field_tokens(tokenizer)
+    from multimodalsum_tpu.cli.common import host_data_shard
 
-    steps_per_epoch = len(store) // args.batch_size
+    si, sc, steps_per_epoch = host_data_shard(len(store), args.batch_size)
     tx = make_optimizer(
         params, learning_rate=args.learning_rate,
         total_steps=steps_per_epoch * args.num_epochs,
@@ -104,7 +105,8 @@ def main(argv=None):
         ckpt_dir, st, save_option="whole", epoch=epoch, val_loss=vl))
 
     batches = functools.partial(multimodal_batches, store, tokenizer,
-                                args.batch_size, seed=args.seed)
+                                args.batch_size, seed=args.seed,
+                                shard_index=si, shard_count=sc)
     train_model(
         state,
         make_train_step_with_stats(loss_fn, tx),
@@ -112,7 +114,8 @@ def main(argv=None):
         lambda e: prefetch_to_device(batches(epoch=e, train=True), sharding=b_shard),
         lambda: prefetch_to_device(
             multimodal_batches(val_store, tokenizer, args.batch_size, epoch=0,
-                               train=False, shuffle=False, drop_last=False),
+                               train=False, shuffle=False, drop_last=False,
+                               shard_index=si, shard_count=sc),
             sharding=b_shard),
         num_epochs=args.num_epochs,
         rng=jax.random.PRNGKey(args.seed),

@@ -56,11 +56,13 @@ def main(argv=None):
 
     train_store = ReviewGroupStore.from_dir(args.data_root, args.dataset, "train")
     val_store = ReviewGroupStore.from_dir(args.data_root, args.dataset, "val")
-    train_data = TextBatches(train_store, tokenizer, args.batch_size, seed=args.seed)
-    val_data = TextBatches(val_store, tokenizer, args.batch_size, shuffle=False,
-                           drop_last=False)
+    from multimodalsum_tpu.cli.common import host_data_shard
 
-    steps_per_epoch = len(train_store) // args.batch_size
+    si, sc, steps_per_epoch = host_data_shard(len(train_store), args.batch_size)
+    train_data = TextBatches(train_store, tokenizer, args.batch_size, seed=args.seed,
+                             shard_index=si, shard_count=sc)
+    val_data = TextBatches(val_store, tokenizer, args.batch_size, shuffle=False,
+                           drop_last=False, shard_index=si, shard_count=sc)
     tx = make_optimizer(
         params,
         learning_rate=args.learning_rate,

@@ -34,6 +34,15 @@ def initialize_multihost(coordinator: Optional[str] = None,
     jax.distributed.initialize(**kwargs)
 
 
+def host_shard() -> tuple:
+    """``(shard_index, shard_count)`` for per-host data sharding — the
+    DistributedSampler replacement (reference ``src/train_utils.py:38-43``).
+    Each host of a multi-host run feeds only its slice of the group list
+    (see ``data/text.py:shard_order`` for the equal-size wrap-around pad);
+    identity ``(0, 1)`` on a single host."""
+    return jax.process_index(), jax.process_count()
+
+
 def pmean(x, axis: str = DATA_AXIS):
     """Mean over a mesh axis (inside shard_map) — reference ``reduce_tensor``."""
     return jax.lax.pmean(x, axis)
