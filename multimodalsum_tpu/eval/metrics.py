@@ -13,8 +13,8 @@ implemented natively and unit-tested on hand-computed examples).
 
 Quality-parity floor measured with this scorer on the reference model's own
 published outputs (``output/Yelp.txt`` / ``output/Amazon.txt`` vs the gold
-test summaries): Yelp R1/R2/RL = 32.53/6.62/19.74, Amazon (3-ref avg) =
-33.83/6.94/20.71. Our trained models must match these under the same scorer.
+test summaries): Yelp R1/R2/RL = 32.50/6.60/19.73, Amazon (3-ref avg) =
+33.75/6.88/20.68. Our trained models must match these under the same scorer.
 """
 
 from __future__ import annotations

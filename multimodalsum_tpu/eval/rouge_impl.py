@@ -5,20 +5,39 @@ The reference scores with the ``py-rouge`` package (reference
 installed ``rouge`` 1.0.1 is a different library). This module implements the
 protocol the reference actually exercises:
 
-* PlanSum preprocessing first (``eval/metrics.py``): lowercase, strip
-  non-alphanumerics, Porter-stem tokens longer than 3 chars (ROUGE-1.5.5
-  behaviour), with 'cannot' protected;
+* PlanSum preprocessing first (``eval/metrics.py``), reproducing py-rouge's
+  ``_preprocess_summary_as_a_whole`` with ``ensure_compatibility=True``:
+  lowercase → non-alphanumerics to spaces (``REMOVE_CHAR_PATTERN``) →
+  substring 'cannot' protected as ``_cannot_`` → nltk Treebank word
+  tokenization (which splits the lexicalised contractions *gonna*/*wanna*/
+  *gotta*/*lemme*/*gimme* → ``gon na`` etc., exactly as py-rouge's
+  ``nltk.word_tokenize`` does) → Porter-stem tokens longer than 3 chars with
+  the stemmer's **ORIGINAL_ALGORITHM** mode (what py-rouge instantiates for
+  ROUGE-1.5.5 compatibility — NLTK's default extension mode stems e.g.
+  'dying'→'die' where the original algorithm gives 'dy') → ``_cannot_``
+  restored to 'cannot' on the joined string;
 * after that preprocessing each summary is a single "sentence" (all
   punctuation is gone), so py-rouge's summary-level ROUGE-L reduces to plain
   LCS per (hypothesis, reference) pair;
 * ROUGE-N: clipped n-gram multiset overlap;
-* F-score with alpha=0.5: ``1 / (alpha/p + (1-alpha)/r)`` = harmonic mean;
+* F-score: ``p*r / (alpha*r + (1-alpha)*p)`` — algebraically identical to
+  py-rouge's ``precision*recall / ((1-alpha)*precision + alpha*recall)`` for
+  every alpha (harmonic mean at 0.5; alpha→1 weights precision);
 * ``apply_avg``: mean F over pairs.
+
+Known deviation (documented in PARITY.md): py-rouge additionally maps
+irregular word forms through a WordNet exception table
+(``wordnet_key_value.txt``, derived from WordNet's ``*.exc`` files) before
+Porter stemming; that data file ships inside the py-rouge package and is not
+available in this offline environment. Scores can differ in the last decimals
+on texts containing irregular plurals/past tenses longer than 3 chars
+(e.g. 'children', 'mice', 'brought').
 
 Note: the installed ``rouge`` 1.0.1 library is NOT a valid oracle — it counts
 unique n-grams (set semantics) instead of ROUGE-1.5.5's clipped multiset
-counts; this module follows ROUGE-1.5.5 (like py-rouge). Unit-tested against
-hand-computed examples in ``tests/test_eval.py``.
+counts. The scoring core here is validated against Google's ``rouge_score``
+(an independent ROUGE-1.5.5 reimplementation) on a randomized battery plus
+hand-computed cases in ``tests/test_rouge_oracle.py`` / ``tests/test_eval.py``.
 """
 
 from __future__ import annotations
@@ -28,22 +47,33 @@ from collections import Counter
 from typing import Dict, List
 
 from nltk.stem import PorterStemmer
+from nltk.tokenize.treebank import TreebankWordTokenizer
 
-_REMOVE_CHARS = re.compile(r"[^A-Za-z0-9]")
-_STEMMER = PorterStemmer()
+_REMOVE_CHARS = re.compile(r"[^A-Za-z0-9]")  # py-rouge REMOVE_CHAR_PATTERN
+# py-rouge: Rouge.STEMMER = PorterStemmer('ORIGINAL_ALGORITHM') when
+# ensure_compatibility (the default, and what reference src/test.py:28 uses)
+_STEMMER = PorterStemmer(mode="ORIGINAL_ALGORITHM")
+# py-rouge tokenize_text = nltk.word_tokenize = sent_tokenize + Treebank; on
+# punctuation-free text sentence splitting is a no-op, leaving pure Treebank
+_TREEBANK = TreebankWordTokenizer()
 
 
 def plansum_tokens(text: str) -> List[str]:
     """PlanSum preprocessing to a token list (reference ``rouge_preprocess``,
-    ``src/test.py:19-26``): lowercase → strip punctuation → tokenize →
-    Porter-stem tokens with len > 3 → 'cannot' kept intact."""
+    ``src/test.py:19-26``; py-rouge ``_preprocess_summary_as_a_whole``):
+    lowercase → strip punctuation → protect substring 'cannot' → Treebank
+    tokenize → Porter-stem (ORIGINAL_ALGORITHM) tokens with len > 3 →
+    restore 'cannot'."""
     text = _REMOVE_CHARS.sub(" ", text.lower()).strip()
+    # KEEP_CANNOT_IN_ONE_WORD is a plain substring sub in py-rouge
+    text = text.replace("cannot", "_cannot_")
     out = []
-    for tok in text.split():
-        if tok != "cannot" and len(tok) > 3:
+    for tok in _TREEBANK.tokenize(text):
+        if len(tok) > 3:
             tok = _STEMMER.stem(tok)
         out.append(tok)
-    return out
+    # KEEP_CANNOT_IN_ONE_WORD_REVERSED applies to the joined string
+    return " ".join(out).replace("_cannot_", "cannot").split()
 
 
 def _ngrams(tokens: List[str], n: int) -> Counter:
