@@ -6,14 +6,23 @@ Measures end-to-end summaries/sec/chip for the production eval configuration
 142 (config default), no_repeat_ngram 3, early stopping — the whole pipeline
 (3 encoders + on-device beam search) jitted, bf16.
 
-Default serving config (measured-best on one TPU v5e chip, 2026-08 A/B —
-SCALING.md has the full table): batch 72, reorder-free ancestry beam cache,
-scale-folded int8 cross-attention KV. Falls back to smaller batches / exact config
-automatically if compilation fails (e.g. memory on a smaller chip).
-``--exact`` benchmarks the fully token-exact path (no KV quantization)
-instead; ``--cache_mode/--kv_quant/--batch/--pallas`` override individually.
+Two serving configurations are measured every run:
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+* **token-exact** (bf16 KV, ancestry cache) — the headline ``value``: the
+  quality half of the metric is exactly the reference's, by construction;
+* **quantized** (scale-folded int8 cross-KV) — reported as
+  ``value_quantized`` together with its measured quality cost vs the exact
+  path on identical inputs: per-sequence token agreement and id-level
+  ROUGE-L (quantized output scored against the exact output as reference).
+
+Also benchmarks the stage-3 **training step** (bart-large x9 leave-one-out +
+3 encoders + AdamW, batch 8 — the reference's 8-GPU global batch,
+``README.md:139-140``) and reports s/step, target-tokens/s and analytic MFU.
+
+Prints ONE JSON line:
+  {"metric", "value", "unit", "vs_baseline", "value_exact",
+   "value_quantized", "config_exact", "config_quantized", "fallbacks",
+   "quant_token_agreement", "quant_rougeL_vs_exact", "decode_mfu", "train"}
 
 ``vs_baseline`` compares against an estimated 2.0 summaries/sec for the
 reference PyTorch implementation on one A100 (batch 8, beam 5, ~142
@@ -21,6 +30,10 @@ host-synced single-token decoder steps per summary — the reference beam loop
 round-trips GPU->host every token, see SURVEY.md §3.4). The reference repo
 publishes no numbers (BASELINE.md), so this anchor is an engineering
 estimate, stated here for transparency.
+
+Flags: ``--exact`` (skip the quantized config), ``--no-train`` (skip the
+training benchmark), ``--batch=N --cache_mode=M --kv_quant=Q`` (bench one
+explicit config), ``--pallas`` (entity-attention Pallas kernel A/B).
 """
 
 import json
@@ -38,8 +51,97 @@ import numpy as np
 
 A100_REFERENCE_SUMMARIES_PER_SEC = 2.0
 
+E, S, N_IMG = 8, 160, 10   # entities x tokens, images (src/test.py:56-60,121-124)
+B_MAX = 96                 # inputs drawn once at B_MAX; batch b uses rows [:b]
+TRAIN_BATCH = 8
+TRAIN_LEN = 128
 
-def bench_batch(b: int, cache_mode: str = "reorder", kv_quant: str | None = None) -> float:
+# chip peak bf16 FLOP/s by device_kind prefix (public TPU specs)
+PEAK_FLOPS = {
+    "TPU v4": 275e12,
+    "TPU v5 lite": 197e12,
+    "TPU v5": 459e12,       # v5p (checked after the more specific v5 lite)
+    "TPU v6 lite": 918e12,
+}
+
+
+def chip_peak_flops() -> float:
+    kind = jax.devices()[0].device_kind
+    for prefix in ("TPU v5 lite", "TPU v6 lite", "TPU v5", "TPU v4"):
+        if kind.startswith(prefix):
+            return PEAK_FLOPS[prefix]
+    return 197e12  # conservative default
+
+
+def make_inputs(cfg):
+    """Deterministic inputs at B_MAX; row i is identical for every batch size
+    that includes it, so sequences are comparable across configs."""
+    rng = np.random.default_rng(0)
+    reviews = rng.integers(3, cfg.vocab_size, (B_MAX, E, S)).astype(np.int32)
+    reviews_mask = np.ones((B_MAX, E, S), np.int32)
+    img = rng.normal(size=(B_MAX, N_IMG, 224, 224, 3)).astype(np.float32)
+    img_mask = np.ones((B_MAX, N_IMG), bool)
+    return reviews, reviews_mask, img, img_mask
+
+
+def _matmul_flops(m, n, k):
+    return 2.0 * m * n * k
+
+
+def train_step_flops(cfg, b: int, t: int = TRAIN_LEN) -> float:
+    """Analytic dense-matmul FLOPs for one stage-3 train step (fwd + bwd ~ 3x
+    fwd): encoder once over b*9 reviews, 9 leave-one-out decoder rotations,
+    lm head, cross-attention over text/table/img, ResNet-101 over 10 images
+    (conv fwd ~7.8 GFLOP/image at 224^2; stages 1-2 frozen, so bwd only on
+    ~stage-3+linear, counted at ~1.5x fwd). Attention score/context terms
+    included; norms/gates/embeddings (vector-scale work) excluded."""
+    d, ffn, V = cfg.d_model, cfg.decoder_ffn_dim, cfg.vocab_size
+    s_text, s_tab, s_img = E * t, 47, N_IMG * 196
+    L = cfg.decoder_layers
+
+    # encoder over b*9 reviews of t tokens
+    enc_tok = b * 9 * t
+    enc = cfg.encoder_layers * (
+        _matmul_flops(enc_tok, d, d) * 4 +          # q,k,v,o
+        _matmul_flops(enc_tok, t, d) * 2 +          # scores + context
+        _matmul_flops(enc_tok, ffn, d) * 2)         # fc1, fc2
+
+    # one decoder rotation over b rows of t tokens
+    dec_tok = b * t
+    self_attn = _matmul_flops(dec_tok, d, d) * 4 + _matmul_flops(dec_tok, t, d) * 2
+    cross = 0.0
+    for s_m in (s_text, s_tab, s_img):
+        kv = _matmul_flops(b * s_m, d, d) * 2        # k, v over source
+        qo = _matmul_flops(dec_tok, d, d) * 2        # q, out
+        sc = _matmul_flops(dec_tok, s_m, d) * 2      # scores + context
+        cross += kv + qo + sc
+    ffn_f = _matmul_flops(dec_tok, ffn, d) * 2
+    head = _matmul_flops(dec_tok, V, d)
+    rotation = L * (self_attn + cross + ffn_f) + head
+
+    fwd = enc + 9 * rotation
+    resnet = b * N_IMG * 7.8e9 * 2.5                # fwd + partial bwd
+    return 3.0 * fwd + resnet                       # bwd ~ 2x fwd
+
+
+def decode_step_flops(cfg, b: int, beams: int, pos: int) -> float:
+    """Analytic FLOPs for ONE beam-decode token step at cache position
+    ``pos`` (self-attention attends pos keys; cross-KV projections are
+    amortised outside the loop and excluded)."""
+    d, ffn, V = cfg.d_model, cfg.decoder_ffn_dim, cfg.vocab_size
+    rows = b * beams
+    s_text, s_tab, s_img = E * S, 47, N_IMG * 196
+    L = cfg.decoder_layers
+    self_attn = _matmul_flops(rows, d, d) * 4 + _matmul_flops(rows, pos, d) * 2
+    cross = sum(_matmul_flops(rows, d, d) * 2 + _matmul_flops(rows, s_m, d) * 2
+                for s_m in (s_text, s_tab, s_img))
+    ffn_f = _matmul_flops(rows, ffn, d) * 2
+    head = _matmul_flops(rows, V, d)
+    return L * (self_attn + cross + ffn_f) + head
+
+
+def bench_batch(inputs, b: int, cache_mode: str = "reorder",
+                kv_quant=None):
     from multimodalsum_tpu.core.config import BartConfig, GenerationConfig
     from multimodalsum_tpu.decode.engine import generate
     from multimodalsum_tpu.models.bart import BartModel
@@ -53,13 +155,10 @@ def bench_batch(b: int, cache_mode: str = "reorder", kv_quant: str | None = None
     model = MultimodalSum(cfg, dataset="yelp", img_model="resnet101", dtype=jnp.bfloat16)
     bart = BartModel(cfg, multimodal=True, dtype=model.dtype)
 
-    e, s, n_img = 8, 160, 10
-    rng = np.random.default_rng(0)
-    reviews = rng.integers(3, cfg.vocab_size, (b * e, s)).astype(np.int32)
-    reviews_mask = np.ones((b * e, s), np.int32)
+    reviews, reviews_mask, img, img_mask = (x[:b] for x in inputs)
+    reviews = reviews.reshape(b * E, S)
+    reviews_mask = reviews_mask.reshape(b * E, S)
     field, values = yelp_dummy_table(b)
-    img = rng.normal(size=(b, n_img, 224, 224, 3)).astype(np.float32)
-    img_mask = np.ones((b, n_img), bool)
 
     t0 = time.time()
     variables = jax.jit(
@@ -75,7 +174,7 @@ def bench_batch(b: int, cache_mode: str = "reorder", kv_quant: str | None = None
 
     def pipeline(params, batch_stats, reviews, reviews_mask, field, values, img, img_mask):
         vs = {"params": params, "batch_stats": batch_stats}
-        text_h = model.apply(vs, reviews.reshape(b, e, s), reviews_mask.reshape(b, e, s),
+        text_h = model.apply(vs, reviews.reshape(b, E, S), reviews_mask.reshape(b, E, S),
                              method=MultimodalSum.encode_text)
         table_h, table_m = model.apply(vs, field, values, method=MultimodalSum.encode_table)
         if img_chunks > 1 and b % img_chunks == 0:
@@ -88,7 +187,7 @@ def bench_batch(b: int, cache_mode: str = "reorder", kv_quant: str | None = None
             img_m = img_m.reshape(b, *img_m.shape[2:])
         else:
             img_h, img_m = model.apply(vs, img, img_mask, method=MultimodalSum.encode_img)
-        text_m = reviews_mask.reshape(b, e, s).astype(bool)
+        text_m = reviews_mask.reshape(b, E, S).astype(bool)
         rating = jnp.zeros((b, 1), jnp.float32)
         res = generate(bart, params["bart"], [text_h, table_h, img_h],
                        [text_m, table_m, img_m], rating, gen,
@@ -126,7 +225,83 @@ def bench_batch(b: int, cache_mode: str = "reorder", kv_quant: str | None = None
     dt = sum(times) / iters
     print(f"# steady-state: {dt:.3f}s/batch of {b}; ~{int(lengths.sum())} tokens; "
           f"{b/dt:.2f} summaries/s", flush=True)
-    return b / dt
+
+    # rough decode MFU: mean per-step flops over the 142 positions / chip peak
+    steps = 142
+    flops = sum(decode_step_flops(BartConfig(), b, 5, p) for p in
+                range(1, steps)) / (steps - 1) * steps
+    mfu = flops / dt / chip_peak_flops()
+    return dict(sps=b / dt, dt=dt, b=b,
+                seqs=np.asarray(seqs)[:, 0], lengths=np.asarray(lengths)[:, 0],
+                mfu=mfu)
+
+
+def bench_train():
+    """Stage-3 training step at production shapes (bart-large, x9 rotations,
+    ResNet-101 over 10 images, AdamW, donation): s/step + tokens/s + MFU."""
+    from multimodalsum_tpu.core.config import BartConfig
+    from multimodalsum_tpu.models.multimodal import MultimodalSum, yelp_dummy_table
+    from multimodalsum_tpu.train.loop import TrainStateWithStats, make_train_step_with_stats
+    from multimodalsum_tpu.train.optim import NO_DECAY_MULTIMODAL, make_optimizer
+    from multimodalsum_tpu.train.stages import multimodal_train_loss
+
+    cfg = BartConfig()  # dropout active, like training
+    b, t = TRAIN_BATCH, TRAIN_LEN
+    model = MultimodalSum(cfg, dataset="yelp", img_model="resnet101",
+                          dtype=jnp.bfloat16)
+    field, values1 = yelp_dummy_table(1)
+    t0 = time.time()
+    variables = jax.jit(
+        lambda: model.init(jax.random.PRNGKey(0), field, values1,
+                           method=MultimodalSum.init_all))()
+    params, batch_stats = variables["params"], variables["batch_stats"]
+    print(f"# train init {time.time()-t0:.1f}s", flush=True)
+
+    rng = np.random.default_rng(1)
+    _, values = yelp_dummy_table(b)
+    batch = dict(
+        reviews=rng.integers(3, cfg.vocab_size, (b, 9, t)).astype(np.int32),
+        reviews_mask=np.ones((b, 9, t), np.int32),
+        reviews_rating=rng.integers(1, 6, (b, 9)).astype(np.float32),
+        field_values=values,
+        img=rng.normal(size=(b, N_IMG, 224, 224, 3)).astype(np.float32),
+        img_mask=np.ones((b, N_IMG), bool),
+    )
+    tx = make_optimizer(params, learning_rate=1e-5, total_steps=1000,
+                        no_decay=NO_DECAY_MULTIMODAL, max_grad_norm=1.0)
+
+    def loss_fn(p, stats, bt, r):
+        return multimodal_train_loss(model, p, stats, dict(bt, field=field),
+                                     label_smoothing=0.1, rng=r)
+
+    step = jax.jit(make_train_step_with_stats(loss_fn, tx), donate_argnums=0)
+    state = TrainStateWithStats.create(params, batch_stats, tx)
+    state = jax.device_put(state)
+    batch = jax.device_put(batch)
+    key = jax.device_put(jax.random.PRNGKey(2))
+    _ = np.asarray(batch["reviews_mask"][:1, :1, :1])
+
+    t0 = time.time()
+    state, loss = step(state, batch, key)
+    loss = float(loss)  # host sync
+    print(f"# train compile+first step {time.time()-t0:.1f}s loss={loss:.3f}",
+          flush=True)
+    iters, times = 3, []
+    for _ in range(iters):
+        t0 = time.time()
+        state, loss = step(state, batch, key)
+        loss = float(loss)
+        times.append(time.time() - t0)
+    dt = sum(times) / iters
+    flops = train_step_flops(cfg, b)
+    mfu = flops / dt / chip_peak_flops()
+    tokens = b * 9 * t  # target tokens per step (9 rotations)
+    print(f"# train: {dt:.3f}s/step batch {b}; {b/dt:.2f} groups/s; "
+          f"{tokens/dt:.0f} target-tokens/s; MFU {mfu:.3f}", flush=True)
+    return dict(s_per_step=round(dt, 4), batch=b,
+                groups_per_sec=round(b / dt, 3),
+                target_tokens_per_sec=round(tokens / dt, 1),
+                mfu=round(mfu, 4))
 
 
 def main():
@@ -135,15 +310,12 @@ def main():
 
         set_entity_attention_impl("pallas")
 
-    # (batch, cache_mode, kv_quant) attempts, best-first. Measured on one
-    # v5e chip: b72/ancestry/int8 17.4 sum/s (the sharp peak of the batch
-    # sweep: b64 15.0, b68 16.1, b76 15.0, b80 13.1); b48/ancestry/exact
-    # 12.25; b32/reorder/exact 4.3; b96+ fail to compile (HBM).
-    attempts = [(72, "ancestry", "int8"), (64, "ancestry", "int8"),
-                (48, "ancestry", None), (32, "ancestry", None),
-                (32, "reorder", None), (8, "reorder", None)]
-    if "--exact" in sys.argv:
-        attempts = [a for a in attempts if a[2] is None]
+    # (batch, cache_mode, kv_quant) attempts, best-first, from the measured
+    # batch sweep on one v5e chip (SCALING.md table).
+    attempts_exact = [(48, "ancestry", None), (32, "ancestry", None),
+                      (32, "reorder", None), (8, "reorder", None)]
+    attempts_quant = [(72, "ancestry", "int8"), (64, "ancestry", "int8"),
+                      (32, "ancestry", "int8")]
 
     cache_mode = kv_quant = batch = None
     for a in sys.argv:
@@ -155,31 +327,99 @@ def main():
             kv_quant = a.split("=")[1]
         elif a == "--ancestry":  # back-compat
             cache_mode = "ancestry"
-    if batch or cache_mode or kv_quant:
-        first = attempts[0]
-        attempts = [(batch or first[0], cache_mode or first[1],
-                     kv_quant if kv_quant is not None else first[2])]
-        attempts = [(b, c, None if q in (None, "none") else q)
-                    for (b, c, q) in attempts]
+    explicit = bool(batch or cache_mode or kv_quant)
 
-    summaries_per_sec = None
-    for b, cm, kvq in attempts:
-        try:
-            print(f"# config: batch={b} cache_mode={cm} kv_quant={kvq}", flush=True)
-            summaries_per_sec = bench_batch(b, cache_mode=cm, kv_quant=kvq)
-            break
-        except Exception:
-            print(f"# config (batch={b}, {cm}, {kvq}) failed, falling back:", flush=True)
-            traceback.print_exc()
-    if summaries_per_sec is None:
-        raise SystemExit("bench failed at every config")
+    from multimodalsum_tpu.core.config import BartConfig
 
-    print(json.dumps({
+    inputs = make_inputs(BartConfig())
+    fallbacks = []
+
+    def run_attempts(attempts, tag):
+        for b, cm, kvq in attempts:
+            try:
+                print(f"# config[{tag}]: batch={b} cache_mode={cm} kv_quant={kvq}",
+                      flush=True)
+                out = bench_batch(inputs, b, cache_mode=cm, kv_quant=kvq)
+                return out, dict(batch=b, cache_mode=cm, kv_quant=kvq)
+            except Exception:
+                fallbacks.append(dict(tag=tag, batch=b, cache_mode=cm,
+                                      kv_quant=kvq, error="failed"))
+                print(f"# config (batch={b}, {cm}, {kvq}) failed, falling back:",
+                      flush=True)
+                traceback.print_exc()
+        return None, None
+
+    if explicit:
+        first = attempts_quant[0] if kv_quant not in (None, "none") else attempts_exact[0]
+        one = [(batch or first[0], cache_mode or first[1],
+                None if (kv_quant in (None, "none")) else kv_quant)]
+        out, cfg_used = run_attempts(one, "explicit")
+        if out is None:
+            raise SystemExit("bench failed at the requested config")
+        record = {
+            "metric": "multimodal_beam5_summaries_per_sec_per_chip",
+            "value": round(out["sps"], 3),
+            "unit": "summaries/sec/chip",
+            "vs_baseline": round(out["sps"] / A100_REFERENCE_SUMMARIES_PER_SEC, 3),
+            "config": cfg_used, "fallbacks": fallbacks,
+            "decode_mfu": round(out["mfu"], 4),
+        }
+        print(json.dumps(record))
+        return
+
+    exact, cfg_exact = run_attempts(attempts_exact, "exact")
+    if exact is None:
+        raise SystemExit("bench failed at every exact config")
+
+    quant = cfg_quant = None
+    if "--exact" not in sys.argv:
+        quant, cfg_quant = run_attempts(attempts_quant, "quant")
+
+    record = {
         "metric": "multimodal_beam5_summaries_per_sec_per_chip",
-        "value": round(summaries_per_sec, 3),
+        # headline = the token-exact path: its quality is the reference's by
+        # construction (the quantized figure is reported alongside, with its
+        # measured quality delta, instead of being claimed as the headline)
+        "value": round(exact["sps"], 3),
         "unit": "summaries/sec/chip",
-        "vs_baseline": round(summaries_per_sec / A100_REFERENCE_SUMMARIES_PER_SEC, 3),
-    }))
+        "vs_baseline": round(exact["sps"] / A100_REFERENCE_SUMMARIES_PER_SEC, 3),
+        "value_exact": round(exact["sps"], 3),
+        "config_exact": cfg_exact,
+        "decode_mfu": round(exact["mfu"], 4),
+        "fallbacks": fallbacks,
+    }
+
+    if quant is not None:
+        n = min(exact["b"], quant["b"])
+        agree = 0
+        rl = []
+        from multimodalsum_tpu.eval.rouge_impl import rouge_l_pair
+
+        for i in range(n):
+            se = exact["seqs"][i][: exact["lengths"][i]].tolist()
+            sq = quant["seqs"][i][: quant["lengths"][i]].tolist()
+            agree += int(se == sq)
+            rl.append(rouge_l_pair([str(x) for x in sq], [str(x) for x in se]))
+        record.update({
+            "value_quantized": round(quant["sps"], 3),
+            "config_quantized": cfg_quant,
+            "quant_token_agreement": round(agree / n, 4),
+            "quant_rougeL_vs_exact": round(100 * sum(rl) / len(rl), 2),
+            "quant_compared_rows": n,
+        })
+        print(f"# quant quality vs exact on {n} rows: "
+              f"agreement {agree}/{n}, id-ROUGE-L {record['quant_rougeL_vs_exact']}",
+              flush=True)
+
+    if "--no-train" not in sys.argv:
+        try:
+            record["train"] = bench_train()
+        except Exception:
+            print("# train bench failed:", flush=True)
+            traceback.print_exc()
+            record["train"] = None
+
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

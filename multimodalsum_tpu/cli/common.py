@@ -41,6 +41,13 @@ def base_parser(description: str) -> argparse.ArgumentParser:
     p.add_argument("--metrics_log", type=str, default=None,
                    help="append JSON-lines training metrics to this file "
                         "(the vendored Trainer's log format, trainer.py:617)")
+    p.add_argument("--wandb_project", type=str, default=None,
+                   help="log metrics to this Weights & Biases project "
+                        "(reference Trainer.setup_wandb, trainer.py:359-391; "
+                        "requires the wandb package, honors WANDB_DISABLED/"
+                        "WANDB_PROJECT)")
+    p.add_argument("--run_name", type=str, default=None,
+                   help="experiment run name for W&B")
     return p
 
 
@@ -89,16 +96,22 @@ def mesh_for_batch(batch_size: int):
 
 
 def make_hooks(args, save):
-    """LoopHooks with the console line plus, when ``--metrics_log`` is set,
-    a JSON-lines record per logged step (``core/observability.MetricLogger``)."""
+    """LoopHooks with the console line plus, when ``--metrics_log`` or
+    ``--wandb_project`` is set, a JSON-lines/W&B record per logged step
+    (``core/observability.MetricLogger``)."""
     from multimodalsum_tpu.train.loop import LoopHooks
 
-    if not getattr(args, "metrics_log", None):
+    if not (getattr(args, "metrics_log", None)
+            or getattr(args, "wandb_project", None)):
         return LoopHooks(save=save)
     from multimodalsum_tpu.core.observability import MetricLogger
 
-    console, ml = LoopHooks().log, MetricLogger(log_path=args.metrics_log,
-                                                stdout=False)
+    console = LoopHooks().log
+    ml = MetricLogger(log_path=getattr(args, "metrics_log", None),
+                      stdout=False,
+                      wandb_project=getattr(args, "wandb_project", None),
+                      run_name=getattr(args, "run_name", None),
+                      config=vars(args))
 
     def log(m):
         console(m)

@@ -11,7 +11,10 @@ TPU-native equivalents:
   TensorBoard-loadable traces of XLA execution);
 * :class:`MetricLogger` — JSON-lines metric logging (one parseable line per
   event, the Trainer's log format modernised) with optional TensorBoard
-  writing when ``tensorflow`` is present;
+  writing when ``tensorflow`` is present and optional Weights & Biases
+  logging (reference ``setup_wandb``, ``trainer.py:359-391``) when ``wandb``
+  is present — both import-gated, both honoring the reference's
+  ``WANDB_DISABLED`` env switch;
 * :class:`AverageMeter` — running average (reference ``src/utils.py:40-55``).
 """
 
@@ -99,7 +102,10 @@ class MetricLogger:
     """JSON-lines metrics + optional TensorBoard."""
 
     def __init__(self, log_path: Optional[str] = None,
-                 tensorboard_dir: Optional[str] = None, stdout: bool = True):
+                 tensorboard_dir: Optional[str] = None, stdout: bool = True,
+                 wandb_project: Optional[str] = None,
+                 run_name: Optional[str] = None,
+                 config: Optional[dict] = None):
         self.stdout = stdout
         self._file = None
         if log_path:
@@ -113,6 +119,28 @@ class MetricLogger:
                 self._tb = tf.summary.create_file_writer(tensorboard_dir)
             except ImportError:
                 self._tb = None
+        self._wandb = None
+        if wandb_project:
+            self.setup_wandb(wandb_project, run_name=run_name, config=config)
+
+    def setup_wandb(self, project: str, run_name: Optional[str] = None,
+                    config: Optional[dict] = None) -> bool:
+        """W&B experiment logging (reference ``Trainer.setup_wandb``,
+        ``trainer.py:359-391``): ``wandb.init(project, config, name)`` with
+        metrics forwarded from :meth:`log`. Import-gated — returns False
+        (and logging proceeds without W&B) when the ``wandb`` package is
+        missing or ``WANDB_DISABLED`` is truthy, mirroring the reference's
+        env switch."""
+        if os.environ.get("WANDB_DISABLED", "").lower() in ("1", "true", "yes"):
+            return False
+        try:
+            import wandb
+        except ImportError:
+            return False
+        self._wandb = wandb
+        wandb.init(project=os.environ.get("WANDB_PROJECT", project),
+                   config=config or {}, name=run_name)
+        return True
 
     @staticmethod
     def _sanitize(v):
@@ -149,7 +177,16 @@ class MetricLogger:
                 for k, v in metrics.items():
                     if isinstance(v, (int, float)):
                         tf.summary.scalar(k, v, step=step)
+        if self._wandb is not None:
+            numeric = {k: v for k, v in record.items()
+                       if k not in ("step", "time") and isinstance(v, (int, float))}
+            self._wandb.log(numeric, step=step)
 
     def close(self) -> None:
         if self._file:
             self._file.close()
+        if self._wandb is not None:
+            try:
+                self._wandb.finish()
+            except Exception:
+                pass

@@ -30,6 +30,40 @@ def test_metric_logger(tmp_path):
     assert lines[1]["step"] == 2
 
 
+def test_metric_logger_wandb_backend(tmp_path, monkeypatch):
+    """W&B backend (reference Trainer.setup_wandb, trainer.py:359-391):
+    init with project/config/name, per-step log forwarding, finish on close,
+    WANDB_DISABLED honored. Driven with a fake wandb module (the real
+    package is absent offline — the backend is import-gated)."""
+    import sys
+    import types
+
+    calls = dict(init=None, logs=[], finished=0)
+    fake = types.ModuleType("wandb")
+    fake.init = lambda **kw: calls.__setitem__("init", kw)
+    fake.log = lambda metrics, step=None: calls["logs"].append((step, metrics))
+    fake.finish = lambda: calls.__setitem__("finished", calls["finished"] + 1)
+    monkeypatch.setitem(sys.modules, "wandb", fake)
+    monkeypatch.delenv("WANDB_DISABLED", raising=False)
+
+    from multimodalsum_tpu.core.observability import MetricLogger
+
+    log = MetricLogger(stdout=False, wandb_project="mmsum",
+                       run_name="r2", config={"lr": 1e-5})
+    assert calls["init"] == dict(project="mmsum", config={"lr": 1e-5}, name="r2")
+    log.log(3, loss=0.25, note="text")  # non-numeric values filtered for W&B
+    assert calls["logs"] == [(3, {"loss": 0.25})]
+    log.close()
+    assert calls["finished"] == 1
+
+    # the reference's WANDB_DISABLED env switch
+    monkeypatch.setenv("WANDB_DISABLED", "true")
+    log2 = MetricLogger(stdout=False, wandb_project="mmsum")
+    assert log2._wandb is None
+    log2.log(1, loss=1.0)
+    assert calls["logs"] == [(3, {"loss": 0.25})]
+
+
 def test_step_timer():
     from multimodalsum_tpu.core.observability import StepTimer
 
