@@ -179,10 +179,14 @@ def entity_cross_attention(
     Returns:
       ``[b, t, n, h]`` context (mean over valid entities).
     """
-    if _ENTITY_ATTN_IMPL == "pallas":
-        from multimodalsum_tpu.ops.pallas_attention import entity_cross_attention_pallas
+    if _ENTITY_ATTN_IMPL == "pallas" and (dropout_rate <= 0.0 or dropout_rng is None):
+        # differentiable fused kernel (custom VJP recomputes the attention
+        # in the backward — the [b, e, n, t, s] probabilities never reach
+        # HBM in either direction); attention dropout has no kernel path,
+        # so it falls through to the XLA math below
+        from multimodalsum_tpu.ops.pallas_attention import entity_cross_attention_fused
 
-        return entity_cross_attention_pallas(q, k, v, mask)
+        return entity_cross_attention_fused(q, k, v, mask)
 
     logits = jnp.einsum("btnh,besnh->bents", q, k, precision=matmul_precision())
     if mask is not None:

@@ -24,6 +24,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -146,6 +147,142 @@ def decode_cross_attention_pallas_q8(
         interpret=interpret,
     )(qT, k_vals, v_vals, k_scale, v_scale, mask_f)
     return jnp.transpose(out, (0, 2, 1, 3))  # [b, T, n, h]
+
+
+def _bwd_kernel(q_ref, k_ref, v_ref, mask_ref, scale_ref, g_ref,
+                dq_ref, dk_ref, dv_ref, dq_acc_ref):
+    """Backward for one (batch, head, entity) cell, flash-style: the
+    attention probabilities are recomputed from q/k (never stored in HBM by
+    the forward), then the standard softmax-attention VJP runs entirely in
+    VMEM. ``scale_ref`` carries valid_e/count (the parallel-mean weight per
+    entity, 0 for null entities) so the entity-mean backward folds into the
+    incoming cotangent. dq accumulates across the entity axis (innermost
+    grid dim) in a VMEM scratch; dk/dv blocks are written per entity."""
+    e_idx = pl.program_id(2)
+    num_e = pl.num_programs(2)
+
+    @pl.when(e_idx == 0)
+    def _init():
+        dq_acc_ref[:] = jnp.zeros_like(dq_acc_ref)
+
+    q = q_ref[0, 0, :, :].astype(jnp.float32)          # [t, h]
+    k = k_ref[0, 0, 0, :, :].astype(jnp.float32)       # [s, h]
+    v = v_ref[0, 0, 0, :, :].astype(jnp.float32)       # [s, h]
+    mask = mask_ref[0, 0, 0, :].astype(jnp.float32)    # [s]
+    w = scale_ref[0, 0]                                # valid_e / count
+    g = g_ref[0, 0, :, :].astype(jnp.float32) * w      # [t, h] dctx for this entity
+
+    logits = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    logits = jnp.where(mask[None, :] > 0, logits, ENTITY_MASK_VALUE)
+    probs = jax.nn.softmax(logits, axis=-1)            # [t, s]
+
+    dv = jax.lax.dot_general(                          # probs^T @ g -> [s, h]
+        probs, g, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dp = jnp.dot(g, v.T, preferred_element_type=jnp.float32)   # [t, s]
+    dl = probs * (dp - jnp.sum(dp * probs, axis=-1, keepdims=True))
+    # masked positions had their logits REPLACED by a constant -> zero grad
+    dl = jnp.where(mask[None, :] > 0, dl, 0.0)
+    dq_acc_ref[:] = dq_acc_ref[:] + jnp.dot(
+        dl, k, preferred_element_type=jnp.float32)             # [t, h]
+    dk = jax.lax.dot_general(                          # dl^T @ q -> [s, h]
+        dl, q, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dk_ref[0, 0, 0, :, :] = dk.astype(dk_ref.dtype)
+    dv_ref[0, 0, 0, :, :] = dv.astype(dv_ref.dtype)
+
+    @pl.when(e_idx == num_e - 1)
+    def _finalize():
+        dq_ref[0, 0, :, :] = dq_acc_ref[:].astype(dq_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _entity_attention_bwd_pallas(q, k, v, mask, g, interpret: bool = False):
+    """dq/dk/dv for :func:`entity_cross_attention_pallas`. ``mask`` may be
+    None (all-valid). Shapes as the forward; ``g`` is the ``[b, t, n, h]``
+    output cotangent."""
+    b, t, n, h = q.shape
+    _, e, s, _, _ = k.shape
+    if mask is None:
+        mask_f = jnp.ones((b, e, 1, s), jnp.float32)
+        scale = jnp.full((b, e), 1.0 / e, jnp.float32)
+    else:
+        mask_f = mask.astype(jnp.float32)[:, :, None, :]
+        valid = jnp.any(mask, axis=-1).astype(jnp.float32)       # [b, e]
+        count = jnp.maximum(jnp.sum(valid, axis=1), 1.0)         # [b]
+        scale = valid / count[:, None]
+
+    qT = jnp.transpose(q, (0, 2, 1, 3))        # [b, n, t, h]
+    kT = jnp.transpose(k, (0, 1, 3, 2, 4))     # [b, e, n, s, h]
+    vT = jnp.transpose(v, (0, 1, 3, 2, 4))
+    gT = jnp.transpose(g, (0, 2, 1, 3))
+
+    dq, dk, dv = pl.pallas_call(
+        _bwd_kernel,
+        grid=(b, n, e),
+        in_specs=[
+            pl.BlockSpec((1, 1, t, h), lambda bi, ni, ei: (bi, ni, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, s, h), lambda bi, ni, ei: (bi, ei, ni, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, s, h), lambda bi, ni, ei: (bi, ei, ni, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, s), lambda bi, ni, ei: (bi, ei, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda bi, ni, ei: (bi, ei),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, t, h), lambda bi, ni, ei: (bi, ni, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1, t, h), lambda bi, ni, ei: (bi, ni, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, s, h), lambda bi, ni, ei: (bi, ei, ni, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, s, h), lambda bi, ni, ei: (bi, ei, ni, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, n, t, h), q.dtype),
+            jax.ShapeDtypeStruct((b, e, n, s, h), k.dtype),
+            jax.ShapeDtypeStruct((b, e, n, s, h), v.dtype),
+        ),
+        scratch_shapes=[pltpu.VMEM((t, h), jnp.float32)],
+        interpret=interpret,
+    )(qT, kT, vT, mask_f, scale, gT)
+
+    return (jnp.transpose(dq, (0, 2, 1, 3)),
+            jnp.transpose(dk, (0, 1, 3, 2, 4)),
+            jnp.transpose(dv, (0, 1, 3, 2, 4)))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def entity_cross_attention_fused(q, k, v, mask):
+    """Differentiable fused entity attention: Pallas forward + flash-style
+    recompute backward (no ``[b, e, n, t, s]`` probability tensor ever
+    reaches HBM in either direction). Same semantics as
+    ``ops.attention.entity_cross_attention`` with dropout off."""
+    return entity_cross_attention_pallas(q, k, v, mask)
+
+
+def _fused_fwd(q, k, v, mask):
+    return entity_cross_attention_pallas(q, k, v, mask), (q, k, v, mask)
+
+
+def _fused_bwd(residuals, g):
+    q, k, v, mask = residuals
+    dq, dk, dv = _entity_attention_bwd_pallas(q, k, v, mask, g)
+    dmask = (None if mask is None
+             else np.zeros(mask.shape, dtype=jax.dtypes.float0))
+    return dq, dk, dv, dmask
+
+
+entity_cross_attention_fused.defvjp(_fused_fwd, _fused_bwd)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

@@ -23,6 +23,61 @@ def test_pallas_entity_attention_matches_xla():
     np.testing.assert_allclose(got, want, atol=2e-5, rtol=2e-5)
 
 
+def test_pallas_fused_vjp_matches_xla_grads():
+    """The custom-VJP (flash-style recompute) backward kernel must produce
+    the same dq/dk/dv as autodiff through the XLA path — incl. null-entity,
+    partial-padding, and all-null-batch mean semantics."""
+    import jax
+    import jax.numpy as jnp
+
+    from multimodalsum_tpu.ops import pallas_attention as pa
+    from multimodalsum_tpu.ops.attention import entity_cross_attention
+
+    rng = np.random.default_rng(3)
+    b, t, n, h = 2, 8, 2, 16
+    e, s = 3, 16
+    q = jnp.asarray(rng.normal(size=(b, t, n, h)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(b, e, s, n, h)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(b, e, s, n, h)), jnp.float32)
+    mask = np.ones((b, e, s), bool)
+    mask[0, 1] = False          # null entity
+    mask[1, 2, 5:] = False      # partial padding
+    mask = jnp.asarray(mask)
+
+    # interpret-mode clone of entity_cross_attention_fused (the production
+    # custom_vjp compiles the kernels; CPU tests run them interpreted)
+    fused = jax.custom_vjp(
+        lambda q, k, v, m: pa.entity_cross_attention_pallas(q, k, v, m,
+                                                            interpret=True))
+    fused.defvjp(
+        lambda q, k, v, m: (pa.entity_cross_attention_pallas(
+            q, k, v, m, interpret=True), (q, k, v, m)),
+        lambda res, g: (*pa._entity_attention_bwd_pallas(*res, g,
+                                                         interpret=True),
+                        np.zeros(res[3].shape, dtype=jax.dtypes.float0)))
+
+    def loss_x(q, k, v):
+        return jnp.sum(entity_cross_attention(q, k, v, mask) ** 2)
+
+    def loss_p(q, k, v):
+        return jnp.sum(fused(q, k, v, mask) ** 2)
+
+    gx = jax.grad(loss_x, argnums=(0, 1, 2))(q, k, v)
+    gp = jax.grad(loss_p, argnums=(0, 1, 2))(q, k, v)
+    for name, a, bb in zip("qkv", gx, gp):
+        np.testing.assert_allclose(np.asarray(bb), np.asarray(a),
+                                   atol=2e-5, rtol=2e-5, err_msg=f"d{name}")
+
+    # all-null batch element: zero output and zero dq for that element
+    m0 = np.ones((b, e, s), bool)
+    m0[0] = False
+    m0 = jnp.asarray(m0)
+    out0 = pa.entity_cross_attention_pallas(q, k, v, m0, interpret=True)
+    np.testing.assert_allclose(np.asarray(out0[0]), 0.0, atol=1e-7)
+    dq0 = jax.grad(lambda q: jnp.sum(fused(q, k, v, m0) ** 2))(q)
+    np.testing.assert_allclose(np.asarray(dq0[0]), 0.0, atol=1e-7)
+
+
 def test_pallas_decode_q8_matches_quantized_xla():
     """Fused int8 decode kernel vs entity_cross_attention_quantized
     (interpret mode), incl. null entity / partial padding / all-null batch."""
