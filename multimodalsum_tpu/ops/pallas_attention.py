@@ -40,18 +40,24 @@ def _kernel(q_ref, k_ref, v_ref, mask_ref, out_ref, acc_ref, count_ref):
         acc_ref[:] = jnp.zeros_like(acc_ref)
         count_ref[0, 0] = 0.0
 
-    q = q_ref[0, 0, :, :].astype(jnp.float32)          # [t, h]
-    k = k_ref[0, 0, 0, :, :].astype(jnp.float32)       # [s, h]
-    v = v_ref[0, 0, 0, :, :].astype(jnp.float32)       # [s, h]
+    # operands stay in their storage dtype (bf16 in production) — the MXU
+    # runs the fast low-precision path with f32 accumulation via
+    # preferred_element_type; an astype(f32) BEFORE the dot would force the
+    # ~8x-slower f32 systolic mode
+    q = q_ref[0, 0, :, :]                              # [t, h]
+    k = k_ref[0, 0, 0, :, :]                           # [s, h]
+    v = v_ref[0, 0, 0, :, :]                           # [s, h]
     mask = mask_ref[0, 0, 0, :].astype(jnp.float32)    # [s]
 
     logits = jax.lax.dot_general(
         q, k, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # [t, s]
+    )  # [t, s] f32
     logits = jnp.where(mask[None, :] > 0, logits, ENTITY_MASK_VALUE)
-    probs = jax.nn.softmax(logits, axis=-1)
-    ctx = jnp.dot(probs, v, preferred_element_type=jnp.float32)  # [t, h]
+    # f32 softmax, probs cast back to the value dtype — the XLA path does
+    # exactly this (_softmax_f32), so numerics match bit-for-bit closer
+    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    ctx = jnp.dot(probs, v, preferred_element_type=jnp.float32)  # [t, h] f32
 
     valid = (jnp.max(mask) > 0).astype(jnp.float32)
     acc_ref[:] = acc_ref[:] + ctx * valid
@@ -165,28 +171,35 @@ def _bwd_kernel(q_ref, k_ref, v_ref, mask_ref, scale_ref, g_ref,
     def _init():
         dq_acc_ref[:] = jnp.zeros_like(dq_acc_ref)
 
-    q = q_ref[0, 0, :, :].astype(jnp.float32)          # [t, h]
-    k = k_ref[0, 0, 0, :, :].astype(jnp.float32)       # [s, h]
-    v = v_ref[0, 0, 0, :, :].astype(jnp.float32)       # [s, h]
+    # bf16 operands + f32 accumulation (see the forward kernel note)
+    q = q_ref[0, 0, :, :]                              # [t, h]
+    k = k_ref[0, 0, 0, :, :]                           # [s, h]
+    v = v_ref[0, 0, 0, :, :]                           # [s, h]
     mask = mask_ref[0, 0, 0, :].astype(jnp.float32)    # [s]
-    w = scale_ref[0, 0]                                # valid_e / count
-    g = g_ref[0, 0, :, :].astype(jnp.float32) * w      # [t, h] dctx for this entity
+    # the whole [b, e] scale table sits in SMEM (a (1,1) block would violate
+    # Mosaic's tile rules); pick this cell's entry by grid position
+    w = scale_ref[pl.program_id(0), e_idx]             # valid_e / count
+    g = (g_ref[0, 0, :, :].astype(jnp.float32) * w).astype(q.dtype)  # [t, h]
 
     logits = jax.lax.dot_general(
         q, k, dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
     logits = jnp.where(mask[None, :] > 0, logits, ENTITY_MASK_VALUE)
-    probs = jax.nn.softmax(logits, axis=-1)            # [t, s]
+    probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)  # [t, s]
 
     dv = jax.lax.dot_general(                          # probs^T @ g -> [s, h]
         probs, g, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    dp = jnp.dot(g, v.T, preferred_element_type=jnp.float32)   # [t, s]
-    dl = probs * (dp - jnp.sum(dp * probs, axis=-1, keepdims=True))
+    dp = jax.lax.dot_general(                          # g @ v^T -> [t, s]
+        g, v, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    probs_f = probs.astype(jnp.float32)
+    dl = probs_f * (dp - jnp.sum(dp * probs_f, axis=-1, keepdims=True))
     # masked positions had their logits REPLACED by a constant -> zero grad
-    dl = jnp.where(mask[None, :] > 0, dl, 0.0)
+    dl = jnp.where(mask[None, :] > 0, dl, 0.0).astype(q.dtype)
     dq_acc_ref[:] = dq_acc_ref[:] + jnp.dot(
         dl, k, preferred_element_type=jnp.float32)             # [t, h]
     dk = jax.lax.dot_general(                          # dl^T @ q -> [s, h]
@@ -234,8 +247,7 @@ def _entity_attention_bwd_pallas(q, k, v, mask, g, interpret: bool = False):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, 1, s), lambda bi, ni, ei: (bi, ei, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda bi, ni, ei: (bi, ei),
-                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # full [b, e] scale table
             pl.BlockSpec((1, 1, t, h), lambda bi, ni, ei: (bi, ni, 0, 0),
                          memory_space=pltpu.VMEM),
         ],

@@ -160,7 +160,7 @@ def multimodal_loss(
 
 
 def multimodal_train_loss(mm_model, params, batch_stats, batch, *,
-                          label_smoothing=None, rng=None):
+                          label_smoothing=None, rng=None, remat=True):
     """Stage 3 full loss through the composed MultimodalSum model.
 
     Encodes table + images (BatchNorm in training mode, updating
@@ -188,7 +188,7 @@ def multimodal_train_loss(mm_model, params, batch_stats, batch, *,
         bart, params["bart"],
         batch["reviews"], batch["reviews_mask"], batch["reviews_rating"],
         extra_modalities=[(table_h, table_m), (img_h, img_m)],
-        label_smoothing=label_smoothing, rng=rng,
+        label_smoothing=label_smoothing, rng=rng, remat=remat,
     )
     return loss, mutated["batch_stats"]
 

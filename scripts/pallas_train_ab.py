@@ -40,6 +40,16 @@ def timeit(fn, args, iters=20, warmup=3):
     return (time.time() - t0) / iters
 
 
+def ab(fn_a, fn_b, args, iters=20, rounds=5):
+    """Interleaved A/B, min over rounds — cancels slow drift on the shared
+    dev chip and rejects one-off stalls."""
+    ta = tb = float("inf")
+    for _ in range(rounds):
+        ta = min(ta, timeit(fn_a, args, iters=iters, warmup=1))
+        tb = min(tb, timeit(fn_b, args, iters=iters, warmup=1))
+    return ta, tb
+
+
 def main():
     b, t, e, s = (int(x) for x in (sys.argv[1:] + ["8", "128", "8", "128"])[:4])
     n, h = 16, 64  # bart-large heads
@@ -60,8 +70,7 @@ def main():
                       pal_f(q, k, v).astype(jnp.float32)).max())
     print(f"shape b={b} t={t} e={e} s={s} n={n} h={h} | fwd maxdiff {d:.2e}")
 
-    tx = timeit(xla_f, (q, k, v))
-    tp = timeit(pal_f, (q, k, v))
+    tx, tp = ab(xla_f, pal_f, (q, k, v))
     print(f"fwd : xla {tx*1e3:8.3f} ms | pallas {tp*1e3:8.3f} ms | "
           f"speedup {tx/tp:5.2f}x")
 
@@ -78,8 +87,7 @@ def main():
              for a, bb in zip(ga, gb))
     print(f"grad maxdiff {gd:.2e}")
 
-    txg = timeit(gx, (q, k, v), iters=10)
-    tpg = timeit(gp, (q, k, v), iters=10)
+    txg, tpg = ab(gx, gp, (q, k, v), iters=10)
     print(f"fwd+bwd: xla {txg*1e3:8.3f} ms | pallas {tpg*1e3:8.3f} ms | "
           f"speedup {txg/tpg:5.2f}x")
 
