@@ -83,6 +83,33 @@ def test_leave_one_out_loss_parity(torch_mod, smoothing):
     np.testing.assert_allclose(float(loss), ref_loss, rtol=2e-4, atol=2e-4)
 
 
+def test_leave_one_out_remat_flag_is_value_neutral():
+    """remat only trades FLOPs for memory — loss and grads must be identical
+    with it on or off (guards the remat kwarg plumbing)."""
+    import jax
+
+    from multimodalsum_tpu.core.config import TINY_CONFIG as cfg
+    from multimodalsum_tpu.models.bart import BartModel
+    from multimodalsum_tpu.train.stages import leave_one_out_loss
+
+    rng = np.random.default_rng(5)
+    reviews, mask, rating = _batch(rng, cfg, bsz=2, ents=3, seq=10)
+    model = BartModel(cfg)
+    params = model.init(jax.random.PRNGKey(0), method=BartModel.init_all)["params"]
+
+    def loss(params, remat):
+        return leave_one_out_loss(model, params, reviews, mask, rating,
+                                  label_smoothing=0.1, rng=None, remat=remat)
+
+    l_on, g_on = jax.value_and_grad(lambda p: loss(p, True))(params)
+    l_off, g_off = jax.value_and_grad(lambda p: loss(p, False))(params)
+    np.testing.assert_allclose(float(l_on), float(l_off), rtol=1e-6)
+    import chex
+
+    chex.assert_trees_all_close(jax.device_get(g_on), jax.device_get(g_off),
+                                rtol=1e-5, atol=1e-7)
+
+
 def test_optimizer_masks():
     import jax
 
