@@ -122,6 +122,30 @@ def test_beam_parity_model_sweep(torch_mod, seed):
     _compare(ref_out, res.sequences[:, 0], res.lengths[:, 0], cfg.pad_token_id)
 
 
+def test_beam_multi_return_parity(setup):
+    """num_return_sequences > 1 with beams: the top-R finished hypotheses
+    per batch element, in score order (reference output [b*R, L])."""
+    import torch
+
+    from multimodalsum_tpu.core.config import GenerationConfig
+
+    kw = dict(num_beams=4, max_length=14, min_length=3, length_penalty=1.0,
+              early_stopping=False, no_repeat_ngram_size=2)
+    R = 2
+    with torch.no_grad():
+        ref_out = setup["ref"].generate(
+            setup["eh"], setup["mask"], rating_diff=setup["rating"],
+            num_return_sequences=R, **kw)
+    gen = GenerationConfig(do_sample=False, num_return_sequences=R, **kw)
+    res = _run_mine(setup, gen)
+    bsz = setup["eh"].shape[0]
+    assert res.sequences.shape[1] == R
+    ref_rows = ref_out.view(bsz, R, -1)
+    for r in range(R):
+        _compare(ref_rows[:, r], res.sequences[:, r], res.lengths[:, r],
+                 setup["cfg"].pad_token_id)
+
+
 def test_greedy_parity(setup):
     import torch
 
