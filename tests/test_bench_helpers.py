@@ -1,0 +1,40 @@
+"""Sanity for bench.py's analytic helpers (kept honest: the MFU numbers the
+driver records derive from these)."""
+
+import importlib
+import sys
+
+
+def _bench():
+    sys.path.insert(0, "/root/repo")
+    return importlib.import_module("bench")
+
+
+def test_train_step_flops_scales_linearly_in_batch():
+    bench = _bench()
+    from multimodalsum_tpu.core.config import BartConfig
+
+    cfg = BartConfig()
+    f8 = bench.train_step_flops(cfg, 8)
+    f16 = bench.train_step_flops(cfg, 16)
+    assert 1.95 < f16 / f8 < 2.05  # all terms are linear in b
+    # magnitude sanity: bart-large x9 rotations at b8 is O(100) TFLOP
+    assert 1e13 < f8 < 1e15
+
+
+def test_decode_step_flops_monotonic_in_position():
+    bench = _bench()
+    from multimodalsum_tpu.core.config import BartConfig
+
+    cfg = BartConfig()
+    f1 = bench.decode_step_flops(cfg, 48, 5, 1)
+    f141 = bench.decode_step_flops(cfg, 48, 5, 141)
+    assert f141 > f1  # self-attention grows with cache position
+    # dominated by the static cross-attention + head terms, so the growth
+    # is modest
+    assert f141 / f1 < 2.0
+
+
+def test_chip_peak_lookup_has_default():
+    bench = _bench()
+    assert bench.chip_peak_flops() > 1e14  # any TPU generation
