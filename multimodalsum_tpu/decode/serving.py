@@ -1,0 +1,284 @@
+"""Continuous-batching serving engine (greedy / sampling).
+
+A TPU-serving extension beyond the reference (which only has offline batch
+eval, ``src/test.py``): requests stream in, each occupies a **slot** of a
+fixed-size on-device decode state, every engine tick advances ALL active
+slots by one token in a single jitted step, and finished slots are refilled
+immediately from the queue — no head-of-line blocking on the longest
+sequence in a batch, the classic continuous-batching win for serving.
+
+Design around the static-shape constraint of XLA:
+
+* per-slot state (self-attention KV cache, token buffer, ``cur_len``,
+  PRNG) lives in fixed ``[n_slots, ...]`` arrays;
+* the decoder step is the SAME ``BartModel.decode_step`` used by offline
+  generate, ``vmap``-ed over the slot axis so every slot carries its own
+  cache position — matmul shapes batch exactly as in the offline path;
+* logits post-processing (forced BOS/EOS, repetition penalty, min-length
+  EOS ban, no-repeat-ngram, bad words) is the offline ``decode/logits.py``
+  stack vmapped per slot with that slot's own ``cur_len``, so a slot's
+  output is **token-identical to offline greedy generation** of the same
+  request (tested in ``tests/test_serving.py``);
+* request insertion writes one slot's cross-attention K/V + masks via a
+  jitted ``.at[slot].set`` update (donated, so slabs update in place).
+
+Beam search is intentionally not slot-batched (hypothesis bookkeeping is
+batch-synchronous); serving uses greedy/sampling as is standard, offline
+eval keeps beams.
+"""
+
+from __future__ import annotations
+
+from collections import deque
+from typing import Any, Dict, List, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from multimodalsum_tpu.core.config import BartConfig, GenerationConfig
+from multimodalsum_tpu.decode.logits import adjust_logits, postprocess_scores, top_k_top_p_filtering
+from multimodalsum_tpu.models.bart import BartModel
+
+
+class _SlotState(NamedTuple):
+    tokens: jnp.ndarray      # [S, L] int32
+    cur_len: jnp.ndarray     # [S] int32 (1 = only decoder-start written)
+    active: jnp.ndarray      # [S] bool
+    lengths: jnp.ndarray     # [S] int32 final lengths (valid when finished)
+    cache: Any               # layers x (k [S, L, n, h], v)
+    cross_kv: Any            # layers x modalities x (k [S, e, s, n, h], v)
+    masks: Tuple             # per modality [S, e, s] bool
+    rating: jnp.ndarray      # [S, 1]
+    rng: jnp.ndarray         # [S, 2] per-slot PRNG keys
+
+
+def _add_b(tree):
+    return jax.tree.map(lambda x: x[None], tree)
+
+
+def _strip_b(tree):
+    return jax.tree.map(lambda x: x[0], tree)
+
+
+class ContinuousBatcher:
+    """Slot-based continuous batching over the multi-entity decoder.
+
+    Args:
+      model / params: a :class:`BartModel` (uni- or multimodal) and params.
+      gen: generation config (``num_beams`` must be 1).
+      n_slots: decode slots advanced per tick.
+      modality_shapes: per modality ``(e, s)`` of the encoder states a
+        request supplies (static — requests pad to these shapes).
+    """
+
+    def __init__(self, model: BartModel, params, gen: GenerationConfig,
+                 n_slots: int, modality_shapes: Sequence[Tuple[int, int]],
+                 rng: Optional[jnp.ndarray] = None):
+        if gen.num_beams != 1:
+            raise ValueError("continuous batching serves greedy/sampling "
+                             "(num_beams == 1); use decode.engine.generate "
+                             "for offline beam search")
+        cfg: BartConfig = model.config
+        if gen.max_length > cfg.max_position_embeddings:
+            raise ValueError("max_length exceeds max_position_embeddings")
+        self.model, self.gen, self.cfg = model, gen, cfg
+        self.n_slots = n_slots
+        self.modality_shapes = tuple(modality_shapes)
+
+        if model.dtype != jnp.float32:
+            params = jax.tree.map(
+                lambda x: x.astype(model.dtype)
+                if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+                else x, params)
+        self.params = params
+
+        S, L = n_slots, gen.max_length
+        n = cfg.decoder_attention_heads
+        h = cfg.d_model // n
+        layers = cfg.decoder_layers
+        ckv = tuple(
+            tuple((jnp.zeros((S, e, s, n, h), model.dtype),
+                   jnp.zeros((S, e, s, n, h), model.dtype))
+                  for (e, s) in self.modality_shapes)
+            for _ in range(layers))
+        masks = tuple(jnp.zeros((S, e, s), bool) for (e, s) in self.modality_shapes)
+        base_rng = jax.random.PRNGKey(0) if rng is None else rng
+        # NOTE: every leaf must be a DISTINCT buffer — the state is donated
+        # into the jitted step/insert, and XLA rejects donating one buffer
+        # twice (init_self_attn_cache shares one zeros array across layers)
+        self.state = _SlotState(
+            tokens=jnp.full((S, L), cfg.pad_token_id, jnp.int32),
+            cur_len=jnp.ones((S,), jnp.int32),
+            active=jnp.zeros((S,), bool),
+            lengths=jnp.zeros((S,), jnp.int32),
+            cache=tuple((jnp.zeros((S, L, n, h), model.dtype),
+                         jnp.zeros((S, L, n, h), model.dtype))
+                        for _ in range(layers)),
+            cross_kv=ckv,
+            masks=masks,
+            rating=jnp.zeros((S, 1), jnp.float32),
+            rng=jax.random.split(base_rng, S),
+        )
+
+        self._free: deque = deque(range(n_slots))
+        self._slot_req: Dict[int, Any] = {}
+        self._queue: deque = deque()
+        self._build_fns()
+
+    # ------------------------------------------------------------------ jit
+
+    def _build_fns(self):
+        model, gen, cfg = self.model, self.gen, self.cfg
+        L = gen.max_length
+        eos, pad, bos = cfg.eos_token_id, cfg.pad_token_id, cfg.bos_token_id
+        params = self.params
+
+        def slot_step(tok, cur_len, tokens_row, cache_row, ckv_row, masks_row,
+                      rating_row, rng_row):
+            """One decode step for ONE slot (vmapped over the slot axis)."""
+            logits, new_cache = model.apply(
+                {"params": params}, tok[None, None], cur_len - 1,
+                _add_b(cache_row), _add_b(ckv_row),
+                [m[None] for m in masks_row], rating_row[None],
+                method=BartModel.decode_step)
+            logits = logits[:, 0, :].astype(jnp.float32)          # [1, V]
+            if not gen.do_sample:
+                logits = adjust_logits(logits, cur_len, L, bos, eos)
+            scores = postprocess_scores(
+                logits, tokens_row[None], cur_len,
+                repetition_penalty=gen.repetition_penalty,
+                min_length=gen.min_length, eos_token_id=eos,
+                no_repeat_ngram_size=gen.no_repeat_ngram_size,
+                bad_words=None, bad_lengths=None)
+            if gen.do_sample:
+                sampled = scores / gen.temperature if gen.temperature != 1.0 else scores
+                sampled = top_k_top_p_filtering(sampled, top_k=gen.top_k,
+                                                top_p=gen.top_p)
+                # rng_row is a raw [2]-uint32 key (old-style), unique per
+                # slot occupancy; folding in cur_len gives per-step draws
+                step_rng = jax.random.fold_in(rng_row, cur_len)
+                next_token = jax.random.categorical(step_rng, sampled, axis=-1)[0]
+            else:
+                next_token = jnp.argmax(scores, axis=-1)[0]
+            return next_token, _strip_b(new_cache)
+
+        vstep = jax.vmap(slot_step, in_axes=(0, 0, 0, 0, 0, 0, 0, 0))
+
+        def step(state: _SlotState):
+            S = state.tokens.shape[0]
+            last = jnp.take_along_axis(
+                state.tokens, (state.cur_len - 1)[:, None], axis=1)[:, 0]
+            next_tok, new_cache = vstep(
+                last, state.cur_len, state.tokens, state.cache,
+                state.cross_kv, state.masks, state.rating, state.rng)
+            # inactive slots keep their (stale) cache; their tokens are pads
+            to_add = jnp.where(state.active, next_tok, pad).astype(jnp.int32)
+            rows = jnp.arange(S)
+            # inactive slots may sit at cur_len == L; clamp the write index
+            # and write back the old value there (no-op)
+            widx = jnp.minimum(state.cur_len, L - 1)
+            tokens = state.tokens.at[rows, widx].set(
+                jnp.where(state.active, to_add, state.tokens[rows, widx]))
+            new_len = state.cur_len + state.active.astype(jnp.int32)
+            hit_eos = state.active & (to_add == eos)
+            hit_max = state.active & (new_len >= L)
+            just_finished = hit_eos | hit_max
+            lengths = jnp.where(just_finished, new_len, state.lengths)
+            active = state.active & ~just_finished
+            cache = jax.tree.map(
+                lambda new, old: jnp.where(
+                    state.active.reshape((-1,) + (1,) * (new.ndim - 1)), new, old),
+                new_cache, state.cache)
+            return state._replace(tokens=tokens, cur_len=new_len, active=active,
+                                  lengths=lengths, cache=cache), just_finished
+
+        self._step = jax.jit(step, donate_argnums=0)
+
+        def insert(state: _SlotState, slot, ckv, masks, rating, key):
+            tokens = state.tokens.at[slot].set(
+                jnp.full((L,), pad, jnp.int32).at[0].set(cfg.decoder_start_token_id))
+            cross_kv = jax.tree.map(lambda dst, src: dst.at[slot].set(src),
+                                    state.cross_kv, ckv)
+            masks_new = tuple(dst.at[slot].set(src)
+                              for dst, src in zip(state.masks, masks))
+            cache = jax.tree.map(lambda c: c.at[slot].set(jnp.zeros_like(c[0])),
+                                 state.cache)
+            return state._replace(
+                tokens=tokens,
+                cur_len=state.cur_len.at[slot].set(1),
+                active=state.active.at[slot].set(True),
+                lengths=state.lengths.at[slot].set(0),
+                cache=cache,
+                cross_kv=cross_kv,
+                masks=masks_new,
+                rating=state.rating.at[slot].set(rating),
+                rng=state.rng.at[slot].set(key),
+            )
+
+        self._insert = jax.jit(insert, donate_argnums=0)
+
+        def project(modality_hiddens):
+            return model.apply({"params": params}, [h[None] for h in modality_hiddens],
+                               method=BartModel.init_decode)
+
+        self._project = jax.jit(project)
+
+    # ----------------------------------------------------------------- API
+
+    def submit(self, request_id, modality_hiddens: Sequence[np.ndarray],
+               modality_masks: Sequence[np.ndarray],
+               rating_diff: float = 0.0,
+               key: Optional[jnp.ndarray] = None) -> None:
+        """Queue a request. ``modality_hiddens[i]`` is ``[e_i, s_i, d]`` (the
+        request's encoder states, unbatched), masks ``[e_i, s_i]`` bool."""
+        for h, (e, s) in zip(modality_hiddens, self.modality_shapes):
+            if tuple(h.shape[:2]) != (e, s):
+                raise ValueError(
+                    f"modality shape {tuple(h.shape[:2])} != engine spec {(e, s)}")
+        self._queue.append((request_id, modality_hiddens, modality_masks,
+                            rating_diff, key))
+
+    def _fill_slots(self):
+        while self._free and self._queue:
+            request_id, hiddens, masks, rating, key = self._queue.popleft()
+            slot = self._free.popleft()
+            ckv = _strip_b(self._project(hiddens))
+            if key is None:
+                key = jax.random.PRNGKey(abs(hash(request_id)) % (2 ** 31))
+            self.state = self._insert(
+                self.state, slot, ckv,
+                tuple(jnp.asarray(m, bool) for m in masks),
+                jnp.asarray([float(rating)], jnp.float32), key)
+            self._slot_req[slot] = request_id
+
+    def tick(self) -> List[Tuple[Any, np.ndarray, int]]:
+        """Advance every active slot one token. Returns completed requests
+        as ``(request_id, tokens, length)``."""
+        self._fill_slots()
+        if not self._slot_req:
+            return []
+        self.state, just_finished = self._step(self.state)
+        done = np.nonzero(np.asarray(just_finished))[0]
+        out = []
+        if len(done):
+            tokens = np.asarray(self.state.tokens[done])
+            lengths = np.asarray(self.state.lengths[done])
+            for row, slot in enumerate(done):
+                slot = int(slot)
+                rid = self._slot_req.pop(slot)
+                out.append((rid, tokens[row, : lengths[row]], int(lengths[row])))
+                self._free.append(slot)
+        return out
+
+    def run(self, max_ticks: int = 100000) -> Dict[Any, np.ndarray]:
+        """Drain the queue: tick until every submitted request completes."""
+        results: Dict[Any, np.ndarray] = {}
+        ticks = 0
+        while (self._queue or self._slot_req) and ticks < max_ticks:
+            for rid, toks, _ in self.tick():
+                results[rid] = toks
+            ticks += 1
+        if self._queue or self._slot_req:
+            raise RuntimeError(f"run() did not drain in {max_ticks} ticks")
+        return results

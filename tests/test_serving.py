@@ -1,0 +1,106 @@
+"""Continuous-batching serving engine: per-request outputs must be
+token-identical to offline greedy generation, slots must refill mid-stream,
+and sampling must be reproducible per request key."""
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def setup():
+    import jax
+
+    from multimodalsum_tpu.core.config import TINY_CONFIG as cfg
+    from multimodalsum_tpu.models.bart import BartModel
+
+    model = BartModel(cfg)
+    params = model.init(jax.random.PRNGKey(3), method=BartModel.init_all)["params"]
+    rng = np.random.default_rng(7)
+    e, s = 2, 6
+    reqs = []
+    for i in range(5):
+        h = rng.normal(size=(e, s, cfg.d_model)).astype(np.float32)
+        m = np.ones((e, s), bool)
+        if i % 2:
+            m[1, 3:] = False
+        reqs.append((f"req{i}", h, m))
+    return dict(cfg=cfg, model=model, params=params, reqs=reqs, e=e, s=s)
+
+
+def _offline(setup, gen, req):
+    from multimodalsum_tpu.decode.engine import generate
+
+    _, h, m = req
+    res = generate(setup["model"], setup["params"], [h[None]], [m[None]],
+                   np.zeros((1, 1), np.float32), gen)
+    return np.asarray(res.sequences[0, : int(res.lengths[0])])
+
+
+def test_continuous_batching_matches_offline_greedy(setup):
+    from multimodalsum_tpu.core.config import GenerationConfig
+    from multimodalsum_tpu.decode.serving import ContinuousBatcher
+
+    gen = GenerationConfig(num_beams=1, do_sample=False, max_length=12,
+                          min_length=2, length_penalty=1.0,
+                          early_stopping=False, no_repeat_ngram_size=2)
+    # 2 slots < 5 requests forces refills mid-stream
+    eng = ContinuousBatcher(setup["model"], setup["params"], gen, n_slots=2,
+                            modality_shapes=[(setup["e"], setup["s"])])
+    for rid, h, m in setup["reqs"]:
+        eng.submit(rid, [h], [m])
+    results = eng.run()
+    assert set(results) == {r[0] for r in setup["reqs"]}
+
+    for req in setup["reqs"]:
+        want = _offline(setup, gen, req)
+        got = results[req[0]]
+        np.testing.assert_array_equal(got, want, err_msg=req[0])
+
+
+def test_serving_rejects_beams_and_bad_shapes(setup):
+    from multimodalsum_tpu.core.config import GenerationConfig
+    from multimodalsum_tpu.decode.serving import ContinuousBatcher
+
+    gen_beam = GenerationConfig(num_beams=3, max_length=8, min_length=1,
+                                length_penalty=1.0, early_stopping=True)
+    with pytest.raises(ValueError, match="num_beams"):
+        ContinuousBatcher(setup["model"], setup["params"], gen_beam, 2,
+                          [(setup["e"], setup["s"])])
+
+    gen = GenerationConfig(num_beams=1, max_length=8, min_length=1,
+                           length_penalty=1.0, early_stopping=False)
+    eng = ContinuousBatcher(setup["model"], setup["params"], gen, 2,
+                            [(setup["e"], setup["s"])])
+    bad = np.zeros((setup["e"], setup["s"] + 1, setup["cfg"].d_model), np.float32)
+    with pytest.raises(ValueError, match="shape"):
+        eng.submit("bad", [bad], [np.ones((setup["e"], setup["s"] + 1), bool)])
+
+
+def test_serving_sampling_reproducible_per_key(setup):
+    import jax
+
+    from multimodalsum_tpu.core.config import GenerationConfig
+    from multimodalsum_tpu.decode.serving import ContinuousBatcher
+
+    gen = GenerationConfig(num_beams=1, do_sample=True, temperature=0.9,
+                          top_k=20, max_length=10, min_length=1,
+                          length_penalty=1.0, early_stopping=False)
+
+    def run_once():
+        eng = ContinuousBatcher(setup["model"], setup["params"], gen, n_slots=2,
+                                modality_shapes=[(setup["e"], setup["s"])])
+        for i, (rid, h, m) in enumerate(setup["reqs"][:3]):
+            eng.submit(rid, [h], [m], key=jax.random.PRNGKey(100 + i))
+        return eng.run()
+
+    a, b = run_once(), run_once()
+    for rid in a:
+        np.testing.assert_array_equal(a[rid], b[rid], err_msg=rid)
+    # and at least one request differs from the greedy output
+    gen_g = gen.replace(do_sample=False)
+    eng = ContinuousBatcher(setup["model"], setup["params"], gen_g, 2,
+                            [(setup["e"], setup["s"])])
+    for rid, h, m in setup["reqs"][:3]:
+        eng.submit(rid, [h], [m])
+    greedy = eng.run()
+    assert any(not np.array_equal(a[r], greedy[r]) for r in a)
