@@ -311,9 +311,11 @@ def main():
         set_entity_attention_impl("pallas")
 
     # (batch, cache_mode, kv_quant) attempts, best-first, from the measured
-    # batch sweep on one v5e chip (SCALING.md table).
-    attempts_exact = [(48, "ancestry", None), (32, "ancestry", None),
-                      (32, "reorder", None), (8, "reorder", None)]
+    # batch sweep on one v5e chip (SCALING.md table; r2 exact sweep:
+    # b44 12.98 > b42 12.93 > b36 12.45 > b48 12.24 > b40 11.96; b52+ OOM).
+    attempts_exact = [(44, "ancestry", None), (48, "ancestry", None),
+                      (32, "ancestry", None), (32, "reorder", None),
+                      (8, "reorder", None)]
     attempts_quant = [(72, "ancestry", "int8"), (64, "ancestry", "int8"),
                       (32, "ancestry", "int8")]
 
