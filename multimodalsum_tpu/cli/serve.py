@@ -1,0 +1,151 @@
+"""Streaming-serving CLI: continuous-batching greedy generation.
+
+Serving counterpart of ``cli/test.py`` (which does offline batch beam
+eval): requests stream through the slot-based continuous batcher
+(``decode/serving.py``) — encoders run per arriving request batch, decode
+slots refill the moment a summary finishes, outputs stream to the output
+file in completion order. Greedy/sampling only (the serving trade-off;
+beam-5 offline eval remains ``cli.test``).
+
+Usage:
+  python -m multimodalsum_tpu.cli.serve --dataset yelp --mode dev \
+      --tokenizer_dir assets/tok --multimodal_trained ckpt/multimodal_trained_yelp \
+      --n_slots 16 --max_length 142 --min_length 56
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import jax
+import numpy as np
+
+from multimodalsum_tpu.cli.common import (
+    base_parser, load_model_config, load_tokenizer, setup_environment,
+)
+from multimodalsum_tpu.core.config import GenerationConfig
+from multimodalsum_tpu.data.multimodal_data import EvalDataset
+from multimodalsum_tpu.models.bart import BartModel
+from multimodalsum_tpu.models.multimodal import MultimodalSum
+
+
+def main(argv=None):
+    p = base_parser("MultimodalSum-TPU streaming serving (continuous batching)")
+    p.add_argument("--mode", type=str, default="dev", choices=["dev", "test"])
+    p.add_argument("--img_model", type=str, default="resnet101")
+    p.add_argument("--multimodal_trained", type=str, default=None)
+    p.add_argument("--n_slots", type=int, default=16)
+    p.add_argument("--max_length", type=int, default=142)
+    p.add_argument("--min_length", type=int, default=56)
+    p.add_argument("--do_sample", action="store_true")
+    p.add_argument("--temperature", type=float, default=1.0)
+    p.add_argument("--top_k", type=int, default=0)
+    p.add_argument("--top_p", type=float, default=1.0)
+    p.add_argument("--output", type=str, default=None,
+                   help="write '<group_id>\\t<summary>' lines in completion order")
+    args = p.parse_args(argv)
+    setup_environment(args)
+
+    cfg = load_model_config(args)
+    tokenizer = load_tokenizer(args)
+    import jax.numpy as jnp
+
+    model = MultimodalSum(cfg, dataset=args.dataset, img_model=args.img_model,
+                          dtype=jnp.bfloat16 if args.bf16 else jnp.float32)
+    from multimodalsum_tpu.models.multimodal import amazon_dummy_table, yelp_dummy_table
+
+    fdummy, vdummy = (yelp_dummy_table(1) if args.dataset == "yelp"
+                      else amazon_dummy_table(1))
+    variables = model.init(jax.random.PRNGKey(args.seed), fdummy, vdummy,
+                           method=MultimodalSum.init_all)
+    params, batch_stats = variables["params"], variables["batch_stats"]
+    if args.multimodal_trained:
+        from multimodalsum_tpu.ckpt.checkpoint import _merge, load_state_raw
+
+        raw = load_state_raw(args.multimodal_trained)
+        params = _merge(jax.device_get(params), raw.get("params"))
+        batch_stats = _merge(jax.device_get(batch_stats), raw.get("batch_stats"))
+
+    dataset = EvalDataset(args.data_root, args.dataset, args.mode)
+    field = dataset.field_tokens(tokenizer)
+    bart = BartModel(cfg, multimodal=True, dtype=model.dtype)
+    gen = GenerationConfig(
+        num_beams=1, do_sample=args.do_sample, temperature=args.temperature,
+        top_k=args.top_k, top_p=args.top_p, max_length=args.max_length,
+        min_length=args.min_length, length_penalty=1.0, early_stopping=False,
+        no_repeat_ngram_size=3,
+    )
+
+    vs = {"params": params, "batch_stats": batch_stats}
+
+    @jax.jit
+    def encode_one(reviews, reviews_mask, field_values, img, img_mask):
+        text_h = model.apply(vs, reviews, reviews_mask,
+                             method=MultimodalSum.encode_text)
+        table_h, table_m = model.apply(vs, field, field_values,
+                                       method=MultimodalSum.encode_table)
+        img_h, img_m = model.apply(vs, img, img_mask,
+                                   method=MultimodalSum.encode_img)
+        return ((text_h[0], table_h[0], img_h[0]),
+                (reviews_mask[0].astype(bool), table_m[0], img_m[0]))
+
+    max_len = dataset.MAX_LEN[args.dataset]
+    from multimodalsum_tpu.data.multimodal_data import MAX_IMGS
+
+    e_img = MAX_IMGS[args.dataset]
+    shapes = [(8, max_len - 2), (1, field.shape[0]), (e_img, 196)]
+
+    from multimodalsum_tpu.decode.serving import ContinuousBatcher
+
+    eng = ContinuousBatcher(bart, params["bart"], gen, n_slots=args.n_slots,
+                            modality_shapes=shapes,
+                            rng=jax.random.PRNGKey(args.seed))
+
+    out_f = None
+    if args.output:
+        os.makedirs(os.path.dirname(args.output) or ".", exist_ok=True)
+        out_f = open(args.output, "w")
+
+    t0 = time.time()
+    done = 0
+
+    def drain(block=False):
+        nonlocal done
+        completed = eng.tick()
+        while block and (eng._queue or eng._slot_req):
+            completed += eng.tick()
+        for rid, toks, _ in completed:
+            text = tokenizer.decode(
+                [t for t in toks.tolist()[1:]
+                 if t not in (cfg.eos_token_id, cfg.pad_token_id)],
+                skip_special_tokens=True).strip()
+            done += 1
+            if out_f:
+                out_f.write(f"{rid}\t{text}\n")
+                out_f.flush()
+            print(f"[{time.time()-t0:7.1f}s] {done}/{len(dataset)} {rid}: "
+                  f"{text[:60]!r}", flush=True)
+
+    from multimodalsum_tpu.data.tables import stack_features
+
+    for i in range(len(dataset)):
+        row = dataset.example(i, tokenizer)
+        hiddens, masks = encode_one(
+            row["reviews"][None], row["reviews_mask"][None],
+            stack_features([row["field_values"]]),
+            row["img"][None], row["img_mask"][None])
+        eng.submit(row["group_id"],
+                   [np.asarray(h) for h in hiddens],
+                   [np.asarray(m) for m in masks])
+        drain()  # keep slots moving while requests stream in
+
+    drain(block=True)
+    if out_f:
+        out_f.close()
+    dt = time.time() - t0
+    print(f"# served {done} summaries in {dt:.1f}s = {done/dt:.2f} req/s")
+
+
+if __name__ == "__main__":
+    main()

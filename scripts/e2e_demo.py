@@ -113,6 +113,16 @@ def main():
                    "--multimodal_trained", "ckpt/multimodal_trained_yelp",
                    "--num_beams", "2", "--length_penalty", "1.0",
                    "--max_length", "16", "--output", f"{work}/generated.txt"])
+    print("== serving: continuous-batching greedy stream")
+    from multimodalsum_tpu.cli import serve as serve_cli
+
+    serve_cli.main(["--dataset", "yelp", "--mode", "dev", "--data_root", ".",
+                    "--tokenizer_dir", f"{work}/tok", "--model_config", cfgp,
+                    "--img_model", "tiny", "--n_slots", "2",
+                    "--multimodal_trained", "ckpt/multimodal_trained_yelp",
+                    "--max_length", "16", "--min_length", "2",
+                    "--output", f"{work}/generated_serve.txt"])
+
     print("== done; outputs:")
     for line in open(f"{work}/generated.txt").read().splitlines()[:3]:
         print("  ", repr(line[:70]))

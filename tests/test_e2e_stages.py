@@ -27,3 +27,7 @@ def test_full_pipeline_stages(tmp_path):
         assert os.path.isdir(tmp_path / "ckpt" / ck / "export"), ck
     out = (tmp_path / "generated.txt").read_text().splitlines()
     assert len(out) >= 4
+    # continuous-batching serve CLI produced one line per dev group
+    served = (tmp_path / "generated_serve.txt").read_text().splitlines()
+    assert len(served) >= 4
+    assert all("\t" in line for line in served)  # group_id \t summary
