@@ -74,7 +74,8 @@ class ContinuousBatcher:
 
     def __init__(self, model: BartModel, params, gen: GenerationConfig,
                  n_slots: int, modality_shapes: Sequence[Tuple[int, int]],
-                 rng: Optional[jnp.ndarray] = None):
+                 rng: Optional[jnp.ndarray] = None,
+                 kv_quant: Optional[str] = None):
         if gen.num_beams != 1:
             raise ValueError("continuous batching serves greedy/sampling "
                              "(num_beams == 1); use decode.engine.generate "
@@ -85,6 +86,9 @@ class ContinuousBatcher:
         self.model, self.gen, self.cfg = model, gen, cfg
         self.n_slots = n_slots
         self.modality_shapes = tuple(modality_shapes)
+        if kv_quant not in (None, "int8", "int4"):
+            raise ValueError(f"unknown kv_quant {kv_quant!r}")
+        self.kv_quant = kv_quant
 
         if model.dtype != jnp.float32:
             params = jax.tree.map(
@@ -97,16 +101,14 @@ class ContinuousBatcher:
         n = cfg.decoder_attention_heads
         h = cfg.d_model // n
         layers = cfg.decoder_layers
-        ckv = tuple(
-            tuple((jnp.zeros((S, e, s, n, h), model.dtype),
-                   jnp.zeros((S, e, s, n, h), model.dtype))
-                  for (e, s) in self.modality_shapes)
-            for _ in range(layers))
         masks = tuple(jnp.zeros((S, e, s), bool) for (e, s) in self.modality_shapes)
         base_rng = jax.random.PRNGKey(0) if rng is None else rng
         # NOTE: every leaf must be a DISTINCT buffer — the state is donated
         # into the jitted step/insert, and XLA rejects donating one buffer
-        # twice (init_self_attn_cache shares one zeros array across layers)
+        # twice (init_self_attn_cache shares one zeros array across layers).
+        # The cross-KV slab structure depends on kv_quant (plain arrays vs
+        # QuantizedKV values+scales), so it is built lazily from the first
+        # projected request (cross_kv=None until then).
         self.state = _SlotState(
             tokens=jnp.full((S, L), cfg.pad_token_id, jnp.int32),
             cur_len=jnp.ones((S,), jnp.int32),
@@ -115,7 +117,7 @@ class ContinuousBatcher:
             cache=tuple((jnp.zeros((S, L, n, h), model.dtype),
                          jnp.zeros((S, L, n, h), model.dtype))
                         for _ in range(layers)),
-            cross_kv=ckv,
+            cross_kv=None,
             masks=masks,
             rating=jnp.zeros((S, 1), jnp.float32),
             rng=jax.random.split(base_rng, S),
@@ -125,6 +127,18 @@ class ContinuousBatcher:
         self._slot_req: Dict[int, Any] = {}
         self._queue: deque = deque()
         self._build_fns()
+
+    def _ensure_cross_kv_slabs(self, ckv_row):
+        """Allocate the [n_slots, ...] slot slabs mirroring the (possibly
+        quantized) structure of one request's projected cross-KV."""
+        if self.state.cross_kv is None:
+            S = self.n_slots
+            slabs = jax.tree.map(
+                lambda x: jnp.zeros((S,) + x.shape, x.dtype), ckv_row)
+            # scales must start at 1 (0-scale rows would make the masked
+            # softmax of stale inactive slots produce uniform garbage probs
+            # feeding NaN-free but wasteful lanes; harmless, but keep clean)
+            self.state = self.state._replace(cross_kv=slabs)
 
     # ------------------------------------------------------------------ jit
 
@@ -218,9 +232,20 @@ class ContinuousBatcher:
 
         self._insert = jax.jit(insert, donate_argnums=0)
 
+        kv_quant = self.kv_quant
+
         def project(modality_hiddens):
-            return model.apply({"params": params}, [h[None] for h in modality_hiddens],
-                               method=BartModel.init_decode)
+            ckv = model.apply({"params": params},
+                              [h[None] for h in modality_hiddens],
+                              method=BartModel.init_decode)
+            if kv_quant is not None:
+                # int8/int4 slot slabs: halves/quarters serving HBM per slot
+                # (more concurrent slots per chip); scale-folded attention
+                # reads the int values directly, same as offline decode
+                from multimodalsum_tpu.ops.quantization import quantize_cross_kv
+
+                ckv = quantize_cross_kv(ckv, bits=int(kv_quant[3:]))
+            return ckv
 
         self._project = jax.jit(project)
 
@@ -244,6 +269,7 @@ class ContinuousBatcher:
             request_id, hiddens, masks, rating, key = self._queue.popleft()
             slot = self._free.popleft()
             ckv = _strip_b(self._project(hiddens))
+            self._ensure_cross_kv_slabs(ckv)
             if key is None:
                 key = jax.random.PRNGKey(abs(hash(request_id)) % (2 ** 31))
             self.state = self._insert(

@@ -76,6 +76,30 @@ def test_serving_rejects_beams_and_bad_shapes(setup):
         eng.submit("bad", [bad], [np.ones((setup["e"], setup["s"] + 1), bool)])
 
 
+def test_serving_int8_matches_offline_int8(setup):
+    """kv_quant='int8' slot slabs: per-request outputs must equal offline
+    greedy generation with the same quantized cross-KV path."""
+    from multimodalsum_tpu.core.config import GenerationConfig
+    from multimodalsum_tpu.decode.engine import generate
+    from multimodalsum_tpu.decode.serving import ContinuousBatcher
+
+    gen = GenerationConfig(num_beams=1, do_sample=False, max_length=12,
+                          min_length=2, length_penalty=1.0,
+                          early_stopping=False, no_repeat_ngram_size=2)
+    eng = ContinuousBatcher(setup["model"], setup["params"], gen, n_slots=2,
+                            modality_shapes=[(setup["e"], setup["s"])],
+                            kv_quant="int8")
+    for rid, h, m in setup["reqs"][:3]:
+        eng.submit(rid, [h], [m])
+    results = eng.run()
+
+    for rid, h, m in setup["reqs"][:3]:
+        res = generate(setup["model"], setup["params"], [h[None]], [m[None]],
+                       np.zeros((1, 1), np.float32), gen, kv_quant="int8")
+        want = np.asarray(res.sequences[0, : int(res.lengths[0])])
+        np.testing.assert_array_equal(results[rid], want, err_msg=rid)
+
+
 def test_serving_sampling_reproducible_per_key(setup):
     import jax
 
