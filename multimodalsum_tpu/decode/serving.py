@@ -75,7 +75,8 @@ class ContinuousBatcher:
     def __init__(self, model: BartModel, params, gen: GenerationConfig,
                  n_slots: int, modality_shapes: Sequence[Tuple[int, int]],
                  rng: Optional[jnp.ndarray] = None,
-                 kv_quant: Optional[str] = None):
+                 kv_quant: Optional[str] = None,
+                 steps_per_tick: int = 1):
         if gen.num_beams != 1:
             raise ValueError("continuous batching serves greedy/sampling "
                              "(num_beams == 1); use decode.engine.generate "
@@ -89,6 +90,11 @@ class ContinuousBatcher:
         if kv_quant not in (None, "int8", "int4"):
             raise ValueError(f"unknown kv_quant {kv_quant!r}")
         self.kv_quant = kv_quant
+        # decode steps per host round-trip: >1 amortises the device->host
+        # completion poll (large on slow links) at the cost of slots idling
+        # up to steps_per_tick-1 tokens after finishing before refill
+        self.steps_per_tick = int(steps_per_tick)
+        assert self.steps_per_tick >= 1
 
         if model.dtype != jnp.float32:
             params = jax.tree.map(
@@ -207,7 +213,22 @@ class ContinuousBatcher:
             return state._replace(tokens=tokens, cur_len=new_len, active=active,
                                   lengths=lengths, cache=cache), just_finished
 
-        self._step = jax.jit(step, donate_argnums=0)
+        k = self.steps_per_tick
+
+        def multi_step(state: _SlotState):
+            if k == 1:
+                return step(state)
+
+            def body(_, carry):
+                st, fin = carry
+                st, just = step(st)
+                return st, fin | just
+
+            S = state.tokens.shape[0]
+            return jax.lax.fori_loop(
+                0, k, body, (state, jnp.zeros((S,), bool)))
+
+        self._step = jax.jit(multi_step, donate_argnums=0)
 
         def insert(state: _SlotState, slot, ckv, masks, rating, key):
             tokens = state.tokens.at[slot].set(

@@ -76,6 +76,26 @@ def test_serving_rejects_beams_and_bad_shapes(setup):
         eng.submit("bad", [bad], [np.ones((setup["e"], setup["s"] + 1), bool)])
 
 
+def test_serving_steps_per_tick_matches_offline(setup):
+    """k decode steps per host sync must not change any output — finished
+    slots just idle (gated) until the tick boundary."""
+    from multimodalsum_tpu.core.config import GenerationConfig
+    from multimodalsum_tpu.decode.serving import ContinuousBatcher
+
+    gen = GenerationConfig(num_beams=1, do_sample=False, max_length=12,
+                          min_length=2, length_penalty=1.0,
+                          early_stopping=False, no_repeat_ngram_size=2)
+    eng = ContinuousBatcher(setup["model"], setup["params"], gen, n_slots=2,
+                            modality_shapes=[(setup["e"], setup["s"])],
+                            steps_per_tick=4)
+    for rid, h, m in setup["reqs"]:
+        eng.submit(rid, [h], [m])
+    results = eng.run()
+    for req in setup["reqs"]:
+        want = _offline(setup, gen, req)
+        np.testing.assert_array_equal(results[req[0]], want, err_msg=req[0])
+
+
 def test_serving_int8_matches_offline_int8(setup):
     """kv_quant='int8' slot slabs: per-request outputs must equal offline
     greedy generation with the same quantized cross-KV path."""
