@@ -101,7 +101,7 @@ class ContinuousBatcher:
                 lambda x: x.astype(model.dtype)
                 if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
                 else x, params)
-        self.params = params
+        self.params = jax.device_put(params)  # staged once, passed per call
 
         S, L = n_slots, gen.max_length
         n = cfg.decoder_attention_heads
@@ -152,10 +152,12 @@ class ContinuousBatcher:
         model, gen, cfg = self.model, self.gen, self.cfg
         L = gen.max_length
         eos, pad, bos = cfg.eos_token_id, cfg.pad_token_id, cfg.bos_token_id
-        params = self.params
 
-        def slot_step(tok, cur_len, tokens_row, cache_row, ckv_row, masks_row,
-                      rating_row, rng_row):
+        # params are ARGUMENTS of every jitted fn, never closed over:
+        # closure would bake the full parameter tree into the program as
+        # literal constants — a multi-GB compile payload at bart-large
+        def slot_step(params, tok, cur_len, tokens_row, cache_row, ckv_row,
+                      masks_row, rating_row, rng_row):
             """One decode step for ONE slot (vmapped over the slot axis)."""
             logits, new_cache = model.apply(
                 {"params": params}, tok[None, None], cur_len - 1,
@@ -183,14 +185,14 @@ class ContinuousBatcher:
                 next_token = jnp.argmax(scores, axis=-1)[0]
             return next_token, _strip_b(new_cache)
 
-        vstep = jax.vmap(slot_step, in_axes=(0, 0, 0, 0, 0, 0, 0, 0))
+        vstep = jax.vmap(slot_step, in_axes=(None, 0, 0, 0, 0, 0, 0, 0, 0))
 
-        def step(state: _SlotState):
+        def step(state: _SlotState, params):
             S = state.tokens.shape[0]
             last = jnp.take_along_axis(
                 state.tokens, (state.cur_len - 1)[:, None], axis=1)[:, 0]
             next_tok, new_cache = vstep(
-                last, state.cur_len, state.tokens, state.cache,
+                params, last, state.cur_len, state.tokens, state.cache,
                 state.cross_kv, state.masks, state.rating, state.rng)
             # inactive slots keep their (stale) cache; their tokens are pads
             to_add = jnp.where(state.active, next_tok, pad).astype(jnp.int32)
@@ -215,13 +217,13 @@ class ContinuousBatcher:
 
         k = self.steps_per_tick
 
-        def multi_step(state: _SlotState):
+        def multi_step(state: _SlotState, params):
             if k == 1:
-                return step(state)
+                return step(state, params)
 
             def body(_, carry):
                 st, fin = carry
-                st, just = step(st)
+                st, just = step(st, params)
                 return st, fin | just
 
             S = state.tokens.shape[0]
@@ -255,7 +257,7 @@ class ContinuousBatcher:
 
         kv_quant = self.kv_quant
 
-        def project(modality_hiddens):
+        def project(params, modality_hiddens):
             ckv = model.apply({"params": params},
                               [h[None] for h in modality_hiddens],
                               method=BartModel.init_decode)
@@ -289,7 +291,7 @@ class ContinuousBatcher:
         while self._free and self._queue:
             request_id, hiddens, masks, rating, key = self._queue.popleft()
             slot = self._free.popleft()
-            ckv = _strip_b(self._project(hiddens))
+            ckv = _strip_b(self._project(self.params, hiddens))
             self._ensure_cross_kv_slabs(ckv)
             if key is None:
                 key = jax.random.PRNGKey(abs(hash(request_id)) % (2 ** 31))
@@ -305,7 +307,7 @@ class ContinuousBatcher:
         self._fill_slots()
         if not self._slot_req:
             return []
-        self.state, just_finished = self._step(self.state)
+        self.state, just_finished = self._step(self.state, self.params)
         done = np.nonzero(np.asarray(just_finished))[0]
         out = []
         if len(done):
