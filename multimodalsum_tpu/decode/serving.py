@@ -156,15 +156,10 @@ class ContinuousBatcher:
         # params are ARGUMENTS of every jitted fn, never closed over:
         # closure would bake the full parameter tree into the program as
         # literal constants — a multi-GB compile payload at bart-large
-        def slot_step(params, tok, cur_len, tokens_row, cache_row, ckv_row,
-                      masks_row, rating_row, rng_row):
-            """One decode step for ONE slot (vmapped over the slot axis)."""
-            logits, new_cache = model.apply(
-                {"params": params}, tok[None, None], cur_len - 1,
-                _add_b(cache_row), _add_b(ckv_row),
-                [m[None] for m in masks_row], rating_row[None],
-                method=BartModel.decode_step)
-            logits = logits[:, 0, :].astype(jnp.float32)          # [1, V]
+        def post_one(logits, cur_len, tokens_row, rng_row):
+            """Logits post-processing + pick for ONE slot (vmapped — these
+            are cheap [V]-sized ops; each slot needs its own cur_len)."""
+            logits = logits[None]                                 # [1, V]
             if not gen.do_sample:
                 logits = adjust_logits(logits, cur_len, L, bos, eos)
             scores = postprocess_scores(
@@ -180,20 +175,25 @@ class ContinuousBatcher:
                 # rng_row is a raw [2]-uint32 key (old-style), unique per
                 # slot occupancy; folding in cur_len gives per-step draws
                 step_rng = jax.random.fold_in(rng_row, cur_len)
-                next_token = jax.random.categorical(step_rng, sampled, axis=-1)[0]
-            else:
-                next_token = jnp.argmax(scores, axis=-1)[0]
-            return next_token, _strip_b(new_cache)
+                return jax.random.categorical(step_rng, sampled, axis=-1)[0]
+            return jnp.argmax(scores, axis=-1)[0]
 
-        vstep = jax.vmap(slot_step, in_axes=(None, 0, 0, 0, 0, 0, 0, 0, 0))
+        vpost = jax.vmap(post_one, in_axes=(0, 0, 0, 0))
 
         def step(state: _SlotState, params):
             S = state.tokens.shape[0]
             last = jnp.take_along_axis(
-                state.tokens, (state.cur_len - 1)[:, None], axis=1)[:, 0]
-            next_tok, new_cache = vstep(
-                params, last, state.cur_len, state.tokens, state.cache,
-                state.cross_kv, state.masks, state.rating, state.rng)
+                state.tokens, (state.cur_len - 1)[:, None], axis=1)
+            # the HEAVY part runs as ONE batched decode step with per-row
+            # cache positions (vector index) — identical matmul shapes to
+            # offline decode, one-hot masked cache writes instead of the
+            # per-slot scatters a vmapped step would emit
+            logits, new_cache = model.apply(
+                {"params": params}, last, state.cur_len - 1, state.cache,
+                state.cross_kv, list(state.masks), state.rating,
+                method=BartModel.decode_step)
+            next_tok = vpost(logits[:, 0, :].astype(jnp.float32),
+                             state.cur_len, state.tokens, state.rng)
             # inactive slots keep their (stale) cache; their tokens are pads
             to_add = jnp.where(state.active, next_tok, pad).astype(jnp.int32)
             rows = jnp.arange(S)

@@ -147,8 +147,10 @@ class SelfAttention(nn.Module):
         anc: Optional[jnp.ndarray] = None,
         anc_beams: Optional[int] = None,
     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-        """One decode step. x: [b, 1, d]; caches [b, L, n, h]; index scalar.
-        ``anc`` enables reorder-free ancestry attention (beam decode);
+        """One decode step. x: [b, 1, d]; caches [b, L, n, h]; index scalar
+        OR vector [b] (per-row cache positions — the continuous-batching
+        serving path, where every slot sits at its own step). ``anc`` enables
+        reorder-free ancestry attention (beam decode; scalar index only);
         ``anc_beams`` (static) makes its gather block-local over the beam
         width instead of all rows.
 
@@ -159,20 +161,27 @@ class SelfAttention(nn.Module):
         q = _split_heads(self.q_proj(x) * self.scaling, self.num_heads)
         k_new = _split_heads(self.k_proj(x), self.num_heads)  # [b, 1, n, h]
         v_new = _split_heads(self.v_proj(x), self.num_heads)
+        vector_index = jnp.ndim(index) == 1
+
+        def _write(cache, new):
+            if not vector_index:
+                return jax.lax.dynamic_update_slice(
+                    cache, new.astype(cache.dtype), (0, index, 0, 0))
+            # per-row positions: a one-hot masked write keeps the update
+            # elementwise (a vmapped per-row dynamic_update_slice lowers to
+            # scatters that dominate serving step time)
+            L = cache.shape[1]
+            oh = (jnp.arange(L)[None, :] == index[:, None])[:, :, None, None]
+            return jnp.where(oh, new.astype(cache.dtype), cache)
 
         def _update(cache, new):
             if isinstance(cache, QuantizedKV):
                 # int8 cache: quantize the new slice with a per-(row, head)
                 # scale over the head dim and update values + scales in place
                 nq = quantize_int8(new, axis=-1)
-                return QuantizedKV(
-                    values=jax.lax.dynamic_update_slice(
-                        cache.values, nq.values, (0, index, 0, 0)),
-                    scale=jax.lax.dynamic_update_slice(
-                        cache.scale, nq.scale, (0, index, 0, 0)),
-                )
-            return jax.lax.dynamic_update_slice(
-                cache, new.astype(cache.dtype), (0, index, 0, 0))
+                return QuantizedKV(values=_write(cache.values, nq.values),
+                                   scale=_write(cache.scale, nq.scale))
+            return _write(cache, new)
 
         k_cache = _update(k_cache, k_new)
         v_cache = _update(v_cache, v_new)
@@ -605,13 +614,18 @@ class BartDecoder(nn.Module):
         anc: Optional[jnp.ndarray] = None,
         anc_beams: Optional[int] = None,
     ):
-        """One-token decode: token_ids [b, 1], index scalar. ``anc`` [b, L]
-        enables reorder-free ancestry self-attention (``anc_beams`` = static
-        beam width for the block-local gather).
+        """One-token decode: token_ids [b, 1], index scalar or per-row
+        vector [b] (continuous-batching serving — every row at its own
+        position). ``anc`` [b, L] enables reorder-free ancestry
+        self-attention (scalar index only; ``anc_beams`` = static beam width
+        for the block-local gather).
 
         Returns (hidden [b, 1, d], new_cache).
         """
-        positions = jnp.full((1,), index, dtype=jnp.int32)
+        if jnp.ndim(index) == 1:
+            positions = index[:, None].astype(jnp.int32)  # [b, 1] per-row
+        else:
+            positions = jnp.full((1,), index, dtype=jnp.int32)
         x = self._embed(token_ids, positions, rating_diff, deterministic=True)
         new_cache = []
         for i, layer in enumerate(self.layers):

@@ -70,6 +70,14 @@ def token_self_attention(
     return jnp.einsum("bnts,bsnh->btnh", probs, v, precision=matmul_precision())
 
 
+def _cache_valid_mask(length: int, index) -> jnp.ndarray:
+    """[1|b, 1, 1, L] bool: positions <= index attendable. ``index`` may be
+    a scalar (all rows at the same step) or a per-row vector (serving)."""
+    if jnp.ndim(index) == 1:
+        return (jnp.arange(length)[None, :] <= index[:, None])[:, None, None, :]
+    return (jnp.arange(length) <= index)[None, None, None, :]
+
+
 def cached_self_attention_step(
     q: jnp.ndarray,
     k_cache: jnp.ndarray,
@@ -87,14 +95,15 @@ def cached_self_attention_step(
     Args:
       q: ``[b, 1, n, h]`` pre-scaled query for the current step.
       k_cache / v_cache: ``[b, L, n, h]``.
-      index: scalar int32 — position of the current step.
+      index: scalar int32 — position of the current step — or vector
+        ``[b]`` of per-row positions (continuous-batching serving).
 
     Returns:
       ``[b, 1, n, h]`` context.
     """
     length = k_cache.shape[1]
     logits = jnp.einsum("btnh,bsnh->bnts", q, k_cache, precision=matmul_precision())
-    valid = (jnp.arange(length) <= index)[None, None, None, :]
+    valid = _cache_valid_mask(length, index)
     logits = jnp.where(valid, logits, TOKEN_MASK_VALUE)
     probs = _softmax_f32(logits, v_cache.dtype)
     return jnp.einsum("bnts,bsnh->btnh", probs, v_cache, precision=matmul_precision())
@@ -122,7 +131,7 @@ def cached_self_attention_step_quantized(q, kq, vq, index) -> jnp.ndarray:
                         precision=matmul_precision())
     k_scale = jnp.transpose(kq.scale[..., 0], (0, 2, 1))[:, :, None, :]  # [b,n,1,s]
     logits = logits.astype(jnp.float32) * k_scale
-    valid = (jnp.arange(length) <= index)[None, None, None, :]
+    valid = _cache_valid_mask(length, index)
     logits = jnp.where(valid, logits, TOKEN_MASK_VALUE)
     probs = jax.nn.softmax(logits, axis=-1)
     v_scale = jnp.transpose(vq.scale[..., 0], (0, 2, 1))[:, :, None, :]
