@@ -140,33 +140,50 @@ def decode_step_flops(cfg, b: int, beams: int, pos: int) -> float:
     return L * (self_attn + cross + ffn_f) + head
 
 
+_SHARED = {}
+
+
+def shared_model_state():
+    """Init the flagship model ONCE and share params across bench configs
+    (each batch size needs its own jit, not its own 406M-param init)."""
+    if "params" not in _SHARED:
+        from multimodalsum_tpu.core.config import BartConfig
+        from multimodalsum_tpu.models.multimodal import MultimodalSum, yelp_dummy_table
+
+        cfg = BartConfig(dropout=0.0)
+        model = MultimodalSum(cfg, dataset="yelp", img_model="resnet101",
+                              dtype=jnp.bfloat16)
+        t0 = time.time()
+        field, values1 = yelp_dummy_table(1)
+        variables = jax.jit(
+            lambda: model.init(jax.random.PRNGKey(0), field, values1,
+                               method=MultimodalSum.init_all))()
+        print(f"# init {time.time()-t0:.1f}s", flush=True)
+        _SHARED.update(cfg=cfg, model=model, params=variables["params"],
+                       batch_stats=variables["batch_stats"])
+    return _SHARED
+
+
 def bench_batch(inputs, b: int, cache_mode: str = "reorder",
                 kv_quant=None):
-    from multimodalsum_tpu.core.config import BartConfig, GenerationConfig
+    from multimodalsum_tpu.core.config import GenerationConfig
     from multimodalsum_tpu.decode.engine import generate
     from multimodalsum_tpu.models.bart import BartModel
     from multimodalsum_tpu.models.multimodal import MultimodalSum, yelp_dummy_table
 
-    cfg = BartConfig(dropout=0.0)
+    st = shared_model_state()
+    cfg, model = st["cfg"], st["model"]
+    params, batch_stats = st["params"], st["batch_stats"]
     gen = GenerationConfig(
         num_beams=5, max_length=142, min_length=56, length_penalty=2.0,
         early_stopping=True, no_repeat_ngram_size=3,
     )
-    model = MultimodalSum(cfg, dataset="yelp", img_model="resnet101", dtype=jnp.bfloat16)
     bart = BartModel(cfg, multimodal=True, dtype=model.dtype)
 
     reviews, reviews_mask, img, img_mask = (x[:b] for x in inputs)
     reviews = reviews.reshape(b * E, S)
     reviews_mask = reviews_mask.reshape(b * E, S)
     field, values = yelp_dummy_table(b)
-
-    t0 = time.time()
-    variables = jax.jit(
-        lambda: model.init(jax.random.PRNGKey(0), field, yelp_dummy_table(1)[1],
-                           method=MultimodalSum.init_all)
-    )()
-    params, batch_stats = variables["params"], variables["batch_stats"]
-    print(f"# init {time.time()-t0:.1f}s", flush=True)
 
     # ResNet over b*10 images in one shot peaks activation memory; encoding
     # in lax.map chunks lowers pressure and measured slightly faster at b64
@@ -245,17 +262,16 @@ def bench_train():
     from multimodalsum_tpu.train.optim import NO_DECAY_MULTIMODAL, make_optimizer
     from multimodalsum_tpu.train.stages import multimodal_train_loss
 
-    cfg = BartConfig()  # dropout active, like training
+    # params shared with the decode configs (dropout has no parameters, so
+    # the tree is identical) but the model instance carries the training
+    # dropout rate — the measured step includes dropout like production
+    st = shared_model_state()
+    params, batch_stats = st["params"], st["batch_stats"]
+    cfg = BartConfig()  # dropout active
     b, t = TRAIN_BATCH, TRAIN_LEN
     model = MultimodalSum(cfg, dataset="yelp", img_model="resnet101",
                           dtype=jnp.bfloat16)
-    field, values1 = yelp_dummy_table(1)
-    t0 = time.time()
-    variables = jax.jit(
-        lambda: model.init(jax.random.PRNGKey(0), field, values1,
-                           method=MultimodalSum.init_all))()
-    params, batch_stats = variables["params"], variables["batch_stats"]
-    print(f"# train init {time.time()-t0:.1f}s", flush=True)
+    field, _ = yelp_dummy_table(1)
 
     rng = np.random.default_rng(1)
     _, values = yelp_dummy_table(b)
