@@ -245,7 +245,7 @@ def bench_batch(inputs, b: int, cache_mode: str = "reorder",
 
     # rough decode MFU: mean per-step flops over the 142 positions / chip peak
     steps = 142
-    flops = sum(decode_step_flops(BartConfig(), b, 5, p) for p in
+    flops = sum(decode_step_flops(cfg, b, 5, p) for p in
                 range(1, steps)) / (steps - 1) * steps
     mfu = flops / dt / chip_peak_flops()
     return dict(sps=b / dt, dt=dt, b=b,

@@ -141,9 +141,9 @@ class ContinuousBatcher:
             S = self.n_slots
             slabs = jax.tree.map(
                 lambda x: jnp.zeros((S,) + x.shape, x.dtype), ckv_row)
-            # scales must start at 1 (0-scale rows would make the masked
-            # softmax of stale inactive slots produce uniform garbage probs
-            # feeding NaN-free but wasteful lanes; harmless, but keep clean)
+            # zero-filled empty slots are safe: their masks are all-False, so
+            # attention sees the finite entity fill (never NaN) and the
+            # parallel-mean weight for those entities is zero
             self.state = self.state._replace(cross_kv=slabs)
 
     # ------------------------------------------------------------------ jit
