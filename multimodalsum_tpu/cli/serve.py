@@ -44,6 +44,21 @@ def main(argv=None):
     p.add_argument("--top_p", type=float, default=1.0)
     p.add_argument("--output", type=str, default=None,
                    help="write '<group_id>\\t<summary>' lines in completion order")
+    p.add_argument("--steps_per_tick", type=int, default=1,
+                   help="decode steps per host round-trip (amortises the "
+                        "completion poll on slow links)")
+    p.add_argument("--kv_quant", type=str, default=None,
+                   choices=["int8", "int4"],
+                   help="quantize cross-KV slot slabs (more slots per chip; "
+                        "changes tokens — see SCALING.md quality deltas)")
+    p.add_argument("--spec_window", type=int, default=1,
+                   help=">1 enables prompt-lookup speculative decoding "
+                        "(greedy only, token-identical output): each step "
+                        "verifies a window of this many tokens drafted from "
+                        "the request's source reviews")
+    p.add_argument("--spec_ngram", type=int, default=2,
+                   help="generated-suffix n-gram length matched against the "
+                        "source for drafting")
     args = p.parse_args(argv)
     setup_environment(args)
 
@@ -100,7 +115,13 @@ def main(argv=None):
 
     eng = ContinuousBatcher(bart, params["bart"], gen, n_slots=args.n_slots,
                             modality_shapes=shapes,
-                            rng=jax.random.PRNGKey(args.seed))
+                            rng=jax.random.PRNGKey(args.seed),
+                            kv_quant=args.kv_quant,
+                            steps_per_tick=args.steps_per_tick,
+                            spec_window=args.spec_window,
+                            spec_ngram=args.spec_ngram,
+                            spec_src_max=(8 * (max_len - 2)
+                                          if args.spec_window > 1 else None))
 
     out_f = None
     if args.output:
@@ -135,9 +156,15 @@ def main(argv=None):
             row["reviews"][None], row["reviews_mask"][None],
             stack_features([row["field_values"]]),
             row["img"][None], row["img_mask"][None])
+        src = None
+        if args.spec_window > 1:
+            # non-pad review tokens, concatenated — the prompt-lookup corpus
+            rv, rm = row["reviews"], row["reviews_mask"].astype(bool)
+            src = np.asarray(rv)[rm].reshape(-1)
         eng.submit(row["group_id"],
                    [np.asarray(h) for h in hiddens],
-                   [np.asarray(m) for m in masks])
+                   [np.asarray(m) for m in masks],
+                   source_tokens=src)
         drain()  # keep slots moving while requests stream in
 
     drain(block=True)

@@ -25,6 +25,19 @@ Design around the static-shape constraint of XLA:
 Beam search is intentionally not slot-batched (hypothesis bookkeeping is
 batch-synchronous); serving uses greedy/sampling as is standard, offline
 eval keeps beams.
+
+``spec_window > 1`` enables **prompt-lookup speculative decoding** (greedy
+only): every engine step decodes a window of ``spec_window`` consecutive
+positions — the last committed token plus drafts copied from the request's
+source tokens at the first occurrence of the last ``spec_ngram`` generated
+tokens — and commits the verified prefix (the drafts that equal the
+post-processed argmax), plus the correction token. Decode cost per step is
+nearly flat in the window size (the step is HBM-bound on weights and
+cross-KV, which are read once per window regardless), so every accepted
+draft is an almost-free extra token. Output is token-identical to
+``spec_window == 1`` by construction; opinion summaries copy heavily from
+their source reviews, which is what makes the lookup hit. No draft model,
+no second set of weights — the drafter is a vectorized n-gram match.
 """
 
 from __future__ import annotations
@@ -51,6 +64,9 @@ class _SlotState(NamedTuple):
     masks: Tuple             # per modality [S, e, s] bool
     rating: jnp.ndarray      # [S, 1]
     rng: jnp.ndarray         # [S, 2] per-slot PRNG keys
+    src: Any                 # [S, P] int32 source tokens (prompt-lookup
+                             # speculative drafting), or None when disabled
+    src_len: Any             # [S] int32 valid source lengths, or None
 
 
 def _add_b(tree):
@@ -76,11 +92,21 @@ class ContinuousBatcher:
                  n_slots: int, modality_shapes: Sequence[Tuple[int, int]],
                  rng: Optional[jnp.ndarray] = None,
                  kv_quant: Optional[str] = None,
-                 steps_per_tick: int = 1):
+                 steps_per_tick: int = 1,
+                 spec_window: int = 1,
+                 spec_ngram: int = 2,
+                 spec_src_max: Optional[int] = None):
         if gen.num_beams != 1:
             raise ValueError("continuous batching serves greedy/sampling "
                              "(num_beams == 1); use decode.engine.generate "
                              "for offline beam search")
+        if spec_window > 1 and gen.do_sample:
+            raise ValueError("speculative decoding is greedy-only (verified "
+                             "acceptance is exact for argmax, not for "
+                             "sampled draws)")
+        if spec_window > 1 and spec_src_max is None:
+            raise ValueError("spec_window > 1 requires spec_src_max (static "
+                             "source-token buffer length for prompt lookup)")
         cfg: BartConfig = model.config
         if gen.max_length > cfg.max_position_embeddings:
             raise ValueError("max_length exceeds max_position_embeddings")
@@ -95,6 +121,23 @@ class ContinuousBatcher:
         # up to steps_per_tick-1 tokens after finishing before refill
         self.steps_per_tick = int(steps_per_tick)
         assert self.steps_per_tick >= 1
+        # prompt-lookup speculative decoding (greedy only): every engine
+        # step decodes a spec_window-token verify window — the last
+        # committed token plus spec_window-1 draft tokens looked up from the
+        # request's SOURCE tokens by matching the last spec_ngram generated
+        # tokens. Accepted drafts are exactly the tokens sequential greedy
+        # would have produced (verified against the post-processed argmax),
+        # so output is token-identical to spec_window == 1; opinion
+        # summaries copy heavily from the source reviews, which is what
+        # makes the lookup hit.
+        self.spec_window = int(spec_window)
+        self.spec_ngram = int(spec_ngram)
+        self.spec_src_max = int(spec_src_max) if spec_src_max else 0
+        assert self.spec_window >= 1 and self.spec_ngram >= 1
+        if self.spec_window > 1 and self.spec_src_max <= self.spec_ngram:
+            raise ValueError("spec_src_max must exceed spec_ngram (the "
+                             "source must fit at least one match window "
+                             "plus a continuation token)")
 
         if model.dtype != jnp.float32:
             params = jax.tree.map(
@@ -127,6 +170,10 @@ class ContinuousBatcher:
             masks=masks,
             rating=jnp.zeros((S, 1), jnp.float32),
             rng=jax.random.split(base_rng, S),
+            src=(jnp.full((S, self.spec_src_max), cfg.pad_token_id, jnp.int32)
+                 if self.spec_window > 1 else None),
+            src_len=(jnp.zeros((S,), jnp.int32)
+                     if self.spec_window > 1 else None),
         )
 
         self._free: deque = deque(range(n_slots))
@@ -215,15 +262,104 @@ class ContinuousBatcher:
             return state._replace(tokens=tokens, cur_len=new_len, active=active,
                                   lengths=lengths, cache=cache), just_finished
 
+        W, G = self.spec_window, self.spec_ngram
+
+        def draft_lookup(state: _SlotState):
+            """Prompt-lookup drafts [S, W-1]: match the last G generated
+            tokens against each slot's source tokens and copy the W-1 tokens
+            that follow the first match. Rows without a usable match draft
+            pads, which the verifier rejects (degenerating to one committed
+            token, exactly classic decode)."""
+            S, P = state.src.shape
+            key_idx = state.cur_len[:, None] - G + jnp.arange(G)[None, :]
+            key = jnp.take_along_axis(
+                state.tokens, jnp.clip(key_idx, 0, L - 1), axis=1)   # [S, G]
+            n_win = P - G + 1
+            win_idx = jnp.arange(n_win)[:, None] + jnp.arange(G)[None, :]
+            src_win = state.src[:, win_idx]                          # [S, n_win, G]
+            m = jnp.all(src_win == key[:, None, :], axis=-1)         # [S, n_win]
+            # the continuation must start inside the valid source
+            m &= (jnp.arange(n_win)[None, :] + G) < state.src_len[:, None]
+            has = jnp.any(m, axis=1) & (state.cur_len >= G)
+            first = jnp.argmax(m, axis=1)                            # [S]
+            d_idx = first[:, None] + G + jnp.arange(W - 1)[None, :]  # [S, W-1]
+            drafts = jnp.take_along_axis(
+                state.src, jnp.clip(d_idx, 0, P - 1), axis=1)
+            d_valid = has[:, None] & (d_idx < state.src_len[:, None])
+            return jnp.where(d_valid, drafts, pad).astype(jnp.int32)
+
+        def _window_write(buf, vals, start, row_valid):
+            """Write vals [S, T] into buf [S, L] at per-row positions
+            start..start+T-1 (overflow past L dropped), rows masked by
+            row_valid."""
+            T = vals.shape[1]
+            off = jnp.arange(buf.shape[1])[None, :] - start[:, None]  # [S, L]
+            in_w = (off >= 0) & (off < T) & row_valid[:, None]
+            gathered = jnp.take_along_axis(vals, jnp.clip(off, 0, T - 1), axis=1)
+            return jnp.where(in_w, gathered, buf)
+
+        def step_spec(state: _SlotState, params):
+            """One speculative engine step: decode a W-token verify window
+            per slot, commit the verified prefix (1..W tokens). Output is
+            token-identical to the classic one-token step (greedy)."""
+            S = state.tokens.shape[0]
+            drafts = draft_lookup(state)                             # [S, W-1]
+            last = jnp.take_along_axis(
+                state.tokens, (state.cur_len - 1)[:, None], axis=1)
+            win_tokens = jnp.concatenate([last, drafts], axis=1)     # [S, W]
+            logits, new_cache = model.apply(
+                {"params": params}, win_tokens, state.cur_len - 1, state.cache,
+                state.cross_kv, list(state.masks), state.rating,
+                method=BartModel.decode_step)                        # [S, W, V]
+            # pre-write drafts so position j's post-processing (repetition
+            # penalty, ngram bans — they mask by effective length
+            # cur_len + j) sees the draft prefix it is conditioned on
+            tokens_buf = _window_write(state.tokens, drafts, state.cur_len,
+                                       state.active)
+
+            def verify_one(_, j):
+                nt = vpost(logits[:, j, :].astype(jnp.float32),
+                           state.cur_len + j, tokens_buf, state.rng)
+                return None, nt
+
+            _, nts = jax.lax.scan(verify_one, None, jnp.arange(W))
+            nts = nts.T.astype(jnp.int32)                            # [S, W]
+
+            match = nts[:, : W - 1] == drafts                        # [S, W-1]
+            acc = jnp.sum(jnp.cumprod(match.astype(jnp.int32), axis=1), axis=1)
+            n_new = acc + 1                                          # [S] 1..W
+            is_eos = nts == eos
+            has_eos = jnp.any(is_eos, axis=1)
+            first_eos = jnp.argmax(is_eos, axis=1)
+            n_new = jnp.where(has_eos & (first_eos + 1 < n_new),
+                              first_eos + 1, n_new)
+            n_new = jnp.minimum(n_new, L - state.cur_len)
+            n_new = jnp.where(state.active, n_new, 0)
+
+            tokens = _window_write(tokens_buf, nts, state.cur_len, state.active)
+            new_len = state.cur_len + n_new
+            committed_eos = state.active & has_eos & (first_eos < n_new)
+            hit_max = state.active & (new_len >= L)
+            just_finished = committed_eos | hit_max
+            lengths = jnp.where(just_finished, new_len, state.lengths)
+            active = state.active & ~just_finished
+            cache = jax.tree.map(
+                lambda new, old: jnp.where(
+                    state.active.reshape((-1,) + (1,) * (new.ndim - 1)), new, old),
+                new_cache, state.cache)
+            return state._replace(tokens=tokens, cur_len=new_len, active=active,
+                                  lengths=lengths, cache=cache), just_finished
+
+        one_step = step_spec if W > 1 else step
         k = self.steps_per_tick
 
         def multi_step(state: _SlotState, params):
             if k == 1:
-                return step(state, params)
+                return one_step(state, params)
 
             def body(_, carry):
                 st, fin = carry
-                st, just = step(st, params)
+                st, just = one_step(st, params)
                 return st, fin | just
 
             S = state.tokens.shape[0]
@@ -232,7 +368,8 @@ class ContinuousBatcher:
 
         self._step = jax.jit(multi_step, donate_argnums=0)
 
-        def insert(state: _SlotState, slot, ckv, masks, rating, key):
+        def insert(state: _SlotState, slot, ckv, masks, rating, key,
+                   src_row=None, src_len_row=None):
             tokens = state.tokens.at[slot].set(
                 jnp.full((L,), pad, jnp.int32).at[0].set(cfg.decoder_start_token_id))
             cross_kv = jax.tree.map(lambda dst, src: dst.at[slot].set(src),
@@ -251,6 +388,10 @@ class ContinuousBatcher:
                 masks=masks_new,
                 rating=state.rating.at[slot].set(rating),
                 rng=state.rng.at[slot].set(key),
+                src=(state.src if src_row is None
+                     else state.src.at[slot].set(src_row)),
+                src_len=(state.src_len if src_len_row is None
+                         else state.src_len.at[slot].set(src_len_row)),
             )
 
         self._insert = jax.jit(insert, donate_argnums=0)
@@ -277,28 +418,45 @@ class ContinuousBatcher:
     def submit(self, request_id, modality_hiddens: Sequence[np.ndarray],
                modality_masks: Sequence[np.ndarray],
                rating_diff: float = 0.0,
-               key: Optional[jnp.ndarray] = None) -> None:
+               key: Optional[jnp.ndarray] = None,
+               source_tokens: Optional[np.ndarray] = None) -> None:
         """Queue a request. ``modality_hiddens[i]`` is ``[e_i, s_i, d]`` (the
-        request's encoder states, unbatched), masks ``[e_i, s_i]`` bool."""
+        request's encoder states, unbatched), masks ``[e_i, s_i]`` bool.
+        ``source_tokens`` (1-D int array, e.g. the request's concatenated
+        review token ids) feeds prompt-lookup drafting when the engine runs
+        with ``spec_window > 1``; without it the request decodes classically
+        inside the speculative step (every draft rejected)."""
         for h, (e, s) in zip(modality_hiddens, self.modality_shapes):
             if tuple(h.shape[:2]) != (e, s):
                 raise ValueError(
                     f"modality shape {tuple(h.shape[:2])} != engine spec {(e, s)}")
         self._queue.append((request_id, modality_hiddens, modality_masks,
-                            rating_diff, key))
+                            rating_diff, key, source_tokens))
 
     def _fill_slots(self):
         while self._free and self._queue:
-            request_id, hiddens, masks, rating, key = self._queue.popleft()
+            request_id, hiddens, masks, rating, key, src = self._queue.popleft()
             slot = self._free.popleft()
             ckv = _strip_b(self._project(self.params, hiddens))
             self._ensure_cross_kv_slabs(ckv)
             if key is None:
                 key = jax.random.PRNGKey(abs(hash(request_id)) % (2 ** 31))
+            src_row = src_len_row = None
+            if self.spec_window > 1:
+                P = self.spec_src_max
+                row = np.full((P,), self.cfg.pad_token_id, np.int32)
+                n = 0
+                if src is not None:
+                    flat = np.asarray(src, np.int32).reshape(-1)[:P]
+                    n = flat.shape[0]
+                    row[:n] = flat
+                src_row = jnp.asarray(row)
+                src_len_row = jnp.asarray(n, jnp.int32)
             self.state = self._insert(
                 self.state, slot, ckv,
                 tuple(jnp.asarray(m, bool) for m in masks),
-                jnp.asarray([float(rating)], jnp.float32), key)
+                jnp.asarray([float(rating)], jnp.float32), key,
+                src_row, src_len_row)
             self._slot_req[slot] = request_id
 
     def tick(self) -> List[Tuple[Any, np.ndarray, int]]:

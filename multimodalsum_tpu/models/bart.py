@@ -147,21 +147,24 @@ class SelfAttention(nn.Module):
         anc: Optional[jnp.ndarray] = None,
         anc_beams: Optional[int] = None,
     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-        """One decode step. x: [b, 1, d]; caches [b, L, n, h]; index scalar
-        OR vector [b] (per-row cache positions — the continuous-batching
-        serving path, where every slot sits at its own step). ``anc`` enables
-        reorder-free ancestry attention (beam decode; scalar index only);
-        ``anc_beams`` (static) makes its gather block-local over the beam
-        width instead of all rows.
+        """Decode step over a window of T consecutive positions (T == 1 for
+        classic one-token decode). x: [b, T, d]; caches [b, L, n, h]; index
+        scalar OR vector [b] (per-row cache positions — the
+        continuous-batching serving path, where every slot sits at its own
+        step; T > 1 there is the speculative verify window). ``anc`` enables
+        reorder-free ancestry attention (beam decode; scalar index, T == 1
+        only); ``anc_beams`` (static) makes its gather block-local over the
+        beam width instead of all rows.
 
-        Returns (out [b, 1, d], new_k_cache, new_v_cache).
+        Returns (out [b, T, d], new_k_cache, new_v_cache).
         """
         from multimodalsum_tpu.ops.quantization import QuantizedKV, quantize_int8
 
         q = _split_heads(self.q_proj(x) * self.scaling, self.num_heads)
-        k_new = _split_heads(self.k_proj(x), self.num_heads)  # [b, 1, n, h]
+        k_new = _split_heads(self.k_proj(x), self.num_heads)  # [b, T, n, h]
         v_new = _split_heads(self.v_proj(x), self.num_heads)
         vector_index = jnp.ndim(index) == 1
+        T = x.shape[1]
 
         def _write(cache, new):
             if not vector_index:
@@ -169,10 +172,21 @@ class SelfAttention(nn.Module):
                     cache, new.astype(cache.dtype), (0, index, 0, 0))
             # per-row positions: a one-hot masked write keeps the update
             # elementwise (a vmapped per-row dynamic_update_slice lowers to
-            # scatters that dominate serving step time)
+            # scatters that dominate serving step time). For a T-token
+            # window the one-hot becomes [b, L, T] and the select an einsum
+            # over the window axis (window positions are distinct, and rows
+            # whose window runs past L simply drop the overflow writes).
             L = cache.shape[1]
-            oh = (jnp.arange(L)[None, :] == index[:, None])[:, :, None, None]
-            return jnp.where(oh, new.astype(cache.dtype), cache)
+            if T == 1:
+                oh = (jnp.arange(L)[None, :] == index[:, None])[:, :, None, None]
+                return jnp.where(oh, new.astype(cache.dtype), cache)
+            # offset of each cache position inside the row's window
+            off = jnp.arange(L)[None, :] - index[:, None]            # [b, L]
+            in_window = (off >= 0) & (off < T)
+            gathered = jnp.take_along_axis(
+                new.astype(cache.dtype),
+                jnp.clip(off, 0, T - 1)[:, :, None, None], axis=1)   # [b, L, n, h]
+            return jnp.where(in_window[:, :, None, None], gathered, cache)
 
         def _update(cache, new):
             if isinstance(cache, QuantizedKV):
@@ -614,18 +628,26 @@ class BartDecoder(nn.Module):
         anc: Optional[jnp.ndarray] = None,
         anc_beams: Optional[int] = None,
     ):
-        """One-token decode: token_ids [b, 1], index scalar or per-row
-        vector [b] (continuous-batching serving — every row at its own
-        position). ``anc`` [b, L] enables reorder-free ancestry
-        self-attention (scalar index only; ``anc_beams`` = static beam width
-        for the block-local gather).
+        """Decode a window of T consecutive tokens (T == 1 classic):
+        token_ids [b, T], index scalar or per-row vector [b]
+        (continuous-batching serving — every row at its own position; T > 1
+        is the speculative verify window, causal within the window). ``anc``
+        [b, L] enables reorder-free ancestry self-attention (scalar index,
+        T == 1 only; ``anc_beams`` = static beam width for the block-local
+        gather).
 
-        Returns (hidden [b, 1, d], new_cache).
+        Returns (hidden [b, T, d], new_cache).
         """
+        T = token_ids.shape[-1]
         if jnp.ndim(index) == 1:
-            positions = index[:, None].astype(jnp.int32)  # [b, 1] per-row
+            positions = (index[:, None] + jnp.arange(T)[None, :]).astype(jnp.int32)
+            # rows whose window runs past the position table are finished /
+            # clamped by the caller; clamp the lookup so the gather stays
+            # in range (those outputs are never committed)
+            positions = jnp.minimum(
+                positions, self.config.max_position_embeddings - 1)
         else:
-            positions = jnp.full((1,), index, dtype=jnp.int32)
+            positions = (index + jnp.arange(T)).astype(jnp.int32)
         x = self._embed(token_ids, positions, rating_diff, deterministic=True)
         new_cache = []
         for i, layer in enumerate(self.layers):

@@ -70,12 +70,19 @@ def token_self_attention(
     return jnp.einsum("bnts,bsnh->btnh", probs, v, precision=matmul_precision())
 
 
-def _cache_valid_mask(length: int, index) -> jnp.ndarray:
-    """[1|b, 1, 1, L] bool: positions <= index attendable. ``index`` may be
-    a scalar (all rows at the same step) or a per-row vector (serving)."""
+def _cache_valid_mask(length: int, index, window: int = 1) -> jnp.ndarray:
+    """[1|b, 1, T, L] bool: for query ``j`` of a ``window`` of consecutive
+    positions starting at ``index``, cache positions ``<= index + j`` are
+    attendable. ``index`` may be a scalar (all rows at the same step) or a
+    per-row vector (serving). ``window == 1`` is the classic one-token step;
+    ``window > 1`` is the multi-token (speculative-verify) step, where the
+    per-query offset doubles as the causal mask inside the window."""
+    pos = jnp.arange(length)
     if jnp.ndim(index) == 1:
-        return (jnp.arange(length)[None, :] <= index[:, None])[:, None, None, :]
-    return (jnp.arange(length) <= index)[None, None, None, :]
+        q_pos = index[:, None] + jnp.arange(window)[None, :]        # [b, T]
+        return (pos[None, None, :] <= q_pos[:, :, None])[:, None, :, :]
+    q_pos = index + jnp.arange(window)                              # [T]
+    return (pos[None, :] <= q_pos[:, None])[None, None, :, :]
 
 
 def cached_self_attention_step(
@@ -84,26 +91,29 @@ def cached_self_attention_step(
     v_cache: jnp.ndarray,
     index: jnp.ndarray,
 ) -> jnp.ndarray:
-    """One-token decoder self-attention against a static-shape KV cache.
+    """Decoder self-attention against a static-shape KV cache.
 
     The caller has already written the current step's K/V into the cache at
-    ``index``. Positions ``> index`` are masked out, which subsumes both the
-    causal mask and cache-tail padding — decode-time sequences are
-    left-aligned and contain no pad tokens (reference decode passes
-    ``decoder_padding_mask=None``, ``modeling_multimodalsum.py:583-585``).
+    ``index`` (one token) or ``index .. index+T-1`` (a T-token verify
+    window). Positions ``> index + j`` are masked out for query ``j``, which
+    subsumes the causal mask (within and before the window) and cache-tail
+    padding — decode-time sequences are left-aligned and contain no pad
+    tokens (reference decode passes ``decoder_padding_mask=None``,
+    ``modeling_multimodalsum.py:583-585``).
 
     Args:
-      q: ``[b, 1, n, h]`` pre-scaled query for the current step.
+      q: ``[b, T, n, h]`` pre-scaled queries for ``T`` consecutive steps
+        (T == 1 for classic decode).
       k_cache / v_cache: ``[b, L, n, h]``.
-      index: scalar int32 — position of the current step — or vector
-        ``[b]`` of per-row positions (continuous-batching serving).
+      index: scalar int32 — position of the window's first query — or
+        vector ``[b]`` of per-row positions (continuous-batching serving).
 
     Returns:
-      ``[b, 1, n, h]`` context.
+      ``[b, T, n, h]`` context.
     """
     length = k_cache.shape[1]
     logits = jnp.einsum("btnh,bsnh->bnts", q, k_cache, precision=matmul_precision())
-    valid = _cache_valid_mask(length, index)
+    valid = _cache_valid_mask(length, index, window=q.shape[1])
     logits = jnp.where(valid, logits, TOKEN_MASK_VALUE)
     probs = _softmax_f32(logits, v_cache.dtype)
     return jnp.einsum("bnts,bsnh->btnh", probs, v_cache, precision=matmul_precision())
@@ -131,7 +141,7 @@ def cached_self_attention_step_quantized(q, kq, vq, index) -> jnp.ndarray:
                         precision=matmul_precision())
     k_scale = jnp.transpose(kq.scale[..., 0], (0, 2, 1))[:, :, None, :]  # [b,n,1,s]
     logits = logits.astype(jnp.float32) * k_scale
-    valid = _cache_valid_mask(length, index)
+    valid = _cache_valid_mask(length, index, window=q.shape[1])
     logits = jnp.where(valid, logits, TOKEN_MASK_VALUE)
     probs = jax.nn.softmax(logits, axis=-1)
     v_scale = jnp.transpose(vq.scale[..., 0], (0, 2, 1))[:, :, None, :]

@@ -148,3 +148,83 @@ def test_serving_sampling_reproducible_per_key(setup):
         eng.submit(rid, [h], [m])
     greedy = eng.run()
     assert any(not np.array_equal(a[r], greedy[r]) for r in a)
+
+
+def test_spec_decoding_matches_offline_greedy(setup):
+    """Prompt-lookup speculative decoding must be token-identical to
+    offline greedy for every request, across the acceptance spectrum:
+    an ORACLE source (the request's own offline greedy output — drafts are
+    the true continuation, near-full acceptance), a random source (drafts
+    mostly rejected), and no source at all (pure rejection path)."""
+    from multimodalsum_tpu.core.config import GenerationConfig
+    from multimodalsum_tpu.decode.serving import ContinuousBatcher
+
+    gen = GenerationConfig(num_beams=1, do_sample=False, max_length=12,
+                          min_length=2, length_penalty=1.0,
+                          early_stopping=False, no_repeat_ngram_size=2)
+    wants = {req[0]: _offline(setup, gen, req) for req in setup["reqs"]}
+
+    eng = ContinuousBatcher(setup["model"], setup["params"], gen, n_slots=2,
+                            modality_shapes=[(setup["e"], setup["s"])],
+                            spec_window=4, spec_ngram=2, spec_src_max=24)
+    rng = np.random.default_rng(0)
+    for i, (rid, h, m) in enumerate(setup["reqs"]):
+        if i == 0:
+            src = None                                   # no source
+        elif i == 1:
+            src = rng.integers(4, setup["cfg"].vocab_size,
+                               size=(20,)).astype(np.int32)  # random source
+        else:
+            src = wants[rid]                             # oracle source
+        eng.submit(rid, [h], [m], source_tokens=src)
+    results = eng.run()
+    for rid, want in wants.items():
+        np.testing.assert_array_equal(results[rid], want, err_msg=rid)
+
+
+def test_spec_decoding_oracle_saves_ticks(setup):
+    """With an oracle source every draft is accepted, so a request must
+    finish in far fewer engine ticks than it has tokens (that is the whole
+    point of the verify window)."""
+    from multimodalsum_tpu.core.config import GenerationConfig
+    from multimodalsum_tpu.decode.serving import ContinuousBatcher
+
+    gen = GenerationConfig(num_beams=1, do_sample=False, max_length=12,
+                          min_length=2, length_penalty=1.0,
+                          early_stopping=False, no_repeat_ngram_size=2)
+    req = setup["reqs"][0]
+    want = _offline(setup, gen, req)
+
+    W = 4
+    eng = ContinuousBatcher(setup["model"], setup["params"], gen, n_slots=1,
+                            modality_shapes=[(setup["e"], setup["s"])],
+                            spec_window=W, spec_ngram=2, spec_src_max=24)
+    eng.submit(req[0], [req[1]], [req[2]], source_tokens=want)
+    ticks = 0
+    results = {}
+    while not results and ticks < 100:
+        for rid, toks, _ in eng.tick():
+            results[rid] = toks
+        ticks += 1
+    np.testing.assert_array_equal(results[req[0]], want)
+    n_generated = len(want) - 1  # minus decoder-start
+    # first window has no ngram context (no draft); afterwards oracle
+    # drafts commit up to W tokens per tick
+    assert ticks <= 2 + (n_generated + W - 1) // W, (ticks, n_generated)
+
+
+def test_spec_decoding_rejects_bad_config(setup):
+    from multimodalsum_tpu.core.config import GenerationConfig
+    from multimodalsum_tpu.decode.serving import ContinuousBatcher
+
+    gen_s = GenerationConfig(num_beams=1, do_sample=True, max_length=8,
+                             min_length=1, length_penalty=1.0,
+                             early_stopping=False)
+    with pytest.raises(ValueError, match="greedy"):
+        ContinuousBatcher(setup["model"], setup["params"], gen_s, 2,
+                          [(setup["e"], setup["s"])], spec_window=4,
+                          spec_src_max=16)
+    gen = gen_s.replace(do_sample=False)
+    with pytest.raises(ValueError, match="spec_src_max"):
+        ContinuousBatcher(setup["model"], setup["params"], gen, 2,
+                          [(setup["e"], setup["s"])], spec_window=4)
