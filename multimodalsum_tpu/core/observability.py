@@ -190,3 +190,35 @@ class MetricLogger:
                 self._wandb.finish()
             except Exception:
                 pass
+
+
+def init_logger(name: str = "multimodalsum_tpu",
+                output_path: Optional[str] = None,
+                level: int = 20) -> "logging.Logger":
+    """Console + optional file logger (reference mlutils ``init_logger``,
+    ``mlutils/helpers/logging.py:31``): one shared formatter, a stream
+    handler always, and a file handler when ``output_path`` is given — a
+    file path is used as-is (parents created), a directory gets a
+    timestamped ``log_*.txt``. Re-initialisation replaces handlers instead
+    of stacking duplicates."""
+    import logging
+
+    logger = logging.getLogger(name)
+    logger.setLevel(level)
+    logger.handlers.clear()
+    fmt = logging.Formatter("%(asctime)s [%(levelname)s]: %(message)s")
+    stream = logging.StreamHandler()
+    stream.setFormatter(fmt)
+    logger.addHandler(stream)
+    if output_path:
+        root, ext = os.path.splitext(output_path)
+        if not ext:  # directory: default timestamped file name inside it
+            os.makedirs(output_path, exist_ok=True)
+            output_path = os.path.join(
+                output_path, time.strftime("log_%b_%d_%H_%M_%S.txt"))
+        else:
+            os.makedirs(os.path.dirname(output_path) or ".", exist_ok=True)
+        fh = logging.FileHandler(output_path)
+        fh.setFormatter(fmt)
+        logger.addHandler(fh)
+    return logger

@@ -118,3 +118,36 @@ class Pipeline:
                 p.join()
 
     __call__ = iter
+
+
+class JaxPipeline(Pipeline):
+    """Pipeline whose chunks land on device in the MAIN process.
+
+    Equivalent of the reference's ``PyTorchPipeline``
+    (``mldp/pytorch_pipeline.py:6``), which formats batches on the main
+    process because torch tensors must not cross worker-queue boundaries.
+    The same constraint holds here — device buffers can't be pickled through
+    a multiprocessing queue and worker processes must never touch JAX — so
+    workers ship plain numpy chunks and the main process stages each numeric
+    field with ``jax.device_put`` (object/string fields pass through as
+    numpy)."""
+
+    def iter(self, source) -> Iterator:
+        import jax
+        import numpy as np
+
+        for item in super().iter(source):
+            if isinstance(item, DataChunk):
+                fields = item.fields()
+            elif isinstance(item, dict):
+                fields = item
+            else:  # e.g. PandasFormatter output — not device-stageable
+                yield item
+                continue
+            yield {
+                k: jax.device_put(v)
+                if isinstance(v, np.ndarray) and v.dtype.kind in "biufc" else v
+                for k, v in fields.items()
+            }
+
+    __call__ = iter

@@ -139,3 +139,73 @@ class Beamer:
             pad_token_id=self.pad_id, eos_token_id=self.end_id,
             force_bos_eos=False,
         )
+
+
+class Ffnn(nn.Module):
+    """Feed-forward scorer: a Dense stack with a nonlinearity between hidden
+    layers and raw (unbounded) scores out (reference ``mlmo/layers/ffnn.py:6``).
+
+    ``hidden_dims`` may be empty (a single affine map, the reference's
+    ``hidden_dim=None``)."""
+
+    output_dim: int
+    hidden_dims: Tuple[int, ...] = ()
+    activation: Callable = nn.relu
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        for h in self.hidden_dims:
+            x = self.activation(nn.Dense(h)(x))
+        return nn.Dense(self.output_dim)(x)
+
+
+class MuSigmaFfnn(nn.Module):
+    """Gaussian-head FFNN: one network emits ``2*output_dim`` values split
+    into ``mu`` and ``sigma = exp(log_sigma)`` (non-negative by construction)
+    — reference ``mlmo/layers/mu_sigma_ffnn.py:6``."""
+
+    output_dim: int
+    hidden_dims: Tuple[int, ...] = ()
+    activation: Callable = nn.relu
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        out = Ffnn(2 * self.output_dim, self.hidden_dims, self.activation)(x)
+        mu, log_sigma = jnp.split(out, 2, axis=-1)
+        return mu, jnp.exp(log_sigma)
+
+
+def out_embds(x: jnp.ndarray, embedding: jnp.ndarray,
+              vocab_size: Optional[int] = None) -> jnp.ndarray:
+    """Tied output projection: logits against (a prefix of) an existing
+    embedding table (reference ``mlmo/layers/out_embds.py:5``). As a function
+    rather than a module because in Flax weight sharing is explicit — the
+    caller passes the embedding array it already owns."""
+    table = embedding if vocab_size is None else embedding[:vocab_size]
+    return x @ table.T
+
+
+def kl_cyc_annealing(step, total_steps: int, m: int = 4, r: float = 0.5,
+                     max_val: float = 1.0):
+    """Cyclical KL-annealing scale (reference
+    ``mlmo/utils/tools/annealing/kl_cyc_annealing.py:1``, after "Cyclical
+    Annealing Schedule", Fu et al. 2019). Functional — a pure map from the
+    1-based batch index to the scale, usable inside jit (the reference's
+    version is a stateful counter object; optax-style schedules are the JAX
+    idiom). ``step == 0`` returns 0, matching the reference's pre-increment
+    call."""
+    period = jnp.round(total_steps / m)
+    tau = ((step - 1) % period) / (total_steps / m)
+    val = jnp.where(tau <= r, tau / r, 1.0)
+    return jnp.where(step == 0, 0.0, max_val * val)
+
+
+def kl_mon_annealing(step, ann_batches: int, start: float = 0.0,
+                     end: float = 1.0):
+    """Monotonic KL-annealing scale (reference ``kl_mon_annealing.py:1``):
+    linear ``start → end`` over ``ann_batches`` steps, clamped at ``end``;
+    ``ann_batches in (0, None)`` disables annealing (scale 1)."""
+    if not ann_batches:
+        return jnp.asarray(1.0)
+    prop = jnp.asarray(step, jnp.float32) / ann_batches
+    return jnp.minimum(end, start + (end - start) * prop)

@@ -3,8 +3,9 @@
 Equivalents of the reference ``mltoolkit/mldp`` step zoo (readers
 ``CsvReader``/``JsonReader``; transformers ``TokenProcessor``/``VocabMapper``/
 ``Padder``/``SeqLenComputer``/``FieldSelector``/``FieldRenamer``/
-``ChunkSorter``/``FunctionApplier``; collectors ``ChunkAccumulator``/
-``ChunkShuffler``; formatters Pandas/numpy) re-designed around
+``ChunkSorter``/``FunctionApplier``/``Postfixer``; collectors
+``ChunkAccumulator``/``ChunkCollector``/``UnitCollector``/``ChunkShuffler``;
+formatters Pandas/numpy) re-designed around
 :class:`~multimodalsum_tpu.toolkit.chunk.DataChunk`.
 """
 
@@ -266,6 +267,31 @@ class ChunkSorter(Transformer):
         return chunk.select(order)
 
 
+class Postfixer(Transformer):
+    """Append an occurrence-count postfix to a chunk-uniform id field
+    (reference ``mldp/steps/transformers/general/postfixer.py:5``): the k-th
+    chunk seen for id ``X`` becomes ``"X_k"``. Stateful across the stream —
+    disambiguates multiple chunks of the same group (e.g. a business with
+    more reviews than fit one chunk)."""
+
+    def __init__(self, id_field: str):
+        self.id_field = id_field
+        self._counts: dict = {}
+
+    def __call__(self, chunk: DataChunk) -> DataChunk:
+        vals = chunk[self.id_field]
+        uniq = {str(v) for v in vals}
+        if len(uniq) != 1:
+            raise InvalidChunkError(
+                f"Postfixer requires a chunk-uniform {self.id_field!r}, "
+                f"got {sorted(uniq)[:3]}...")
+        key = str(vals[0])
+        self._counts[key] = self._counts.get(key, 0) + 1
+        new_id = f"{key}_{self._counts[key]}"
+        chunk[self.id_field] = np.array([new_id] * len(chunk), dtype=object)
+        return chunk
+
+
 # ---------------------------------------------------------------------------
 # collectors (change chunk boundaries)
 
@@ -295,6 +321,47 @@ class ChunkAccumulator(Collector):
                 count = len(rest)
         if count:
             yield DataChunk.concat(buf)
+
+
+class ChunkCollector(Collector):
+    """Merge every ``buffer_size`` consecutive chunks into one (reference
+    ``mldp/steps/collectors/chunk_collector.py:6``). With ``strict=True``
+    (the reference default) a trailing incomplete buffer is dropped;
+    ``strict=False`` flushes it as a final smaller chunk."""
+
+    def __init__(self, buffer_size: int, strict: bool = True):
+        self.buffer_size = buffer_size
+        self.strict = strict
+
+    def __call__(self, chunks: Iterator[DataChunk]) -> Iterator[DataChunk]:
+        buf: List[DataChunk] = []
+        for ch in chunks:
+            buf.append(ch)
+            if len(buf) == self.buffer_size:
+                yield DataChunk.concat(buf)
+                buf = []
+        if buf and not self.strict:
+            yield DataChunk.concat(buf)
+
+
+class UnitCollector(Collector):
+    """Unit-level re-chunking (reference
+    ``mldp/steps/collectors/unit_collector.py:8``): emit chunks of exactly
+    ``max_size`` units regardless of incoming chunk boundaries, plus the
+    remainder at stream end; ``max_size=None`` merges the whole stream into
+    one chunk. The bounded case is what :class:`ChunkAccumulator` wraps on
+    the main path."""
+
+    def __init__(self, max_size: Optional[int] = None):
+        self.max_size = max_size
+
+    def __call__(self, chunks: Iterator[DataChunk]) -> Iterator[DataChunk]:
+        if self.max_size is None:
+            buf = list(chunks)
+            if buf:
+                yield DataChunk.concat(buf)
+            return
+        yield from ChunkAccumulator(self.max_size)(chunks)
 
 
 class ChunkShuffler(Collector):

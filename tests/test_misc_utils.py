@@ -174,3 +174,23 @@ def test_shard_order_equal_counts():
     assert len(shards[0]) == len(shards[1]) == 50
     assert shards[1][-1] == order[0]  # wrap-around pad
     np.testing.assert_array_equal(shard_order(order, 0, 1), order)
+
+
+def test_init_logger_console_and_file(tmp_path, capsys):
+    from multimodalsum_tpu.core.observability import init_logger
+
+    log_file = tmp_path / "run" / "train.log"
+    logger = init_logger("msum-test", str(log_file))
+    logger.info("hello world")
+    # re-init must replace handlers, not stack duplicates
+    logger = init_logger("msum-test", str(log_file))
+    logger.info("second line")
+    assert len(logger.handlers) == 2  # one stream + one file
+    text = log_file.read_text()
+    assert "hello world" in text and "second line" in text
+    # directory form: a timestamped log_*.txt is created inside
+    d = tmp_path / "dir_logs"
+    logger2 = init_logger("msum-test-2", str(d))
+    logger2.warning("to dir")
+    files = list(d.glob("log_*.txt"))
+    assert files and "to dir" in files[0].read_text()

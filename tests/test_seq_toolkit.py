@@ -142,3 +142,62 @@ def test_beamer_num_return_and_penalty():
     np.testing.assert_array_equal(seqs[0, :3], [1, 3, 2])
     np.testing.assert_allclose(scores[0], np.log(0.6), rtol=1e-5)
     assert scores[0] >= scores[1]
+
+
+def test_ffnn_and_mu_sigma_shapes():
+    import jax
+    import jax.numpy as jnp
+
+    from multimodalsum_tpu.toolkit.seq import Ffnn, MuSigmaFfnn
+
+    x = jnp.ones((4, 6))
+    net = Ffnn(output_dim=3, hidden_dims=(8, 5))
+    p = net.init(jax.random.PRNGKey(0), x)
+    out = net.apply(p, x)
+    assert out.shape == (4, 3)
+    # no hidden layers: a single affine map (reference hidden_dim=None)
+    lin = Ffnn(output_dim=2)
+    pl = lin.init(jax.random.PRNGKey(1), x)
+    assert len(jax.tree.leaves(pl)) == 2  # one kernel + one bias
+
+    head = MuSigmaFfnn(output_dim=3, hidden_dims=(8,))
+    ph = head.init(jax.random.PRNGKey(2), x)
+    mu, sigma = head.apply(ph, x)
+    assert mu.shape == sigma.shape == (4, 3)
+    assert bool((sigma > 0).all())  # exp(log_sigma) is positive
+
+
+def test_out_embds_ties_to_table_prefix():
+    import jax.numpy as jnp
+    import numpy as np
+
+    from multimodalsum_tpu.toolkit.seq import out_embds
+
+    table = jnp.asarray(np.random.default_rng(0).normal(size=(10, 4)))
+    x = jnp.asarray(np.random.default_rng(1).normal(size=(3, 4)))
+    logits = out_embds(x, table, vocab_size=7)
+    assert logits.shape == (3, 7)
+    np.testing.assert_allclose(np.asarray(logits),
+                               np.asarray(x) @ np.asarray(table[:7]).T,
+                               rtol=1e-6)
+
+
+def test_kl_annealing_schedules():
+    import numpy as np
+
+    from multimodalsum_tpu.toolkit.seq import kl_cyc_annealing, kl_mon_annealing
+
+    # cyclic: 0 at step 0, ramps to max over r of each cycle, then holds at 1
+    t, m, r = 100, 4, 0.5
+    assert float(kl_cyc_annealing(0, t, m, r)) == 0.0
+    ramp_mid = float(kl_cyc_annealing(1 + 6, t, m, r))   # tau=6/25=0.24 -> .48
+    np.testing.assert_allclose(ramp_mid, 0.48, atol=1e-6)
+    hold = float(kl_cyc_annealing(1 + 20, t, m, r))      # tau=0.8 > r -> 1
+    assert hold == 1.0
+    # cycle restart: step t/m+1 has tau=0 again
+    np.testing.assert_allclose(float(kl_cyc_annealing(26, t, m, r)), 0.0,
+                               atol=1e-6)
+    # monotonic: linear then clamped; disabled -> 1
+    np.testing.assert_allclose(float(kl_mon_annealing(5, 10)), 0.5, atol=1e-6)
+    assert float(kl_mon_annealing(25, 10)) == 1.0
+    assert float(kl_mon_annealing(3, 0)) == 1.0

@@ -316,3 +316,65 @@ def test_fs_accessors(tmp_path):
     assert s3.glob("dir/*/*.txt") == ["dir/sub/deep.txt"]
     s3.remove("dir/x.txt")
     assert not s3.exists("dir/x.txt")
+
+
+def test_chunk_collector_merges_and_strictness():
+    from multimodalsum_tpu.toolkit.steps import ChunkCollector
+
+    chunks = [DataChunk(x=np.arange(i * 3, i * 3 + 3)) for i in range(5)]
+    strict = list(ChunkCollector(2)(iter(chunks)))
+    # 5 chunks -> two merged pairs; the trailing incomplete buffer is dropped
+    assert [len(c) for c in strict] == [6, 6]
+    np.testing.assert_array_equal(strict[0]["x"], np.arange(6))
+    lenient = list(ChunkCollector(2, strict=False)(iter(chunks)))
+    assert [len(c) for c in lenient] == [6, 6, 3]
+    np.testing.assert_array_equal(lenient[-1]["x"], np.arange(12, 15))
+
+
+def test_unit_collector_bounded_and_unbounded():
+    from multimodalsum_tpu.toolkit.steps import UnitCollector
+
+    chunks = [DataChunk(x=np.arange(i * 4, i * 4 + 4)) for i in range(3)]
+    bounded = list(UnitCollector(5)(iter(chunks)))
+    assert [len(c) for c in bounded] == [5, 5, 2]
+    merged = list(UnitCollector(None)(iter(
+        DataChunk(x=np.arange(i * 4, i * 4 + 4)) for i in range(3))))
+    assert len(merged) == 1 and len(merged[0]) == 12
+    np.testing.assert_array_equal(merged[0]["x"], np.arange(12))
+
+
+def test_postfixer_counts_per_id_and_rejects_mixed():
+    from multimodalsum_tpu.toolkit.steps import Postfixer
+
+    p = Postfixer("gid")
+    a1 = p(DataChunk(gid=["g1", "g1"], v=[1, 2]))
+    b1 = p(DataChunk(gid=["g2"], v=[3]))
+    a2 = p(DataChunk(gid=["g1", "g1", "g1"], v=[4, 5, 6]))
+    assert list(a1["gid"]) == ["g1_1", "g1_1"]
+    assert list(b1["gid"]) == ["g2_1"]
+    assert list(a2["gid"]) == ["g1_2", "g1_2", "g1_2"]
+    with pytest.raises(InvalidChunkError):
+        p(DataChunk(gid=["g1", "g3"], v=[7, 8]))
+
+
+def test_jax_pipeline_stages_numeric_fields(csv_dir):
+    import jax
+
+    from multimodalsum_tpu.toolkit.pipeline import JaxPipeline
+
+    class AsFloat(Transformer):
+        def __call__(self, chunk):
+            chunk["score"] = chunk["score"].astype(np.float32)
+            return chunk
+
+    pipe = JaxPipeline(
+        reader=CsvReader(chunk_size=4),
+        steps=[AsFloat()],
+        formatter=NumpyFormatter(),
+    )
+    batches = list(pipe.iter(os.path.join(csv_dir, "*.csv")))
+    assert batches
+    for b in batches:
+        assert isinstance(b["score"], jax.Array)  # numeric -> on device
+        assert isinstance(b["text"], np.ndarray)  # strings stay host-side
+        assert b["text"].dtype.kind in ("U", "O")
