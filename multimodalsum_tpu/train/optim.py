@@ -83,29 +83,27 @@ def linear_warmup_linear_decay(lr: float, warmup_steps: int, total_steps: int):
 
 
 def kl_cyclical_annealing(total_steps: int, cycles: int = 4, ratio: float = 0.5):
-    """Cyclical KL-weight annealing schedule (reference mlmo
-    ``KlCycAnnealing``): within each cycle the weight ramps 0→1 over
-    ``ratio`` of the cycle then stays at 1."""
-    period = max(total_steps // max(cycles, 1), 1)
-    ramp = max(int(period * ratio), 1)
+    """Cyclical KL-weight annealing factory (reference mlmo
+    ``KlCycAnnealing``). Thin 0-based-step adapter over the single
+    reference-exact implementation in ``toolkit.seq.kl_cyc_annealing``."""
 
     def schedule(step):
-        import jax.numpy as jnp
+        from multimodalsum_tpu.toolkit.seq import kl_cyc_annealing
 
-        pos = jnp.mod(step, period)
-        return jnp.minimum(pos / ramp, 1.0)
+        return kl_cyc_annealing(step + 1, total_steps, cycles, ratio)
 
     return schedule
 
 
 def kl_monotonic_annealing(warmup_steps: int):
-    """Monotonic KL annealing (reference mlmo ``KlMonAnnealing``): linear
-    0→1 over ``warmup_steps`` then constant."""
+    """Monotonic KL annealing factory (reference mlmo ``KlMonAnnealing``):
+    linear 0→1 over ``warmup_steps`` then constant. Delegates to
+    ``toolkit.seq.kl_mon_annealing``."""
 
     def schedule(step):
-        import jax.numpy as jnp
+        from multimodalsum_tpu.toolkit.seq import kl_mon_annealing
 
-        return jnp.minimum(step / max(warmup_steps, 1), 1.0)
+        return kl_mon_annealing(step, warmup_steps)
 
     return schedule
 

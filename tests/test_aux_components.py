@@ -99,9 +99,10 @@ def test_kl_annealing_schedules():
     np.testing.assert_allclose(float(mono(5)), 0.5)
     np.testing.assert_allclose(float(mono(50)), 1.0)
 
-    cyc = kl_cyclical_annealing(100, cycles=4, ratio=0.5)  # period 25, ramp 12
+    # period 25, ramp over the first half of each cycle (reference tau/r)
+    cyc = kl_cyclical_annealing(100, cycles=4, ratio=0.5)
     np.testing.assert_allclose(float(cyc(0)), 0.0)
-    np.testing.assert_allclose(float(cyc(6)), 0.5, rtol=1e-6)
-    np.testing.assert_allclose(float(cyc(12)), 1.0)   # end of ramp
-    np.testing.assert_allclose(float(cyc(20)), 1.0)   # plateau
-    np.testing.assert_allclose(float(cyc(25)), 0.0)   # new cycle
+    np.testing.assert_allclose(float(cyc(6)), 0.48, rtol=1e-6)   # 6/25/0.5
+    np.testing.assert_allclose(float(cyc(12)), 0.96, rtol=1e-6)  # ramp tail
+    np.testing.assert_allclose(float(cyc(20)), 1.0)  # plateau
+    np.testing.assert_allclose(float(cyc(25)), 0.0)  # new cycle
