@@ -87,7 +87,8 @@ class ContinuousBatcher:
                  steps_per_tick: int = 1,
                  spec_window: int = 1,
                  spec_ngram: int = 2,
-                 spec_src_max: Optional[int] = None):
+                 spec_src_max: Optional[int] = None,
+                 device=None):
         if gen.num_beams != 1:
             raise ValueError("continuous batching serves greedy/sampling "
                              "(num_beams == 1); use decode.engine.generate "
@@ -136,7 +137,12 @@ class ContinuousBatcher:
                 lambda x: x.astype(model.dtype)
                 if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
                 else x, params)
-        self.params = jax.device_put(params)  # staged once, passed per call
+        # device=None serves on the default device; an explicit device pins
+        # the replica there (EnginePool runs one pinned replica per chip).
+        # Every COMPUTED jit input must then be committed to that device —
+        # host numpy inputs are fine (they follow the committed params).
+        self._device = device
+        self.params = jax.device_put(params, device)  # staged once, passed per call
 
         S, L = n_slots, gen.max_length
         n = cfg.decoder_attention_heads
@@ -167,6 +173,8 @@ class ContinuousBatcher:
             src_len=(jnp.zeros((S,), jnp.int32)
                      if self.spec_window > 1 else None),
         )
+        if device is not None:
+            self.state = jax.device_put(self.state, device)
 
         self._free: deque = deque(range(n_slots))
         self._slot_req: Dict[int, Any] = {}
@@ -180,6 +188,8 @@ class ContinuousBatcher:
             S = self.n_slots
             slabs = jax.tree.map(
                 lambda x: jnp.zeros((S,) + x.shape[1:], x.dtype), ckv_batch)
+            if self._device is not None:
+                slabs = jax.device_put(slabs, self._device)
             # zero-filled empty slots are safe: their masks are all-False, so
             # attention sees the finite entity fill (never NaN) and the
             # parallel-mean weight for those entities is zero
@@ -450,6 +460,8 @@ class ContinuousBatcher:
                 b[4] if b[4] is not None
                 else jax.random.PRNGKey(abs(hash(b[0])) % (2 ** 31))
                 for b in batch])
+            if self._device is not None:  # stack computes on the default device
+                keys = jax.device_put(keys, self._device)
             src_rows = src_len_rows = None
             if self.spec_window > 1:
                 P = self.spec_src_max
@@ -473,10 +485,21 @@ class ContinuousBatcher:
     def tick(self) -> List[Tuple[Any, np.ndarray, int]]:
         """Advance every active slot one token. Returns completed requests
         as ``(request_id, tokens, length)``."""
+        jf = self._dispatch()
+        return self._collect(jf) if jf is not None else []
+
+    def _dispatch(self):
+        """Fill + enqueue one device step; returns the (not yet synced)
+        just-finished flags or None when idle. Split from :meth:`_collect`
+        so :class:`EnginePool` can dispatch EVERY replica before paying any
+        host round-trip — the per-tick sync then overlaps across devices."""
         self._fill_slots()
         if not self._slot_req:
-            return []
+            return None
         self.state, just_finished = self._step(self.state, self.params)
+        return just_finished
+
+    def _collect(self, just_finished) -> List[Tuple[Any, np.ndarray, int]]:
         done = np.nonzero(np.asarray(just_finished))[0]
         out = []
         if len(done):
@@ -498,5 +521,79 @@ class ContinuousBatcher:
                 results[rid] = toks
             ticks += 1
         if self._queue or self._slot_req:
+            raise RuntimeError(f"run() did not drain in {max_ticks} ticks")
+        return results
+
+
+class EnginePool:
+    """Data-parallel serving: one pinned :class:`ContinuousBatcher` replica
+    per device.
+
+    Generation is embarrassingly parallel across requests (SURVEY §2.5 —
+    the reference serves on a single GPU, ``src/test.py``), so scaling
+    serving over a pod slice is replica-per-chip, not sharded-model:
+    each replica owns its slots, cache slabs, and a full (bf16 or
+    int8/int4-KV) parameter copy on its own device. Requests go to the
+    replica with the most headroom; each tick dispatches EVERY replica's
+    device step before syncing any of them, so the per-tick host
+    round-trips overlap instead of serialising.
+
+    For model-sharded (tp) serving use the offline `--dp/--tp` eval path;
+    at bart-large size a v5e chip fits many full replicas, so dp-only
+    serving is the throughput-optimal layout (no per-step collectives).
+    """
+
+    def __init__(self, model: BartModel, params, gen: GenerationConfig,
+                 n_slots: int, modality_shapes: Sequence[Tuple[int, int]],
+                 devices: Optional[Sequence] = None, **engine_kwargs):
+        devices = list(devices) if devices is not None else jax.local_devices()
+        if not devices:
+            raise ValueError("EnginePool needs at least one device")
+        self.engines = [
+            ContinuousBatcher(model, params, gen, n_slots, modality_shapes,
+                              device=d, **engine_kwargs)
+            for d in devices
+        ]
+        self._rr = 0  # round-robin tiebreak cursor
+
+    @property
+    def n_slots_total(self) -> int:
+        return sum(e.n_slots for e in self.engines)
+
+    def submit(self, request_id, modality_hiddens, modality_masks,
+               **kwargs) -> None:
+        """Queue a request on the replica with the most headroom (free
+        slots minus queued work; round-robin on ties)."""
+        n = len(self.engines)
+        best, best_score = None, None
+        for i in range(n):
+            j = (self._rr + i) % n
+            e = self.engines[j]
+            score = len(e._free) - len(e._queue)
+            if best_score is None or score > best_score:
+                best, best_score = j, score
+        self._rr = (best + 1) % n
+        self.engines[best].submit(request_id, modality_hiddens,
+                                  modality_masks, **kwargs)
+
+    def tick(self) -> List[Tuple[Any, np.ndarray, int]]:
+        """Advance every replica one engine step; merged completions."""
+        dispatched = [(e, e._dispatch()) for e in self.engines]
+        out: List[Tuple[Any, np.ndarray, int]] = []
+        for e, jf in dispatched:
+            if jf is not None:
+                out.extend(e._collect(jf))
+        return out
+
+    def run(self, max_ticks: int = 100000) -> Dict[Any, np.ndarray]:
+        """Drain all replicas: tick until every submitted request completes."""
+        results: Dict[Any, np.ndarray] = {}
+        ticks = 0
+        while any(e._queue or e._slot_req for e in self.engines) \
+                and ticks < max_ticks:
+            for rid, toks, _ in self.tick():
+                results[rid] = toks
+            ticks += 1
+        if any(e._queue or e._slot_req for e in self.engines):
             raise RuntimeError(f"run() did not drain in {max_ticks} ticks")
         return results

@@ -228,3 +228,72 @@ def test_spec_decoding_rejects_bad_config(setup):
     with pytest.raises(ValueError, match="spec_src_max"):
         ContinuousBatcher(setup["model"], setup["params"], gen, 2,
                           [(setup["e"], setup["s"])], spec_window=4)
+
+
+def test_engine_pool_matches_offline_across_devices(setup):
+    """Replica-per-device pool: outputs must be token-identical to offline
+    greedy, requests must spread over the replicas, and every replica's
+    state must live on its own device (conftest forces an 8-CPU world)."""
+    import jax
+
+    from multimodalsum_tpu.core.config import GenerationConfig
+    from multimodalsum_tpu.decode.serving import EnginePool
+
+    devices = jax.local_devices()[:4]
+    assert len(devices) == 4
+
+    gen = GenerationConfig(num_beams=1, do_sample=False, max_length=12,
+                           min_length=2, length_penalty=1.0,
+                           early_stopping=False, no_repeat_ngram_size=2)
+    pool = EnginePool(setup["model"], setup["params"], gen, n_slots=1,
+                      modality_shapes=[(setup["e"], setup["s"])],
+                      devices=devices)
+    assert pool.n_slots_total == 4
+    for rid, h, m in setup["reqs"]:
+        pool.submit(rid, [h], [m])
+    # 5 requests over 4 single-slot replicas: all four fill, one refills
+    loads = [len(e._queue) + len(e._slot_req) for e in pool.engines]
+    assert sorted(loads) == [1, 1, 1, 2]
+
+    results = pool.run()
+    assert set(results) == {r[0] for r in setup["reqs"]}
+    for req in setup["reqs"]:
+        np.testing.assert_array_equal(results[req[0]], _offline(setup, gen, req),
+                                      err_msg=req[0])
+    for eng, dev in zip(pool.engines, devices):
+        assert next(iter(jax.tree.leaves(eng.params))).devices() == {dev}
+        assert eng.state.tokens.devices() == {dev}
+        assert jax.tree.leaves(eng.state.cross_kv)[0].devices() == {dev}
+
+
+def test_engine_pool_int8_and_sampling(setup):
+    """Pool with int8 slot slabs + per-request sampling keys: reproducible
+    and identical to a single pinned engine given the same keys."""
+    import jax
+
+    from multimodalsum_tpu.core.config import GenerationConfig
+    from multimodalsum_tpu.decode.serving import ContinuousBatcher, EnginePool
+
+    devices = jax.local_devices()[:2]
+    gen = GenerationConfig(num_beams=1, do_sample=True, top_k=5,
+                           max_length=10, min_length=2, length_penalty=1.0,
+                           early_stopping=False)
+    keys = {rid: jax.random.PRNGKey(i)
+            for i, (rid, _, _) in enumerate(setup["reqs"])}
+
+    pool = EnginePool(setup["model"], setup["params"], gen, n_slots=2,
+                      modality_shapes=[(setup["e"], setup["s"])],
+                      devices=devices, kv_quant="int8")
+    for rid, h, m in setup["reqs"]:
+        pool.submit(rid, [h], [m], key=keys[rid])
+    got = pool.run()
+
+    solo = ContinuousBatcher(setup["model"], setup["params"], gen, n_slots=2,
+                             modality_shapes=[(setup["e"], setup["s"])],
+                             kv_quant="int8", device=devices[1])
+    for rid, h, m in setup["reqs"]:
+        solo.submit(rid, [h], [m], key=keys[rid])
+    want = solo.run()
+    assert set(got) == set(want)
+    for rid in want:
+        np.testing.assert_array_equal(got[rid], want[rid], err_msg=rid)
