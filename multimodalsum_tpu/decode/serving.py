@@ -88,7 +88,8 @@ class ContinuousBatcher:
                  spec_window: int = 1,
                  spec_ngram: int = 2,
                  spec_src_max: Optional[int] = None,
-                 device=None):
+                 device=None,
+                 fill_chunk_max: Optional[int] = None):
         if gen.num_beams != 1:
             raise ValueError("continuous batching serves greedy/sampling "
                              "(num_beams == 1); use decode.engine.generate "
@@ -114,6 +115,14 @@ class ContinuousBatcher:
         # up to steps_per_tick-1 tokens after finishing before refill
         self.steps_per_tick = int(steps_per_tick)
         assert self.steps_per_tick >= 1
+        # upper bound on the power-of-two fill-chunk size: each distinct
+        # chunk size compiles its own projection+insert program, and the
+        # projection compile grows steeply with the chunk (measured minutes
+        # at 32 on the dev host) — a cap trades a few extra fill dispatches
+        # for a bounded compile set. None = up to n_slots.
+        self.fill_chunk_max = None if fill_chunk_max is None else int(fill_chunk_max)
+        if self.fill_chunk_max is not None and self.fill_chunk_max < 1:
+            raise ValueError("fill_chunk_max must be >= 1")
         # prompt-lookup speculative decoding (greedy only): every engine
         # step decodes a spec_window-token verify window — the last
         # committed token plus spec_window-1 draft tokens looked up from the
@@ -449,6 +458,8 @@ class ContinuousBatcher:
             # one insert call per chunk (vs per request), while bounding the
             # number of distinct compiled batch sizes to log2(n_slots)+1
             n = min(len(self._free), len(self._queue))
+            if self.fill_chunk_max is not None:
+                n = min(n, self.fill_chunk_max)
             kb = 1 << (n.bit_length() - 1)
             batch = [self._queue.popleft() for _ in range(kb)]
             slots = [self._free.popleft() for _ in range(kb)]

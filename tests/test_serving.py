@@ -297,3 +297,42 @@ def test_engine_pool_int8_and_sampling(setup):
     assert set(got) == set(want)
     for rid in want:
         np.testing.assert_array_equal(got[rid], want[rid], err_msg=rid)
+
+
+def test_fill_chunk_max_bounds_batched_fills(setup):
+    """fill_chunk_max must cap the per-call fill batch without changing
+    outputs (same greedy results as the uncapped engine)."""
+    from multimodalsum_tpu.core.config import GenerationConfig
+    from multimodalsum_tpu.decode.serving import ContinuousBatcher
+
+    gen = GenerationConfig(num_beams=1, do_sample=False, max_length=10,
+                           min_length=2, length_penalty=1.0,
+                           early_stopping=False, no_repeat_ngram_size=2)
+
+    seen = []
+
+    class Probe(ContinuousBatcher):
+        def _ensure_cross_kv_slabs(self, ckv):
+            import jax
+            seen.append(jax.tree.leaves(ckv)[0].shape[0])
+            super()._ensure_cross_kv_slabs(ckv)
+
+    eng = Probe(setup["model"], setup["params"], gen, n_slots=4,
+                modality_shapes=[(setup["e"], setup["s"])], fill_chunk_max=2)
+    for rid, h, m in setup["reqs"]:
+        eng.submit(rid, [h], [m])
+    got = eng.run()
+    assert max(seen) <= 2  # 4 free slots still filled in <=2-sized chunks
+
+    ref = ContinuousBatcher(setup["model"], setup["params"], gen, n_slots=4,
+                            modality_shapes=[(setup["e"], setup["s"])])
+    for rid, h, m in setup["reqs"]:
+        ref.submit(rid, [h], [m])
+    want = ref.run()
+    assert set(got) == set(want)
+    for rid in want:
+        np.testing.assert_array_equal(got[rid], want[rid], err_msg=rid)
+
+    with pytest.raises(ValueError, match="fill_chunk_max"):
+        ContinuousBatcher(setup["model"], setup["params"], gen, 2,
+                          [(setup["e"], setup["s"])], fill_chunk_max=0)
