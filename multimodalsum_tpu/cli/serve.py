@@ -59,6 +59,11 @@ def main(argv=None):
     p.add_argument("--spec_ngram", type=int, default=2,
                    help="generated-suffix n-gram length matched against the "
                         "source for drafting")
+    p.add_argument("--pool_devices", type=int, default=1,
+                   help="serve on this many local devices with one pinned "
+                        "engine replica (n_slots each) per device; -1 = all "
+                        "local devices. 1 = single engine on the default "
+                        "device")
     args = p.parse_args(argv)
     setup_environment(args)
 
@@ -111,17 +116,29 @@ def main(argv=None):
     e_img = MAX_IMGS[args.dataset]
     shapes = [(8, max_len - 2), (1, field.shape[0]), (e_img, 196)]
 
-    from multimodalsum_tpu.decode.serving import ContinuousBatcher
+    from multimodalsum_tpu.decode.serving import ContinuousBatcher, EnginePool
 
-    eng = ContinuousBatcher(bart, params["bart"], gen, n_slots=args.n_slots,
-                            modality_shapes=shapes,
-                            rng=jax.random.PRNGKey(args.seed),
-                            kv_quant=args.kv_quant,
-                            steps_per_tick=args.steps_per_tick,
-                            spec_window=args.spec_window,
-                            spec_ngram=args.spec_ngram,
-                            spec_src_max=(8 * (max_len - 2)
-                                          if args.spec_window > 1 else None))
+    engine_kwargs = dict(
+        rng=jax.random.PRNGKey(args.seed),
+        kv_quant=args.kv_quant,
+        steps_per_tick=args.steps_per_tick,
+        spec_window=args.spec_window,
+        spec_ngram=args.spec_ngram,
+        spec_src_max=(8 * (max_len - 2) if args.spec_window > 1 else None))
+    if args.pool_devices == 1:
+        eng = ContinuousBatcher(bart, params["bart"], gen,
+                                n_slots=args.n_slots,
+                                modality_shapes=shapes, **engine_kwargs)
+    else:
+        devices = jax.local_devices()
+        if args.pool_devices > 0:
+            devices = devices[: args.pool_devices]
+        engine_kwargs.pop("rng")  # each replica derives its own slot keys
+        eng = EnginePool(bart, params["bart"], gen, n_slots=args.n_slots,
+                         modality_shapes=shapes, devices=devices,
+                         **engine_kwargs)
+        print(f"# serving pool: {len(devices)} replicas x {args.n_slots} "
+              f"slots", flush=True)
 
     out_f = None
     if args.output:
@@ -134,7 +151,7 @@ def main(argv=None):
     def drain(block=False):
         nonlocal done
         completed = eng.tick()
-        while block and (eng._queue or eng._slot_req):
+        while block and eng.pending:
             completed += eng.tick()
         for rid, toks, _ in completed:
             text = tokenizer.decode(

@@ -523,15 +523,20 @@ class ContinuousBatcher:
                 self._free.append(slot)
         return out
 
+    @property
+    def pending(self) -> bool:
+        """True while any request is queued or decoding."""
+        return bool(self._queue or self._slot_req)
+
     def run(self, max_ticks: int = 100000) -> Dict[Any, np.ndarray]:
         """Drain the queue: tick until every submitted request completes."""
         results: Dict[Any, np.ndarray] = {}
         ticks = 0
-        while (self._queue or self._slot_req) and ticks < max_ticks:
+        while self.pending and ticks < max_ticks:
             for rid, toks, _ in self.tick():
                 results[rid] = toks
             ticks += 1
-        if self._queue or self._slot_req:
+        if self.pending:
             raise RuntimeError(f"run() did not drain in {max_ticks} ticks")
         return results
 
@@ -596,15 +601,19 @@ class EnginePool:
                 out.extend(e._collect(jf))
         return out
 
+    @property
+    def pending(self) -> bool:
+        """True while any replica has queued or decoding requests."""
+        return any(e.pending for e in self.engines)
+
     def run(self, max_ticks: int = 100000) -> Dict[Any, np.ndarray]:
         """Drain all replicas: tick until every submitted request completes."""
         results: Dict[Any, np.ndarray] = {}
         ticks = 0
-        while any(e._queue or e._slot_req for e in self.engines) \
-                and ticks < max_ticks:
+        while self.pending and ticks < max_ticks:
             for rid, toks, _ in self.tick():
                 results[rid] = toks
             ticks += 1
-        if any(e._queue or e._slot_req for e in self.engines):
+        if self.pending:
             raise RuntimeError(f"run() did not drain in {max_ticks} ticks")
         return results

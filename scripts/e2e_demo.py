@@ -137,6 +137,18 @@ def main():
                 open(f"{work}/generated_serve_spec.txt").read().splitlines())
     assert classic == spec, "speculative serving diverged from classic greedy"
 
+    print("== serving: 2-device replica pool (must match classic greedy)")
+    serve_cli.main(["--dataset", "yelp", "--mode", "dev", "--data_root", ".",
+                    "--tokenizer_dir", f"{work}/tok", "--model_config", cfgp,
+                    "--img_model", "tiny", "--n_slots", "1",
+                    "--multimodal_trained", "ckpt/multimodal_trained_yelp",
+                    "--max_length", "16", "--min_length", "2",
+                    "--pool_devices", "2",
+                    "--output", f"{work}/generated_serve_pool.txt"])
+    pool = dict(l.split("\t", 1) for l in
+                open(f"{work}/generated_serve_pool.txt").read().splitlines())
+    assert classic == pool, "pooled serving diverged from classic greedy"
+
     print("== done; outputs:")
     for line in open(f"{work}/generated.txt").read().splitlines()[:3]:
         print("  ", repr(line[:70]))
