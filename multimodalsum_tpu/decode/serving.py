@@ -89,7 +89,7 @@ class ContinuousBatcher:
                  spec_ngram: int = 2,
                  spec_src_max: Optional[int] = None,
                  device=None,
-                 fill_chunk_max: Optional[int] = None):
+                 fill_chunk_max: Optional[int] = 1):
         if gen.num_beams != 1:
             raise ValueError("continuous batching serves greedy/sampling "
                              "(num_beams == 1); use decode.engine.generate "
@@ -115,11 +115,16 @@ class ContinuousBatcher:
         # up to steps_per_tick-1 tokens after finishing before refill
         self.steps_per_tick = int(steps_per_tick)
         assert self.steps_per_tick >= 1
-        # upper bound on the power-of-two fill-chunk size: each distinct
-        # chunk size compiles its own projection+insert program, and the
-        # projection compile grows steeply with the chunk (measured minutes
-        # at 32 on the dev host) — a cap trades a few extra fill dispatches
-        # for a bounded compile set. None = up to n_slots.
+        # upper bound on the power-of-two fill-chunk size. The DEFAULT is 1
+        # (one projection+insert per request): measured on chip, per-request
+        # fills pipeline through the async dispatch queue and beat chunked
+        # fills 2-4x (min fill for a 32-request wave: 9.0s at cap=1 vs 18.8s
+        # at 8 vs 35.1s at 32 — one big stacked transfer serialises), each
+        # extra chunk size costs its own projection+insert compile, and
+        # per-request projection keeps a request's tokens independent of its
+        # batch-mates (bf16 projection rounding varies with the batch
+        # shape). Chunking (>1 / None = up to n_slots) remains available for
+        # links where per-call dispatch dominates instead.
         self.fill_chunk_max = None if fill_chunk_max is None else int(fill_chunk_max)
         if self.fill_chunk_max is not None and self.fill_chunk_max < 1:
             raise ValueError("fill_chunk_max must be >= 1")
@@ -454,9 +459,11 @@ class ContinuousBatcher:
 
     def _fill_slots(self):
         while self._free and self._queue:
-            # chunk pending fills into power-of-two batches: one projection +
-            # one insert call per chunk (vs per request), while bounding the
-            # number of distinct compiled batch sizes to log2(n_slots)+1
+            # fill in power-of-two chunks of at most fill_chunk_max requests
+            # (default 1 — see the constructor note: per-request fills
+            # measured faster on chip AND keep outputs batch-independent);
+            # power-of-two sizing bounds distinct compiled batch sizes to
+            # log2(cap)+1
             n = min(len(self._free), len(self._queue))
             if self.fill_chunk_max is not None:
                 n = min(n, self.fill_chunk_max)
