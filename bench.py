@@ -12,8 +12,9 @@ Two serving configurations are measured every run:
   quality half of the metric is exactly the reference's, by construction;
 * **quantized** (scale-folded int8 cross-KV) — reported as
   ``value_quantized`` together with its measured quality cost vs the exact
-  path on identical inputs: per-sequence token agreement and id-level
-  ROUGE-L (quantized output scored against the exact output as reference).
+  path on identical inputs: per-sequence token agreement, mean
+  first-divergence prefix fraction, and id-level ROUGE-L (quantized output
+  scored against the exact output as reference).
 
 Also benchmarks the stage-3 **training step** (bart-large x9 leave-one-out +
 3 encoders + AdamW, batch 8 — the reference's 8-GPU global batch,
@@ -22,7 +23,8 @@ Also benchmarks the stage-3 **training step** (bart-large x9 leave-one-out +
 Prints ONE JSON line:
   {"metric", "value", "unit", "vs_baseline", "value_exact",
    "value_quantized", "config_exact", "config_quantized", "fallbacks",
-   "quant_token_agreement", "quant_rougeL_vs_exact", "decode_mfu", "train"}
+   "quant_token_agreement", "quant_prefix_agreement",
+   "quant_rougeL_vs_exact", "decode_mfu", "train"}
 
 ``vs_baseline`` compares against an estimated 2.0 summaries/sec for the
 reference PyTorch implementation on one A100 (batch 8, beam 5, ~142
@@ -63,6 +65,18 @@ PEAK_FLOPS = {
     "TPU v5": 459e12,       # v5p (checked after the more specific v5 lite)
     "TPU v6 lite": 918e12,
 }
+
+
+def prefix_match_fraction(exact_seq, other_seq) -> float:
+    """Fraction of ``exact_seq`` matched before the first divergence from
+    ``other_seq`` — whole-sequence agreement alone can't distinguish
+    "diverges at token 3" from "diverges at token 130"."""
+    k = 0
+    for a, b in zip(exact_seq, other_seq):
+        if a != b:
+            break
+        k += 1
+    return k / max(len(exact_seq), 1)
 
 
 def chip_peak_flops() -> float:
@@ -413,21 +427,25 @@ def main():
         rl = []
         from multimodalsum_tpu.eval.rouge_impl import rouge_l_pair
 
+        prefix = []
         for i in range(n):
             se = exact["seqs"][i][: exact["lengths"][i]].tolist()
             sq = quant["seqs"][i][: quant["lengths"][i]].tolist()
             agree += int(se == sq)
             rl.append(rouge_l_pair([str(x) for x in sq], [str(x) for x in se]))
+            prefix.append(prefix_match_fraction(se, sq))
         record.update({
             "value_quantized": round(quant["sps"], 3),
             "config_quantized": cfg_quant,
             "quant_token_agreement": round(agree / n, 4),
+            "quant_prefix_agreement": round(sum(prefix) / n, 4),
             "quant_rougeL_vs_exact": round(100 * sum(rl) / len(rl), 2),
             "quant_compared_rows": n,
         })
         print(f"# quant quality vs exact on {n} rows: "
-              f"agreement {agree}/{n}, id-ROUGE-L {record['quant_rougeL_vs_exact']}",
-              flush=True)
+              f"agreement {agree}/{n}, mean prefix match "
+              f"{record['quant_prefix_agreement']:.2%}, id-ROUGE-L "
+              f"{record['quant_rougeL_vs_exact']}", flush=True)
 
     if "--no-train" not in sys.argv:
         try:

@@ -38,3 +38,14 @@ def test_decode_step_flops_monotonic_in_position():
 def test_chip_peak_lookup_has_default():
     bench = _bench()
     assert bench.chip_peak_flops() > 1e14  # any TPU generation
+
+
+def test_prefix_match_fraction():
+    from bench import prefix_match_fraction
+
+    assert prefix_match_fraction([1, 2, 3], [1, 2, 3]) == 1.0
+    assert prefix_match_fraction([1, 2, 3, 4], [1, 2, 9, 4]) == 0.5
+    assert prefix_match_fraction([1, 2], [3, 2]) == 0.0
+    # divergence by truncation: shorter other sequence caps the match
+    assert prefix_match_fraction([1, 2, 3, 4], [1, 2]) == 0.5
+    assert prefix_match_fraction([], [1]) == 0.0
