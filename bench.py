@@ -253,9 +253,11 @@ def bench_batch(inputs, b: int, cache_mode: str = "reorder",
         seqs, lengths = run(args)
         times.append(time.time() - t0)
     print(f"# per-iter: {[round(t, 3) for t in times]}", flush=True)
-    dt = sum(times) / iters
-    print(f"# steady-state: {dt:.3f}s/batch of {b}; ~{int(lengths.sum())} tokens; "
-          f"{b/dt:.2f} summaries/s", flush=True)
+    # median: robust to single tunnel-hiccup outliers (observed 11.5s amid
+    # 4.14s iters), still honest for the steady state
+    dt = float(np.median(times))
+    print(f"# steady-state: {dt:.3f}s/batch of {b} (median of {iters}); "
+          f"~{int(lengths.sum())} tokens; {b/dt:.2f} summaries/s", flush=True)
 
     # rough decode MFU: mean per-step flops over the 142 positions / chip peak
     steps = 142
@@ -322,7 +324,7 @@ def bench_train():
         state, loss = step(state, batch, key)
         loss = float(loss)
         times.append(time.time() - t0)
-    dt = sum(times) / iters
+    dt = float(np.median(times))
     flops = train_step_flops(cfg, b)
     mfu = flops / dt / chip_peak_flops()
     tokens = b * 9 * t  # target tokens per step (9 rotations)

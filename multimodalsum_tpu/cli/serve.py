@@ -64,7 +64,15 @@ def main(argv=None):
                         "engine replica (n_slots each) per device; -1 = all "
                         "local devices. 1 = single engine on the default "
                         "device")
+    p.add_argument("--fill_chunk_max", type=int, default=1,
+                   help="max requests per slot-fill dispatch (power-of-two "
+                        "chunked). Default 1: per-request fills measured "
+                        "faster AND batch-independent (SCALING.md); raise "
+                        "only on links where per-call dispatch dominates")
     args = p.parse_args(argv)
+    if args.pool_devices != -1 and args.pool_devices < 1:
+        raise SystemExit(f"--pool_devices must be >= 1 or -1 (all), got "
+                         f"{args.pool_devices}")
     setup_environment(args)
 
     cfg = load_model_config(args)
@@ -122,6 +130,7 @@ def main(argv=None):
         rng=jax.random.PRNGKey(args.seed),
         kv_quant=args.kv_quant,
         steps_per_tick=args.steps_per_tick,
+        fill_chunk_max=args.fill_chunk_max,
         spec_window=args.spec_window,
         spec_ngram=args.spec_ngram,
         spec_src_max=(8 * (max_len - 2) if args.spec_window > 1 else None))

@@ -197,22 +197,24 @@ def init_logger(name: str = "multimodalsum_tpu",
                 level: int = 20) -> "logging.Logger":
     """Console + optional file logger (reference mlutils ``init_logger``,
     ``mlutils/helpers/logging.py:31``): one shared formatter, a stream
-    handler always, and a file handler when ``output_path`` is given — a
-    file path is used as-is (parents created), a directory gets a
-    timestamped ``log_*.txt``. Re-initialisation replaces handlers instead
-    of stacking duplicates."""
+    handler always, and a file handler when ``output_path`` is given — an
+    existing directory (or a path ending in the separator) gets a
+    timestamped ``log_*.txt`` inside it, anything else is the log file
+    itself (parents created). Re-initialisation closes and replaces the
+    previous handlers instead of stacking duplicates."""
     import logging
 
     logger = logging.getLogger(name)
     logger.setLevel(level)
+    for h in logger.handlers:
+        h.close()
     logger.handlers.clear()
     fmt = logging.Formatter("%(asctime)s [%(levelname)s]: %(message)s")
     stream = logging.StreamHandler()
     stream.setFormatter(fmt)
     logger.addHandler(stream)
     if output_path:
-        root, ext = os.path.splitext(output_path)
-        if not ext:  # directory: default timestamped file name inside it
+        if os.path.isdir(output_path) or output_path.endswith(os.sep):
             os.makedirs(output_path, exist_ok=True)
             output_path = os.path.join(
                 output_path, time.strftime("log_%b_%d_%H_%M_%S.txt"))

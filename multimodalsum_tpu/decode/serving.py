@@ -537,15 +537,7 @@ class ContinuousBatcher:
 
     def run(self, max_ticks: int = 100000) -> Dict[Any, np.ndarray]:
         """Drain the queue: tick until every submitted request completes."""
-        results: Dict[Any, np.ndarray] = {}
-        ticks = 0
-        while self.pending and ticks < max_ticks:
-            for rid, toks, _ in self.tick():
-                results[rid] = toks
-            ticks += 1
-        if self.pending:
-            raise RuntimeError(f"run() did not drain in {max_ticks} ticks")
-        return results
+        return _drain(self, max_ticks)
 
 
 class EnginePool:
@@ -615,12 +607,17 @@ class EnginePool:
 
     def run(self, max_ticks: int = 100000) -> Dict[Any, np.ndarray]:
         """Drain all replicas: tick until every submitted request completes."""
-        results: Dict[Any, np.ndarray] = {}
-        ticks = 0
-        while self.pending and ticks < max_ticks:
-            for rid, toks, _ in self.tick():
-                results[rid] = toks
-            ticks += 1
-        if self.pending:
-            raise RuntimeError(f"run() did not drain in {max_ticks} ticks")
-        return results
+        return _drain(self, max_ticks)
+
+
+def _drain(engine, max_ticks: int) -> Dict[Any, np.ndarray]:
+    """Shared drain loop over anything exposing ``pending``/``tick()``."""
+    results: Dict[Any, np.ndarray] = {}
+    ticks = 0
+    while engine.pending and ticks < max_ticks:
+        for rid, toks, _ in engine.tick():
+            results[rid] = toks
+        ticks += 1
+    if engine.pending:
+        raise RuntimeError(f"run() did not drain in {max_ticks} ticks")
+    return results

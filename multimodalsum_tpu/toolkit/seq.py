@@ -193,11 +193,13 @@ def kl_cyc_annealing(step, total_steps: int, m: int = 4, r: float = 0.5,
     1-based batch index to the scale, usable inside jit (the reference's
     version is a stateful counter object; optax-style schedules are the JAX
     idiom). ``step == 0`` returns 0, matching the reference's pre-increment
-    call."""
-    period = jnp.round(total_steps / m)
-    tau = ((step - 1) % period) / (total_steps / m)
-    val = jnp.where(tau <= r, tau / r, 1.0)
-    return jnp.where(step == 0, 0.0, max_val * val)
+    call. Degenerate configs stay finite where the reference divides by
+    zero: the cycle period is clamped to >= 1 step (``total_steps < m``)
+    and ``r == 0`` means an instant ramp (0 at cycle start, 1 after)."""
+    period = jnp.maximum(jnp.round(total_steps / m), 1.0)
+    tau = ((step - 1) % period) / jnp.maximum(total_steps / m, 1.0)
+    val = jnp.where(tau <= r, tau / jnp.maximum(r, 1e-9), 1.0)
+    return jnp.where(step == 0, 0.0, max_val * jnp.minimum(val, 1.0))
 
 
 def kl_mon_annealing(step, ann_batches: int, start: float = 0.0,

@@ -190,6 +190,7 @@ def test_init_logger_console_and_file(tmp_path, capsys):
     assert "hello world" in text and "second line" in text
     # directory form: a timestamped log_*.txt is created inside
     d = tmp_path / "dir_logs"
+    d.mkdir()  # existing directory (or trailing separator) selects dir mode
     logger2 = init_logger("msum-test-2", str(d))
     logger2.warning("to dir")
     files = list(d.glob("log_*.txt"))
