@@ -1,11 +1,13 @@
-"""Streaming-serving CLI: continuous-batching greedy generation.
+"""Streaming-serving CLI: continuous-batching greedy/sampling/beam decode.
 
 Serving counterpart of ``cli/test.py`` (which does offline batch beam
 eval): requests stream through the slot-based continuous batcher
 (``decode/serving.py``) — encoders run per arriving request batch, decode
 slots refill the moment a summary finishes, outputs stream to the output
-file in completion order. Greedy/sampling only (the serving trade-off;
-beam-5 offline eval remains ``cli.test``).
+file in completion order. ``--num_beams > 1`` serves beam search with
+summaries token-identical to the offline beam eval (a slot then holds
+``num_beams`` decode rows); greedy additionally supports sampling and
+prompt-lookup speculative decoding.
 
 Usage:
   python -m multimodalsum_tpu.cli.serve --dataset yelp --mode dev \
@@ -38,6 +40,15 @@ def main(argv=None):
     p.add_argument("--n_slots", type=int, default=16)
     p.add_argument("--max_length", type=int, default=142)
     p.add_argument("--min_length", type=int, default=56)
+    p.add_argument("--num_beams", type=int, default=1,
+                   help=">1 serves beam search in the same slot architecture "
+                        "(a slot holds num_beams decode rows); each summary "
+                        "is token-identical to offline beam eval. Greedy "
+                        "beams only (excludes --do_sample / --spec_window)")
+    p.add_argument("--length_penalty", type=float, default=1.0)
+    # --early_stopping comes from base_parser; in this CLI it means the beam
+    # rule (stop a request once num_beams hypotheses finished — the
+    # reference eval fixes it True, src/test.py:158)
     p.add_argument("--do_sample", action="store_true")
     p.add_argument("--temperature", type=float, default=1.0)
     p.add_argument("--top_k", type=int, default=0)
@@ -73,6 +84,9 @@ def main(argv=None):
     if args.pool_devices != -1 and args.pool_devices < 1:
         raise SystemExit(f"--pool_devices must be >= 1 or -1 (all), got "
                          f"{args.pool_devices}")
+    if args.num_beams > 1 and (args.do_sample or args.spec_window > 1):
+        raise SystemExit("--num_beams > 1 serves greedy beam search only "
+                         "(drop --do_sample / --spec_window)")
     setup_environment(args)
 
     cfg = load_model_config(args)
@@ -99,10 +113,11 @@ def main(argv=None):
     field = dataset.field_tokens(tokenizer)
     bart = BartModel(cfg, multimodal=True, dtype=model.dtype)
     gen = GenerationConfig(
-        num_beams=1, do_sample=args.do_sample, temperature=args.temperature,
+        num_beams=args.num_beams, do_sample=args.do_sample,
+        temperature=args.temperature,
         top_k=args.top_k, top_p=args.top_p, max_length=args.max_length,
-        min_length=args.min_length, length_penalty=1.0, early_stopping=False,
-        no_repeat_ngram_size=3,
+        min_length=args.min_length, length_penalty=args.length_penalty,
+        early_stopping=args.early_stopping, no_repeat_ngram_size=3,
     )
 
     vs = {"params": params, "batch_stats": batch_stats}

@@ -22,9 +22,17 @@ Design around the static-shape constraint of XLA:
 * request insertion writes one slot's cross-attention K/V + masks via a
   jitted ``.at[slot].set`` update (donated, so slabs update in place).
 
-Beam search is intentionally not slot-batched (hypothesis bookkeeping is
-batch-synchronous); serving uses greedy/sampling as is standard, offline
-eval keeps beams.
+``num_beams > 1`` serves **beam search** in the same slot architecture:
+a slot holds ``num_beams`` decode rows (cache rows ``n_slots * beams``,
+cross-KV stays per-slot/unexpanded — beam queries fold into the
+attention's position axis exactly as in offline decode), and the per-slot
+hypothesis bookkeeping of ``decode/beam_search.py`` (candidate walk,
+worst-eviction hyp buffer, done rule) runs vmapped over slots with each
+slot's own ``cur_len``. A finished slot is finalized host-side at collect
+time with the same stable tie rules as the offline post-loop, so a
+request's summary is **token-identical to offline beam search** of the
+same inputs (tested in ``tests/test_serving.py``). Greedy beams only
+(``do_sample`` and speculative windows stay single-beam features).
 
 ``spec_window > 1`` enables **prompt-lookup speculative decoding** (greedy
 only): every engine step decodes a window of ``spec_window`` consecutive
@@ -50,7 +58,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from multimodalsum_tpu.core.config import BartConfig, GenerationConfig
-from multimodalsum_tpu.decode.logits import adjust_logits, postprocess_scores, top_k_top_p_filtering
+from multimodalsum_tpu.decode.logits import (
+    NEG_INF, adjust_logits, postprocess_scores, top_k_top_p_filtering,
+)
 from multimodalsum_tpu.models.bart import BartModel
 
 
@@ -67,6 +77,27 @@ class _SlotState(NamedTuple):
     src: Any                 # [S, P] int32 source tokens (prompt-lookup
                              # speculative drafting), or None when disabled
     src_len: Any             # [S] int32 valid source lengths, or None
+
+
+class _BeamSlotState(NamedTuple):
+    """Per-slot beam-search state (``num_beams > 1``): a slot owns K decode
+    rows plus the hypothesis buffer of ``decode/beam_search.py`` — the
+    field names ``hyp_scores/hyp_tokens/hyp_lens/num_hyps`` duck-type the
+    offline ``BeamState`` so ``_merge_hyps`` is shared verbatim."""
+
+    tokens: jnp.ndarray      # [S, K, L] int32
+    cur_len: jnp.ndarray     # [S] int32 (all beams of a slot share it)
+    active: jnp.ndarray      # [S] bool (request in flight)
+    done: jnp.ndarray        # [S] bool (bookkeeping done; pending collect)
+    beam_scores: jnp.ndarray  # [S, K] carried sum log-probs
+    hyp_scores: jnp.ndarray  # [S, K] normalised, NEG_INF = empty
+    hyp_tokens: jnp.ndarray  # [S, K, L]
+    hyp_lens: jnp.ndarray    # [S, K]
+    num_hyps: jnp.ndarray    # [S]
+    cache: Any               # layers x (k [S*K, L, n, h], v) — slot-major rows
+    cross_kv: Any            # layers x modalities x (k [S, e, s, n, h], v)
+    masks: Tuple             # per modality [S, e, s] bool (per slot, unexpanded)
+    rating: jnp.ndarray      # [S, 1]
 
 
 class ContinuousBatcher:
@@ -90,10 +121,17 @@ class ContinuousBatcher:
                  spec_src_max: Optional[int] = None,
                  device=None,
                  fill_chunk_max: Optional[int] = 1):
-        if gen.num_beams != 1:
-            raise ValueError("continuous batching serves greedy/sampling "
-                             "(num_beams == 1); use decode.engine.generate "
-                             "for offline beam search")
+        self.beams = int(gen.num_beams)
+        if self.beams > 1:
+            if gen.do_sample:
+                raise ValueError("beam serving is greedy-beam only (beam "
+                                 "sampling stays an offline feature)")
+            if spec_window > 1:
+                raise ValueError("speculative decoding is single-beam only")
+            if gen.num_return_sequences != 1:
+                raise ValueError("beam serving returns the top hypothesis "
+                                 "per request (num_return_sequences == 1); "
+                                 "use decode.engine.generate for n-best")
         if spec_window > 1 and gen.do_sample:
             raise ValueError("speculative decoding is greedy-only (verified "
                              "acceptance is exact for argmax, not for "
@@ -170,23 +208,43 @@ class ContinuousBatcher:
         # The cross-KV slab structure depends on kv_quant (plain arrays vs
         # QuantizedKV values+scales), so it is built lazily from the first
         # projected request (cross_kv=None until then).
-        self.state = _SlotState(
-            tokens=jnp.full((S, L), cfg.pad_token_id, jnp.int32),
-            cur_len=jnp.ones((S,), jnp.int32),
-            active=jnp.zeros((S,), bool),
-            lengths=jnp.zeros((S,), jnp.int32),
-            cache=tuple((jnp.zeros((S, L, n, h), model.dtype),
-                         jnp.zeros((S, L, n, h), model.dtype))
-                        for _ in range(layers)),
-            cross_kv=None,
-            masks=masks,
-            rating=jnp.zeros((S, 1), jnp.float32),
-            rng=jax.random.split(base_rng, S),
-            src=(jnp.full((S, self.spec_src_max), cfg.pad_token_id, jnp.int32)
-                 if self.spec_window > 1 else None),
-            src_len=(jnp.zeros((S,), jnp.int32)
+        if self.beams == 1:
+            self.state = _SlotState(
+                tokens=jnp.full((S, L), cfg.pad_token_id, jnp.int32),
+                cur_len=jnp.ones((S,), jnp.int32),
+                active=jnp.zeros((S,), bool),
+                lengths=jnp.zeros((S,), jnp.int32),
+                cache=tuple((jnp.zeros((S, L, n, h), model.dtype),
+                             jnp.zeros((S, L, n, h), model.dtype))
+                            for _ in range(layers)),
+                cross_kv=None,
+                masks=masks,
+                rating=jnp.zeros((S, 1), jnp.float32),
+                rng=jax.random.split(base_rng, S),
+                src=(jnp.full((S, self.spec_src_max), cfg.pad_token_id, jnp.int32)
                      if self.spec_window > 1 else None),
-        )
+                src_len=(jnp.zeros((S,), jnp.int32)
+                         if self.spec_window > 1 else None),
+            )
+        else:
+            K = self.beams
+            self.state = _BeamSlotState(
+                tokens=jnp.full((S, K, L), cfg.pad_token_id, jnp.int32),
+                cur_len=jnp.ones((S,), jnp.int32),
+                active=jnp.zeros((S,), bool),
+                done=jnp.zeros((S,), bool),
+                beam_scores=jnp.zeros((S, K), jnp.float32),
+                hyp_scores=jnp.full((S, K), NEG_INF, jnp.float32),
+                hyp_tokens=jnp.full((S, K, L), cfg.pad_token_id, jnp.int32),
+                hyp_lens=jnp.zeros((S, K), jnp.int32),
+                num_hyps=jnp.zeros((S,), jnp.int32),
+                cache=tuple((jnp.zeros((S * K, L, n, h), model.dtype),
+                             jnp.zeros((S * K, L, n, h), model.dtype))
+                            for _ in range(layers)),
+                cross_kv=None,
+                masks=masks,
+                rating=jnp.zeros((S, 1), jnp.float32),
+            )
         if device is not None:
             self.state = jax.device_put(self.state, device)
 
@@ -211,7 +269,30 @@ class ContinuousBatcher:
 
     # ------------------------------------------------------------------ jit
 
+    def _build_project(self):
+        model, kv_quant = self.model, self.kv_quant
+
+        def project(params, modality_hiddens):
+            """Project k stacked requests' encoder states ([k, e, s, d] per
+            modality) to per-layer cross-KV in ONE call."""
+            ckv = model.apply({"params": params}, list(modality_hiddens),
+                              method=BartModel.init_decode)
+            if kv_quant is not None:
+                # int8/int4 slot slabs: halves/quarters serving HBM per slot
+                # (more concurrent slots per chip); scale-folded attention
+                # reads the int values directly, same as offline decode
+                from multimodalsum_tpu.ops.quantization import quantize_cross_kv
+
+                ckv = quantize_cross_kv(ckv, bits=int(kv_quant[3:]))
+            return ckv
+
+        self._project = jax.jit(project)
+
     def _build_fns(self):
+        self._build_project()
+        if self.beams > 1:
+            self._build_beam_fns()
+            return
         model, gen, cfg = self.model, self.gen, self.cfg
         L = gen.max_length
         eos, pad, bos = cfg.eos_token_id, cfg.pad_token_id, cfg.bos_token_id
@@ -419,23 +500,183 @@ class ContinuousBatcher:
 
         self._insert = jax.jit(insert, donate_argnums=0)
 
-        kv_quant = self.kv_quant
+    def _build_beam_fns(self):
+        """Slot-batched greedy beam search: the decode step runs batched over
+        all ``n_slots * K`` rows (cross-KV unexpanded — beams fold into the
+        attention's position axis as in offline decode), and the per-slot
+        candidate walk of ``decode/beam_search.py`` runs vmapped over slots
+        with each slot's own ``cur_len``. Math and op order mirror the
+        offline body exactly (lazy log-softmax under the same condition,
+        2K candidate top-k, stable EOS partition, worst-eviction hyp merge,
+        done rule), so a request decodes token-identically to offline beam
+        search; finalization happens host-side at :meth:`_collect_beam`."""
+        from multimodalsum_tpu.decode.beam_search import _merge_hyps
 
-        def project(params, modality_hiddens):
-            """Project k stacked requests' encoder states ([k, e, s, d] per
-            modality) to per-layer cross-KV in ONE call."""
-            ckv = model.apply({"params": params}, list(modality_hiddens),
-                              method=BartModel.init_decode)
-            if kv_quant is not None:
-                # int8/int4 slot slabs: halves/quarters serving HBM per slot
-                # (more concurrent slots per chip); scale-folded attention
-                # reads the int values directly, same as offline decode
-                from multimodalsum_tpu.ops.quantization import quantize_cross_kv
+        model, gen, cfg = self.model, self.gen, self.cfg
+        K, L = self.beams, gen.max_length
+        V = cfg.vocab_size
+        lp = gen.length_penalty
+        eos, pad, bos = cfg.eos_token_id, cfg.pad_token_id, cfg.bos_token_id
+        # same condition as the offline loop (do_sample is excluded in beam
+        # serving): fold the per-row log-softmax normaliser into the carried
+        # beam score instead of materialising a second [rows, V] pass
+        lazy_lse = gen.repetition_penalty == 1.0
 
-                ckv = quantize_cross_kv(ckv, bits=int(kv_quant[3:]))
-            return ckv
+        def cand_one(logits_k, tokens_k, beam_k, cur_len):
+            """Per-slot candidate walk (offline body with the batch axis
+            dropped; vmapped over slots so every slot uses its own
+            cur_len). Returns continuation selections + finalization
+            candidates."""
+            logits_k = adjust_logits(logits_k, cur_len, L, bos, eos)
+            if lazy_lse:
+                scores_step = logits_k
+                lse = jax.scipy.special.logsumexp(scores_step, axis=-1)  # [K]
+                carried = beam_k - lse
+            else:
+                scores_step = jax.nn.log_softmax(logits_k, axis=-1)
+                carried = beam_k
+            scores_step = postprocess_scores(
+                scores_step, tokens_k, cur_len,
+                repetition_penalty=gen.repetition_penalty,
+                min_length=gen.min_length, eos_token_id=eos,
+                no_repeat_ngram_size=gen.no_repeat_ngram_size,
+                bad_words=None, bad_lengths=None)
+            next_scores = scores_step + carried[:, None]            # [K, V]
+            top_scores, top_idx = jax.lax.top_k(next_scores.reshape(K * V), 2 * K)
+            tok_id = top_idx % V
+            beam_id = top_idx // V
+            is_eos_c = tok_id == eos
+            order = jnp.argsort(is_eos_c, stable=True)  # non-eos first, rank kept
+            cont = order[:K]
+            sel_scores = top_scores[cont]
+            sel_tok = tok_id[cont]
+            sel_beam = beam_id[cont]
+            cand_eos = is_eos_c & (jnp.arange(2 * K) < K)
+            cand_norm = top_scores / (cur_len.astype(jnp.float32) ** lp)
+            cand_tokens = tokens_k[beam_id]                          # [2K, L]
+            return (sel_scores, sel_tok, sel_beam, cand_eos, cand_norm,
+                    cand_tokens, top_scores[0])
 
-        self._project = jax.jit(project)
+        vcand = jax.vmap(cand_one)
+
+        def beam_step(state: _BeamSlotState, params):
+            S = state.cur_len.shape[0]
+            flat_tokens = state.tokens.reshape(S * K, L)
+            pos = jnp.repeat(state.cur_len - 1, K)                   # [S*K]
+            last = jnp.take_along_axis(
+                flat_tokens, jnp.clip(pos, 0, L - 1)[:, None], axis=1)
+            rating = jnp.repeat(state.rating, K, axis=0)
+            logits, new_cache = model.apply(
+                {"params": params}, last, pos, state.cache,
+                state.cross_kv, list(state.masks), rating,
+                method=BartModel.decode_step)                        # [S*K, 1, V]
+            logits = logits[:, 0, :].astype(jnp.float32).reshape(S, K, V)
+
+            live = state.active & ~state.done
+            (sel_scores, sel_tok, sel_beam, cand_eos, cand_norm,
+             cand_tokens, best_top) = vcand(
+                logits, state.tokens, state.beam_scores, state.cur_len)
+
+            # ---- finalized hypotheses (offline: EOS candidates, rank < K)
+            cand_valid = cand_eos & live[:, None]
+            cand_lens = jnp.broadcast_to(state.cur_len[:, None], (S, 2 * K))
+            hyp_scores, hyp_tokens, hyp_lens, num_hyps = _merge_hyps(
+                state, cand_norm, cand_tokens, cand_lens, cand_valid)
+
+            # ---- done rule (offline order: after this step's additions)
+            worst = jnp.min(hyp_scores, axis=1)
+            best_possible = best_top / (state.cur_len.astype(jnp.float32) ** lp)
+            newly_done = live & (num_hyps >= K) & (
+                jnp.bool_(gen.early_stopping) | (worst >= best_possible))
+            done = state.done | newly_done
+
+            # ---- freeze non-live slots: identity reorder, no writes
+            frozen = ~live[:, None]
+            sel_scores = jnp.where(frozen, state.beam_scores, sel_scores)
+            sel_beam = jnp.where(frozen, jnp.arange(K)[None, :], sel_beam)
+
+            # ---- reorder + append at each slot's own position
+            new_tokens = jnp.take_along_axis(
+                state.tokens, sel_beam[:, :, None], axis=1)
+            write = ((jnp.arange(L)[None, None, :] == state.cur_len[:, None, None])
+                     & live[:, None, None])
+            new_tokens = jnp.where(write, sel_tok[:, :, None], new_tokens)
+            new_len = state.cur_len + live.astype(jnp.int32)
+
+            live_rows = jnp.repeat(live, K)
+            cache = jax.tree.map(
+                lambda new, old: jnp.where(
+                    live_rows.reshape((-1,) + (1,) * (new.ndim - 1)), new, old),
+                new_cache, state.cache)
+            flat_idx = (jnp.arange(S)[:, None] * K + sel_beam).reshape(-1)
+            cache = jax.tree.map(lambda x: jnp.take(x, flat_idx, axis=0), cache)
+
+            hit_max = live & (new_len >= L)
+            just_finished = newly_done | hit_max
+            active = state.active & ~just_finished
+            return state._replace(
+                tokens=new_tokens, cur_len=new_len, active=active, done=done,
+                beam_scores=sel_scores, hyp_scores=hyp_scores,
+                hyp_tokens=hyp_tokens, hyp_lens=hyp_lens, num_hyps=num_hyps,
+                cache=cache), just_finished
+
+        k = self.steps_per_tick
+
+        def multi_step(state: _BeamSlotState, params):
+            if k == 1:
+                return beam_step(state, params)
+
+            def body(_, carry):
+                st, fin = carry
+                st, just = beam_step(st, params)
+                return st, fin | just
+
+            S = state.cur_len.shape[0]
+            return jax.lax.fori_loop(
+                0, k, body, (state, jnp.zeros((S,), bool)))
+
+        self._step = jax.jit(multi_step, donate_argnums=0)
+
+        def insert(state: _BeamSlotState, slots, ckv, masks, rating, keys,
+                   src_rows=None, src_len_rows=None):
+            """Reset a batch of slots to fresh beam-decode state (keys and
+            src_* accepted for signature parity with the greedy engine;
+            beam serving is deterministic and non-speculative)."""
+            del keys, src_rows, src_len_rows
+            kb = slots.shape[0]
+            start_rows = jnp.full((kb, K, L), pad, jnp.int32).at[:, :, 0].set(
+                cfg.decoder_start_token_id)
+            # greedy beam search considers only beam 0 at step 1 (offline
+            # beam_scores0): -1e9 on beams 1.. avoids K identical expansions
+            bs0 = jnp.zeros((kb, K), jnp.float32).at[:, 1:].set(-1e9)
+            row_idx = (slots[:, None] * K + jnp.arange(K)[None, :]).reshape(-1)
+            cache = jax.tree.map(
+                lambda c: c.at[row_idx].set(
+                    jnp.zeros((kb * K,) + c.shape[1:], c.dtype)), state.cache)
+            cross_kv = jax.tree.map(lambda dst, src: dst.at[slots].set(src),
+                                    state.cross_kv, ckv)
+            masks_new = tuple(dst.at[slots].set(src)
+                              for dst, src in zip(state.masks, masks))
+            return state._replace(
+                tokens=state.tokens.at[slots].set(start_rows),
+                cur_len=state.cur_len.at[slots].set(1),
+                active=state.active.at[slots].set(True),
+                done=state.done.at[slots].set(False),
+                beam_scores=state.beam_scores.at[slots].set(bs0),
+                hyp_scores=state.hyp_scores.at[slots].set(
+                    jnp.full((kb, K), NEG_INF, jnp.float32)),
+                hyp_tokens=state.hyp_tokens.at[slots].set(
+                    jnp.full((kb, K, L), pad, jnp.int32)),
+                hyp_lens=state.hyp_lens.at[slots].set(
+                    jnp.zeros((kb, K), jnp.int32)),
+                num_hyps=state.num_hyps.at[slots].set(0),
+                cache=cache,
+                cross_kv=cross_kv,
+                masks=masks_new,
+                rating=state.rating.at[slots].set(rating),
+            )
+
+        self._insert = jax.jit(insert, donate_argnums=0)
 
     # ----------------------------------------------------------------- API
 
@@ -518,6 +759,8 @@ class ContinuousBatcher:
         return just_finished
 
     def _collect(self, just_finished) -> List[Tuple[Any, np.ndarray, int]]:
+        if self.beams > 1:
+            return self._collect_beam(just_finished)
         done = np.nonzero(np.asarray(just_finished))[0]
         out = []
         if len(done):
@@ -528,6 +771,50 @@ class ContinuousBatcher:
                 rid = self._slot_req.pop(slot)
                 out.append((rid, tokens[row, : lengths[row]], int(lengths[row])))
                 self._free.append(slot)
+        return out
+
+    def _collect_beam(self, just_finished) -> List[Tuple[Any, np.ndarray, int]]:
+        """Finalize finished beam slots host-side with the offline post-loop
+        semantics (``decode/beam_search.py`` finalisation): a slot that hit
+        max length while still open merges its live beams into the
+        hypothesis buffer (stable merge — incumbents win ties, like
+        ``lax.top_k`` over the concatenation), then the top hypothesis is
+        padded/EOS-terminated exactly as offline."""
+        done_slots = np.nonzero(np.asarray(just_finished))[0]
+        if not len(done_slots):
+            return []
+        st, K, L = self.state, self.beams, self.gen.max_length
+        lp, eos = self.gen.length_penalty, self.cfg.eos_token_id
+        idx = jnp.asarray(done_slots)
+        hyp_scores = np.asarray(st.hyp_scores[idx])
+        hyp_tokens = np.asarray(st.hyp_tokens[idx])
+        hyp_lens = np.asarray(st.hyp_lens[idx])
+        beam_scores = np.asarray(st.beam_scores[idx])
+        tokens = np.asarray(st.tokens[idx])
+        cur_len = np.asarray(st.cur_len[idx])
+        was_done = np.asarray(st.done[idx])
+        out = []
+        for row, slot in enumerate(done_slots):
+            scores, toks, lens = hyp_scores[row], hyp_tokens[row], hyp_lens[row]
+            if not was_done[row]:
+                # hit max length while open: merge live beams (offline
+                # post-loop, incumbents first so stable sort favours them)
+                cl = int(cur_len[row])
+                scores = np.concatenate(
+                    [scores, beam_scores[row] / (float(cl) ** lp)])
+                toks = np.concatenate([toks, tokens[row]], axis=0)
+                lens = np.concatenate(
+                    [lens, np.full((K,), cl, np.int32)])
+            best = int(np.argsort(-scores, kind="stable")[0])
+            ln = int(lens[best])
+            seq = toks[best, :ln]
+            if ln < L:  # offline: EOS appended at ``length`` when it fits
+                seq = np.concatenate([seq, np.asarray([eos], seq.dtype)])
+                ln += 1
+            slot = int(slot)
+            rid = self._slot_req.pop(slot)
+            out.append((rid, seq.astype(np.int32), ln))
+            self._free.append(slot)
         return out
 
     @property

@@ -123,6 +123,25 @@ def main():
                     "--max_length", "16", "--min_length", "2",
                     "--output", f"{work}/generated_serve.txt"])
 
+    print("== serving: beam-search slots (must match offline beam eval)")
+    serve_cli.main(["--dataset", "yelp", "--mode", "dev", "--data_root", ".",
+                    "--tokenizer_dir", f"{work}/tok", "--model_config", cfgp,
+                    "--img_model", "tiny", "--n_slots", "2",
+                    "--multimodal_trained", "ckpt/multimodal_trained_yelp",
+                    "--num_beams", "2", "--length_penalty", "1.0",
+                    "--early_stopping", "--max_length", "16",
+                    "--min_length", "0",
+                    "--output", f"{work}/generated_serve_beam.txt"])
+    # serve strips the byte-BPE leading space that cli.test keeps; compare
+    # the stripped text (group order differs: completion vs dataset order)
+    beam_served = sorted(
+        l.split("\t", 1)[1].strip() for l in
+        open(f"{work}/generated_serve_beam.txt").read().splitlines())
+    offline_beam = sorted(
+        l.strip() for l in open(f"{work}/generated.txt").read().splitlines())
+    assert beam_served == offline_beam, (
+        "beam serving diverged from offline beam eval")
+
     print("== serving: prompt-lookup speculative (must match classic greedy)")
     serve_cli.main(["--dataset", "yelp", "--mode", "dev", "--data_root", ".",
                     "--tokenizer_dir", f"{work}/tok", "--model_config", cfgp,

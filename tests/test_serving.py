@@ -57,15 +57,30 @@ def test_continuous_batching_matches_offline_greedy(setup):
         np.testing.assert_array_equal(got, want, err_msg=req[0])
 
 
-def test_serving_rejects_beams_and_bad_shapes(setup):
+def test_serving_rejects_bad_configs_and_shapes(setup):
     from multimodalsum_tpu.core.config import GenerationConfig
     from multimodalsum_tpu.decode.serving import ContinuousBatcher
 
-    gen_beam = GenerationConfig(num_beams=3, max_length=8, min_length=1,
-                                length_penalty=1.0, early_stopping=True)
-    with pytest.raises(ValueError, match="num_beams"):
-        ContinuousBatcher(setup["model"], setup["params"], gen_beam, 2,
-                          [(setup["e"], setup["s"])])
+    shapes = [(setup["e"], setup["s"])]
+    # beam serving is greedy-beam only, non-speculative, top-1
+    with pytest.raises(ValueError, match="greedy-beam"):
+        ContinuousBatcher(
+            setup["model"], setup["params"],
+            GenerationConfig(num_beams=3, do_sample=True, max_length=8,
+                             min_length=1, length_penalty=1.0,
+                             early_stopping=True), 2, shapes)
+    with pytest.raises(ValueError, match="single-beam"):
+        ContinuousBatcher(
+            setup["model"], setup["params"],
+            GenerationConfig(num_beams=3, max_length=8, min_length=1,
+                             length_penalty=1.0, early_stopping=True), 2,
+            shapes, spec_window=4, spec_src_max=16)
+    with pytest.raises(ValueError, match="num_return_sequences"):
+        ContinuousBatcher(
+            setup["model"], setup["params"],
+            GenerationConfig(num_beams=3, max_length=8, min_length=1,
+                             length_penalty=1.0, early_stopping=True,
+                             num_return_sequences=2), 2, shapes)
 
     gen = GenerationConfig(num_beams=1, max_length=8, min_length=1,
                            length_penalty=1.0, early_stopping=False)
@@ -336,3 +351,113 @@ def test_fill_chunk_max_bounds_batched_fills(setup):
     with pytest.raises(ValueError, match="fill_chunk_max"):
         ContinuousBatcher(setup["model"], setup["params"], gen, 2,
                           [(setup["e"], setup["s"])], fill_chunk_max=0)
+
+
+# --------------------------------------------------------------------- beams
+
+
+def _offline_beam(setup, gen, req, kv_quant=None):
+    from multimodalsum_tpu.decode.engine import generate
+
+    _, h, m = req
+    res = generate(setup["model"], setup["params"], [h[None]], [m[None]],
+                   np.zeros((1, 1), np.float32), gen, kv_quant=kv_quant)
+    seqs = np.asarray(res.sequences).reshape(1, -1, res.sequences.shape[-1])
+    lens = np.asarray(res.lengths).reshape(1, -1)
+    return seqs[0, 0, : int(lens[0, 0])]
+
+
+def test_beam_serving_matches_offline_beam(setup):
+    """num_beams > 1 serving: each request's summary must be token-identical
+    to offline beam search, including refills (2 slots < 5 requests)."""
+    from multimodalsum_tpu.core.config import GenerationConfig
+    from multimodalsum_tpu.decode.serving import ContinuousBatcher
+
+    gen = GenerationConfig(num_beams=3, do_sample=False, max_length=12,
+                           min_length=2, length_penalty=1.0,
+                           early_stopping=True, no_repeat_ngram_size=2)
+    eng = ContinuousBatcher(setup["model"], setup["params"], gen, n_slots=2,
+                            modality_shapes=[(setup["e"], setup["s"])])
+    for rid, h, m in setup["reqs"]:
+        eng.submit(rid, [h], [m])
+    results = eng.run()
+    assert set(results) == {r[0] for r in setup["reqs"]}
+    for req in setup["reqs"]:
+        np.testing.assert_array_equal(results[req[0]],
+                                      _offline_beam(setup, gen, req),
+                                      err_msg=req[0])
+
+
+def test_beam_serving_no_early_stop_and_length_penalty(setup):
+    """early_stopping=False with a length penalty: slots that hit max length
+    while open must finalize via the live-beam merge (offline post-loop
+    semantics), still token-identical to offline."""
+    from multimodalsum_tpu.core.config import GenerationConfig
+    from multimodalsum_tpu.decode.serving import ContinuousBatcher
+
+    gen = GenerationConfig(num_beams=3, do_sample=False, max_length=10,
+                           min_length=8, length_penalty=2.0,
+                           early_stopping=False, no_repeat_ngram_size=3)
+    eng = ContinuousBatcher(setup["model"], setup["params"], gen, n_slots=2,
+                            modality_shapes=[(setup["e"], setup["s"])])
+    for rid, h, m in setup["reqs"]:
+        eng.submit(rid, [h], [m])
+    results = eng.run()
+    for req in setup["reqs"]:
+        np.testing.assert_array_equal(results[req[0]],
+                                      _offline_beam(setup, gen, req),
+                                      err_msg=req[0])
+
+
+def test_beam_serving_steps_per_tick_int8_and_rating(setup):
+    """Beam serving composes with multi-step ticks, int8 cross-KV slabs and
+    per-request rating_diff — identical to the offline int8 beam path."""
+    from multimodalsum_tpu.core.config import GenerationConfig
+    from multimodalsum_tpu.decode.engine import generate
+    from multimodalsum_tpu.decode.serving import ContinuousBatcher
+
+    gen = GenerationConfig(num_beams=2, do_sample=False, max_length=12,
+                           min_length=2, length_penalty=1.0,
+                           early_stopping=True, no_repeat_ngram_size=2)
+    eng = ContinuousBatcher(setup["model"], setup["params"], gen, n_slots=2,
+                            modality_shapes=[(setup["e"], setup["s"])],
+                            kv_quant="int8", steps_per_tick=3)
+    ratings = {rid: 0.5 * i - 1.0
+               for i, (rid, _, _) in enumerate(setup["reqs"][:3])}
+    for rid, h, m in setup["reqs"][:3]:
+        eng.submit(rid, [h], [m], rating_diff=ratings[rid])
+    results = eng.run()
+
+    for rid, h, m in setup["reqs"][:3]:
+        res = generate(setup["model"], setup["params"], [h[None]], [m[None]],
+                       np.full((1, 1), ratings[rid], np.float32), gen,
+                       kv_quant="int8")
+        seqs = np.asarray(res.sequences).reshape(1, -1, res.sequences.shape[-1])
+        lens = np.asarray(res.lengths).reshape(1, -1)
+        want = seqs[0, 0, : int(lens[0, 0])]
+        np.testing.assert_array_equal(results[rid], want, err_msg=rid)
+
+
+def test_engine_pool_beam(setup):
+    """Replica-per-device pool with beam engines: merged results must be
+    token-identical to offline beam search."""
+    import jax
+
+    from multimodalsum_tpu.core.config import GenerationConfig
+    from multimodalsum_tpu.decode.serving import EnginePool
+
+    devices = jax.local_devices()[:2]
+    gen = GenerationConfig(num_beams=3, do_sample=False, max_length=12,
+                           min_length=2, length_penalty=1.0,
+                           early_stopping=True, no_repeat_ngram_size=2)
+    pool = EnginePool(setup["model"], setup["params"], gen, n_slots=1,
+                      modality_shapes=[(setup["e"], setup["s"])],
+                      devices=devices)
+    for rid, h, m in setup["reqs"]:
+        pool.submit(rid, [h], [m])
+    results = pool.run()
+    assert set(results) == {r[0] for r in setup["reqs"]}
+    for req in setup["reqs"]:
+        np.testing.assert_array_equal(results[req[0]],
+                                      _offline_beam(setup, gen, req),
+                                      err_msg=req[0])
