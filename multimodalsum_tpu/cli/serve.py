@@ -46,6 +46,11 @@ def main(argv=None):
                         "is token-identical to offline beam eval. Greedy "
                         "beams only (excludes --do_sample / --spec_window)")
     p.add_argument("--length_penalty", type=float, default=1.0)
+    p.add_argument("--cache_mode", type=str, default="reorder",
+                   choices=["reorder", "ancestry"],
+                   help="beam slot cache: physical per-step reorder, or the "
+                        "reorder-free ancestry gather (offline's measured "
+                        "2.5x lever; token-identical)")
     # --early_stopping comes from base_parser; in this CLI it means the beam
     # rule (stop a request once num_beams hypotheses finished — the
     # reference eval fixes it True, src/test.py:158)
@@ -146,6 +151,7 @@ def main(argv=None):
         kv_quant=args.kv_quant,
         steps_per_tick=args.steps_per_tick,
         fill_chunk_max=args.fill_chunk_max,
+        cache_mode=args.cache_mode,
         spec_window=args.spec_window,
         spec_ngram=args.spec_ngram,
         spec_src_max=(8 * (max_len - 2) if args.spec_window > 1 else None))

@@ -98,6 +98,8 @@ class _BeamSlotState(NamedTuple):
     cross_kv: Any            # layers x modalities x (k [S, e, s, n, h], v)
     masks: Tuple             # per modality [S, e, s] bool (per slot, unexpanded)
     rating: jnp.ndarray      # [S, 1]
+    anc: Any                 # [S*K, L] int32 ancestry (cache_mode="ancestry"
+                             # — the cache stays unreordered), or None
 
 
 class ContinuousBatcher:
@@ -120,8 +122,13 @@ class ContinuousBatcher:
                  spec_ngram: int = 2,
                  spec_src_max: Optional[int] = None,
                  device=None,
-                 fill_chunk_max: Optional[int] = 1):
+                 fill_chunk_max: Optional[int] = 1,
+                 cache_mode: str = "reorder"):
         self.beams = int(gen.num_beams)
+        if cache_mode not in ("reorder", "ancestry"):
+            raise ValueError(f"unknown cache_mode {cache_mode!r}")
+        # ancestry is moot at K == 1 (no selection ever reorders anything)
+        self.cache_mode = cache_mode if self.beams > 1 else "reorder"
         if self.beams > 1:
             if gen.do_sample:
                 raise ValueError("beam serving is greedy-beam only (beam "
@@ -227,6 +234,8 @@ class ContinuousBatcher:
                          if self.spec_window > 1 else None),
             )
         else:
+            from multimodalsum_tpu.ops.ancestry_attention import init_ancestry
+
             K = self.beams
             self.state = _BeamSlotState(
                 tokens=jnp.full((S, K, L), cfg.pad_token_id, jnp.int32),
@@ -244,6 +253,8 @@ class ContinuousBatcher:
                 cross_kv=None,
                 masks=masks,
                 rating=jnp.zeros((S, 1), jnp.float32),
+                anc=(init_ancestry(S * K, L)
+                     if self.cache_mode == "ancestry" else None),
             )
         if device is not None:
             self.state = jax.device_put(self.state, device)
@@ -511,7 +522,9 @@ class ContinuousBatcher:
         done rule), so a request decodes token-identically to offline beam
         search; finalization happens host-side at :meth:`_collect_beam`."""
         from multimodalsum_tpu.decode.beam_search import _merge_hyps
+        from multimodalsum_tpu.ops.ancestry_attention import update_ancestry
 
+        ancestry = self.cache_mode == "ancestry"
         model, gen, cfg = self.model, self.gen, self.cfg
         K, L = self.beams, gen.max_length
         V = cfg.vocab_size
@@ -569,7 +582,8 @@ class ContinuousBatcher:
             logits, new_cache = model.apply(
                 {"params": params}, last, pos, state.cache,
                 state.cross_kv, list(state.masks), rating,
-                method=BartModel.decode_step)                        # [S*K, 1, V]
+                method=BartModel.decode_step,
+                anc=state.anc)                                       # [S*K, 1, V]
             logits = logits[:, 0, :].astype(jnp.float32).reshape(S, K, V)
 
             live = state.active & ~state.done
@@ -609,7 +623,15 @@ class ContinuousBatcher:
                     live_rows.reshape((-1,) + (1,) * (new.ndim - 1)), new, old),
                 new_cache, state.cache)
             flat_idx = (jnp.arange(S)[:, None] * K + sel_beam).reshape(-1)
-            cache = jax.tree.map(lambda x: jnp.take(x, flat_idx, axis=0), cache)
+            if ancestry:
+                # reorder-free: the cache stays in place, selection updates
+                # the [S*K, L] ancestry matrix (offline's 2.5x lever)
+                anc = update_ancestry(state.anc, flat_idx,
+                                      jnp.repeat(state.cur_len, K))
+            else:
+                anc = state.anc
+                cache = jax.tree.map(lambda x: jnp.take(x, flat_idx, axis=0),
+                                     cache)
 
             hit_max = live & (new_len >= L)
             just_finished = newly_done | hit_max
@@ -618,7 +640,7 @@ class ContinuousBatcher:
                 tokens=new_tokens, cur_len=new_len, active=active, done=done,
                 beam_scores=sel_scores, hyp_scores=hyp_scores,
                 hyp_tokens=hyp_tokens, hyp_lens=hyp_lens, num_hyps=num_hyps,
-                cache=cache), just_finished
+                cache=cache, anc=anc), just_finished
 
         k = self.steps_per_tick
 
@@ -653,6 +675,11 @@ class ContinuousBatcher:
             cache = jax.tree.map(
                 lambda c: c.at[row_idx].set(
                     jnp.zeros((kb * K,) + c.shape[1:], c.dtype)), state.cache)
+            anc = state.anc
+            if anc is not None:  # identity ancestry for the refilled rows
+                anc = anc.at[row_idx].set(
+                    jnp.broadcast_to(row_idx[:, None], (kb * K, L))
+                    .astype(anc.dtype))
             cross_kv = jax.tree.map(lambda dst, src: dst.at[slots].set(src),
                                     state.cross_kv, ckv)
             masks_new = tuple(dst.at[slots].set(src)
@@ -674,6 +701,7 @@ class ContinuousBatcher:
                 cross_kv=cross_kv,
                 masks=masks_new,
                 rating=state.rating.at[slots].set(rating),
+                anc=anc,
             )
 
         self._insert = jax.jit(insert, donate_argnums=0)

@@ -152,9 +152,9 @@ class SelfAttention(nn.Module):
         scalar OR vector [b] (per-row cache positions — the
         continuous-batching serving path, where every slot sits at its own
         step; T > 1 there is the speculative verify window). ``anc`` enables
-        reorder-free ancestry attention (beam decode; scalar index, T == 1
-        only); ``anc_beams`` (static) makes its gather block-local over the
-        beam width instead of all rows.
+        reorder-free ancestry attention (beam decode; scalar or vector
+        index, T == 1 only); ``anc_beams`` (static) makes its gather
+        block-local over the beam width instead of all rows.
 
         Returns (out [b, T, d], new_k_cache, new_v_cache).
         """
@@ -632,9 +632,9 @@ class BartDecoder(nn.Module):
         token_ids [b, T], index scalar or per-row vector [b]
         (continuous-batching serving — every row at its own position; T > 1
         is the speculative verify window, causal within the window). ``anc``
-        [b, L] enables reorder-free ancestry self-attention (scalar index,
-        T == 1 only; ``anc_beams`` = static beam width for the block-local
-        gather).
+        [b, L] enables reorder-free ancestry self-attention (scalar or
+        per-row vector index, T == 1 only; ``anc_beams`` = static beam
+        width for the block-local gather).
 
         Returns (hidden [b, T, d], new_cache).
         """

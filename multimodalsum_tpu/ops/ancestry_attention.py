@@ -65,7 +65,9 @@ def ancestry_attention(q, k_cache, v_cache, anc, index, num_beams: int | None = 
     if isinstance(k_cache, QuantizedKV):
         return ancestry_attention_xla_quantized(q, k_cache, v_cache, anc, index,
                                                 num_beams=num_beams)
-    if _ANCESTRY_IMPL == "pallas":
+    if _ANCESTRY_IMPL == "pallas" and jnp.ndim(index) == 0:
+        # the kernel takes a scalar position; per-row positions (beam
+        # serving) always go through the XLA path
         return ancestry_attention_pallas(q, k_cache, v_cache, anc, index)
     return ancestry_attention_xla(q, k_cache, v_cache, anc, index,
                                   num_beams=num_beams)
@@ -82,11 +84,26 @@ def update_ancestry(anc: jnp.ndarray, flat_idx: jnp.ndarray, cur_len) -> jnp.nda
 
     Gather the parents' ancestry, then reset the next write position
     (``cur_len``) to identity — each row writes its own slot next step.
+    ``cur_len`` may be a per-row vector (continuous-batching beam serving,
+    every slot at its own position); rows whose position is past their
+    valid region take a harmless masked-out write.
     """
     rows = anc.shape[0]
     anc = jnp.take(anc, flat_idx, axis=0)
     col = jnp.arange(rows, dtype=anc.dtype)[:, None]
+    if jnp.ndim(cur_len) == 1:
+        write = jnp.arange(anc.shape[1])[None, :] == cur_len[:, None]
+        return jnp.where(write, col, anc)
     return jax.lax.dynamic_update_slice(anc, col, (0, cur_len))
+
+
+def _valid_positions(L: int, index) -> jnp.ndarray:
+    """Attended-position mask broadcastable over ``logits [n, rows, L]``.
+    ``index`` is the current write position — scalar (offline beam decode)
+    or per-row vector (continuous-batching beam serving)."""
+    if jnp.ndim(index) == 1:
+        return (jnp.arange(L)[None, :] <= index[:, None])[None]  # [1, rows, L]
+    return (jnp.arange(L) <= index)[None, None, :]
 
 
 def _local_onehot(anc: jnp.ndarray, rows: int, num_beams: int | None, dtype):
@@ -127,8 +144,7 @@ def ancestry_attention_xla(
         k_eff = jnp.einsum("rpx,xpnh->rpnh", onehot, k_cache, precision=matmul_precision())
         v_eff = jnp.einsum("rpx,xpnh->rpnh", onehot, v_cache, precision=matmul_precision())
     logits = jnp.einsum("rnh,rpnh->nrp", q[:, 0], k_eff, precision=matmul_precision())
-    valid = (jnp.arange(L) <= index)[None, None, :]
-    logits = jnp.where(valid, logits, TOKEN_MASK_VALUE)
+    logits = jnp.where(_valid_positions(L, index), logits, TOKEN_MASK_VALUE)
     probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(v_eff.dtype)
     ctx = jnp.einsum("nrp,rpnh->rnh", probs, v_eff, precision=matmul_precision())
     return ctx[:, None]  # [rows, 1, n, h]
@@ -170,8 +186,7 @@ def ancestry_attention_xla_quantized(q, kq, vq, anc, index,
     logits = jnp.einsum("rnh,rpnh->nrp", q[:, 0], k_eff,
                         precision=matmul_precision())
     logits = logits.astype(jnp.float32) * ks_eff
-    valid = (jnp.arange(L) <= index)[None, None, :]
-    logits = jnp.where(valid, logits, TOKEN_MASK_VALUE)
+    logits = jnp.where(_valid_positions(L, index), logits, TOKEN_MASK_VALUE)
     probs = jax.nn.softmax(logits, axis=-1)
     probs = (probs * vs_eff).astype(dtype)
     ctx = jnp.einsum("nrp,rpnh->rnh", probs, v_eff, precision=matmul_precision())

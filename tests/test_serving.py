@@ -461,3 +461,29 @@ def test_engine_pool_beam(setup):
         np.testing.assert_array_equal(results[req[0]],
                                       _offline_beam(setup, gen, req),
                                       err_msg=req[0])
+
+
+def test_beam_serving_ancestry_matches_offline(setup):
+    """cache_mode='ancestry' (reorder-free slot cache, per-row-position
+    ancestry gather) must stay token-identical to offline beam search,
+    including refills that reset the refilled slot's ancestry rows."""
+    from multimodalsum_tpu.core.config import GenerationConfig
+    from multimodalsum_tpu.decode.serving import ContinuousBatcher
+
+    gen = GenerationConfig(num_beams=3, do_sample=False, max_length=12,
+                           min_length=2, length_penalty=1.0,
+                           early_stopping=True, no_repeat_ngram_size=2)
+    eng = ContinuousBatcher(setup["model"], setup["params"], gen, n_slots=2,
+                            modality_shapes=[(setup["e"], setup["s"])],
+                            cache_mode="ancestry", steps_per_tick=2)
+    for rid, h, m in setup["reqs"]:
+        eng.submit(rid, [h], [m])
+    results = eng.run()
+    for req in setup["reqs"]:
+        np.testing.assert_array_equal(results[req[0]],
+                                      _offline_beam(setup, gen, req),
+                                      err_msg=req[0])
+
+    with pytest.raises(ValueError, match="cache_mode"):
+        ContinuousBatcher(setup["model"], setup["params"], gen, 2,
+                          [(setup["e"], setup["s"])], cache_mode="nope")
