@@ -19,7 +19,7 @@ from multimodalsum_tpu.cli.common import (
     base_parser, load_model_config, load_tokenizer, save_args, setup_environment, make_hooks,
 )
 from multimodalsum_tpu.data.multimodal_data import MultimodalStore
-from multimodalsum_tpu.data.prefetch import prefetch_to_device
+from multimodalsum_tpu.data.prefetch import host_prefetch, prefetch_to_device
 from multimodalsum_tpu.models.multimodal import MultimodalSum
 from multimodalsum_tpu.cli.common import mesh_for_batch
 from multimodalsum_tpu.parallel.mesh import batch_sharding
@@ -135,8 +135,10 @@ def main(argv=None):
         make_train_step_with_stats(loss_fn, tx),
         eval_step,
         lambda e: prefetch_to_device(
-            img_label_batches(store, tokenizer, args.batch_size, epoch=e, train=True,
-                              seed=args.seed, shard_index=si, shard_count=sc),
+            host_prefetch(
+                img_label_batches(store, tokenizer, args.batch_size, epoch=e,
+                                  train=True, seed=args.seed, shard_index=si,
+                                  shard_count=sc)),
             sharding=b_shard),
         lambda: prefetch_to_device(
             img_label_batches(val_store, tokenizer, args.batch_size, epoch=0,

@@ -18,7 +18,7 @@ from multimodalsum_tpu.cli.common import (
     base_parser, load_model_config, load_tokenizer, save_args, setup_environment, make_hooks,
 )
 from multimodalsum_tpu.data.multimodal_data import MultimodalStore
-from multimodalsum_tpu.data.prefetch import prefetch_to_device
+from multimodalsum_tpu.data.prefetch import host_prefetch, prefetch_to_device
 from multimodalsum_tpu.data.tables import stack_features
 from multimodalsum_tpu.models.multimodal import MultimodalSum
 from multimodalsum_tpu.cli.common import mesh_for_batch
@@ -114,9 +114,11 @@ def main(argv=None):
         make_train_step(loss_fn, tx),
         make_eval_step(lambda p, b, r: loss_fn(p, b, None)),
         lambda e: prefetch_to_device(
-            table_label_batches(store, tokenizer, args.batch_size, epoch=e,
-                                train=True, seed=args.seed,
-                                shard_index=si, shard_count=sc), sharding=b_shard),
+            host_prefetch(
+                table_label_batches(store, tokenizer, args.batch_size, epoch=e,
+                                    train=True, seed=args.seed,
+                                    shard_index=si, shard_count=sc)),
+            sharding=b_shard),
         lambda: prefetch_to_device(
             table_label_batches(val_store, tokenizer, args.batch_size, epoch=0,
                                 train=False, drop_last=False,

@@ -66,3 +66,50 @@ def prefetch_to_device(
         except StopIteration:
             pass
         yield out
+
+
+def host_prefetch(batches: Iterable, depth: int = 2) -> Iterator:
+    """Build host batches in a background thread, ``depth`` ahead of the
+    consumer.
+
+    The reference overlaps per-example host work (image decode/resize,
+    tokenization, table featurisation) with GPU compute via
+    ``DataLoader(num_workers=4)`` worker processes
+    (``src/train_utils.py:45``). Here a single producer thread suffices:
+    the heavy parts are numpy/PIL calls that release the GIL, and one
+    batch of lead time is all the overlap a ~1 s train step needs. Compose
+    with :func:`prefetch_to_device` (host build → H2D transfer → compute,
+    each one stage ahead):
+
+        prefetch_to_device(host_prefetch(batches), sharding=...)
+
+    Exceptions in the producer re-raise at the consumer. The producer is a
+    daemon thread holding at most ``depth`` finished batches; abandoning
+    the iterator early leaves it parked on a full queue until process
+    exit (epoch iterators are always drained by the train loop).
+    """
+    import queue as queue_mod
+    import threading
+
+    q: "queue_mod.Queue" = queue_mod.Queue(maxsize=max(1, depth))
+    sentinel = object()
+    failure: list = []
+
+    def produce():
+        try:
+            for b in batches:
+                q.put(b)
+        except BaseException as e:  # noqa: BLE001 — re-raised at consumer
+            failure.append(e)
+        finally:
+            q.put(sentinel)
+
+    threading.Thread(target=produce, daemon=True,
+                     name="host_prefetch").start()
+    while True:
+        b = q.get()
+        if b is sentinel:
+            if failure:
+                raise failure[0]
+            return
+        yield b

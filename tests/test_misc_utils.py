@@ -195,3 +195,29 @@ def test_init_logger_console_and_file(tmp_path, capsys):
     logger2.warning("to dir")
     files = list(d.glob("log_*.txt"))
     assert files and "to dir" in files[0].read_text()
+
+
+def test_host_prefetch_order_and_errors():
+    """host_prefetch must yield the producer's batches unchanged and in
+    order (single background thread), and re-raise producer exceptions at
+    the consumer."""
+    import numpy as np
+
+    from multimodalsum_tpu.data.prefetch import host_prefetch
+
+    batches = [dict(x=np.full((2, 3), i)) for i in range(7)]
+    got = list(host_prefetch(iter(batches), depth=2))
+    assert len(got) == 7
+    for i, b in enumerate(got):
+        np.testing.assert_array_equal(b["x"], batches[i]["x"])
+
+    def boom():
+        yield batches[0]
+        raise RuntimeError("producer exploded")
+
+    it = host_prefetch(boom(), depth=2)
+    next(it)
+    import pytest
+
+    with pytest.raises(RuntimeError, match="producer exploded"):
+        list(it)
