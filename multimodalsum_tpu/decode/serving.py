@@ -850,6 +850,41 @@ class ContinuousBatcher:
         """True while any request is queued or decoding."""
         return bool(self._queue or self._slot_req)
 
+    def cancel(self, request_id) -> bool:
+        """Abort a request: drop it from the queue, or deactivate and free
+        its slot if already decoding (the slot refills on the next tick; no
+        partial result is emitted). Other requests are unaffected — slots
+        decode row-independently. Returns whether the request was found."""
+        for i, item in enumerate(self._queue):
+            if item[0] == request_id:
+                del self._queue[i]
+                return True
+        for slot, rid in self._slot_req.items():
+            if rid == request_id:
+                self.state = self.state._replace(
+                    active=self.state.active.at[slot].set(False))
+                del self._slot_req[slot]
+                self._free.append(slot)
+                return True
+        return False
+
+    def partials(self) -> Dict[Any, np.ndarray]:
+        """Tokens generated so far for every in-flight request (one host
+        read of the active rows). Greedy/sampling: the committed prefix of
+        the final output. Beams: the current top-ranked live beam — a
+        preview that later selection may still abandon."""
+        if not self._slot_req:
+            return {}
+        slots = sorted(self._slot_req)
+        idx = jnp.asarray(slots, jnp.int32)
+        if self.beams > 1:
+            toks = np.asarray(self.state.tokens[idx, 0])
+        else:
+            toks = np.asarray(self.state.tokens[idx])
+        lens = np.asarray(self.state.cur_len[idx])
+        return {self._slot_req[s]: toks[i, : int(lens[i])]
+                for i, s in enumerate(slots)}
+
     def run(self, max_ticks: int = 100000) -> Dict[Any, np.ndarray]:
         """Drain the queue: tick until every submitted request completes."""
         return _drain(self, max_ticks)
@@ -919,6 +954,17 @@ class EnginePool:
     def pending(self) -> bool:
         """True while any replica has queued or decoding requests."""
         return any(e.pending for e in self.engines)
+
+    def cancel(self, request_id) -> bool:
+        """Abort a request on whichever replica holds it."""
+        return any(e.cancel(request_id) for e in self.engines)
+
+    def partials(self) -> Dict[Any, np.ndarray]:
+        """In-flight partial outputs merged across replicas."""
+        out: Dict[Any, np.ndarray] = {}
+        for e in self.engines:
+            out.update(e.partials())
+        return out
 
     def run(self, max_ticks: int = 100000) -> Dict[Any, np.ndarray]:
         """Drain all replicas: tick until every submitted request completes."""

@@ -487,3 +487,60 @@ def test_beam_serving_ancestry_matches_offline(setup):
     with pytest.raises(ValueError, match="cache_mode"):
         ContinuousBatcher(setup["model"], setup["params"], gen, 2,
                           [(setup["e"], setup["s"])], cache_mode="nope")
+
+
+def test_cancel_and_partials(setup):
+    """cancel() drops queued or in-flight requests without disturbing other
+    slots (outputs stay token-identical to offline); partials() exposes the
+    committed prefix of every in-flight greedy request."""
+    from multimodalsum_tpu.core.config import GenerationConfig
+    from multimodalsum_tpu.decode.serving import ContinuousBatcher
+
+    gen = GenerationConfig(num_beams=1, do_sample=False, max_length=12,
+                           min_length=2, length_penalty=1.0,
+                           early_stopping=False, no_repeat_ngram_size=2)
+    eng = ContinuousBatcher(setup["model"], setup["params"], gen, n_slots=2,
+                            modality_shapes=[(setup["e"], setup["s"])])
+    for rid, h, m in setup["reqs"]:
+        eng.submit(rid, [h], [m])
+
+    assert eng.cancel("req4")          # still queued
+    assert not eng.cancel("nope")
+    eng.tick()                         # req0/req1 now decoding
+    snap = eng.partials()
+    assert set(snap) == {"req0", "req1"}
+    assert eng.cancel("req1")          # in flight: slot freed, no result
+    results = eng.run()
+    assert set(results) == {"req0", "req2", "req3"}
+    for req in setup["reqs"]:
+        if req[0] in results:
+            want = _offline(setup, gen, req)
+            np.testing.assert_array_equal(results[req[0]], want, err_msg=req[0])
+            # every earlier partial is a prefix of the final output
+            if req[0] in snap:
+                p = snap[req[0]]
+                np.testing.assert_array_equal(p, want[: len(p)])
+
+
+def test_pool_cancel_and_partials(setup):
+    import jax
+
+    from multimodalsum_tpu.core.config import GenerationConfig
+    from multimodalsum_tpu.decode.serving import EnginePool
+
+    gen = GenerationConfig(num_beams=1, do_sample=False, max_length=12,
+                           min_length=2, length_penalty=1.0,
+                           early_stopping=False, no_repeat_ngram_size=2)
+    pool = EnginePool(setup["model"], setup["params"], gen, n_slots=1,
+                      modality_shapes=[(setup["e"], setup["s"])],
+                      devices=jax.local_devices()[:2])
+    for rid, h, m in setup["reqs"][:4]:
+        pool.submit(rid, [h], [m])
+    pool.tick()
+    assert set(pool.partials()) == {"req0", "req1"}
+    assert pool.cancel("req0") and not pool.cancel("req0")
+    results = pool.run()
+    assert set(results) == {"req1", "req2", "req3"}
+    for req in setup["reqs"][1:4]:
+        np.testing.assert_array_equal(results[req[0]], _offline(setup, gen, req),
+                                      err_msg=req[0])
