@@ -544,3 +544,38 @@ def test_pool_cancel_and_partials(setup):
     for req in setup["reqs"][1:4]:
         np.testing.assert_array_equal(results[req[0]], _offline(setup, gen, req),
                                       err_msg=req[0])
+
+
+@pytest.mark.parametrize("seed", [11, 12, 13])
+def test_beam_serving_randomized_configs(setup, seed):
+    """Property sweep: random generation configs (beams, penalties, lengths,
+    stopping rule, cache mode, tick width) must all stay token-identical to
+    offline beam search — the tie-handling edge cases live in odd corners
+    of this space."""
+    import random
+
+    from multimodalsum_tpu.core.config import GenerationConfig
+    from multimodalsum_tpu.decode.serving import ContinuousBatcher
+
+    r = random.Random(seed)
+    max_length = r.choice([9, 12, 15])
+    gen = GenerationConfig(
+        num_beams=r.choice([2, 3, 4]), do_sample=False,
+        max_length=max_length,
+        min_length=r.randint(1, max_length - 2),
+        length_penalty=r.choice([0.5, 1.0, 2.0]),
+        early_stopping=r.choice([True, False]),
+        no_repeat_ngram_size=r.choice([0, 2, 3]))
+    eng = ContinuousBatcher(
+        setup["model"], setup["params"], gen,
+        n_slots=r.choice([2, 3]),
+        modality_shapes=[(setup["e"], setup["s"])],
+        cache_mode=r.choice(["reorder", "ancestry"]),
+        steps_per_tick=r.choice([1, 3]))
+    for rid, h, m in setup["reqs"]:
+        eng.submit(rid, [h], [m])
+    results = eng.run()
+    for req in setup["reqs"]:
+        np.testing.assert_array_equal(
+            results[req[0]], _offline_beam(setup, gen, req),
+            err_msg=f"{req[0]} gen={gen}")
