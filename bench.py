@@ -336,7 +336,28 @@ def bench_train():
                 mfu=round(mfu, 4))
 
 
+def _require_live_backend(timeout_s: float = 180.0) -> None:
+    """Fail loudly (clear message, nonzero exit) if JAX backend init hangs.
+
+    The axon tunnel can wedge upstream (observed 2026-08-17: the terminal
+    stopped answering mid-round and ``jax.devices()`` blocked forever); a
+    silent hang until the driver's timeout looks like a bench bug, a clear
+    tail does not. The probe runs in a daemon thread — on success the main
+    thread reuses the already-initialised client."""
+    import threading
+
+    ok = threading.Event()
+    threading.Thread(target=lambda: (jax.devices(), ok.set()),
+                     daemon=True).start()
+    if not ok.wait(timeout_s):
+        print(f"# FATAL: JAX backend did not initialise within {timeout_s:.0f}s "
+              f"— device tunnel unreachable (jax.devices() still blocked). "
+              f"No measurement possible on this host right now.", flush=True)
+        sys.exit(3)
+
+
 def main():
+    _require_live_backend()
     if "--pallas" in sys.argv:
         from multimodalsum_tpu.ops.attention import set_entity_attention_impl
 
