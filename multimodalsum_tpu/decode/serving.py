@@ -262,6 +262,9 @@ class ContinuousBatcher:
         self._free: deque = deque(range(n_slots))
         self._slot_req: Dict[int, Any] = {}
         self._queue: deque = deque()
+        self._ticks = 0
+        self._completed = 0
+        self._tokens_out = 0
         self._build_fns()
 
     def _ensure_cross_kv_slabs(self, ckv_batch):
@@ -784,21 +787,26 @@ class ContinuousBatcher:
         if not self._slot_req:
             return None
         self.state, just_finished = self._step(self.state, self.params)
+        self._ticks += 1
         return just_finished
 
     def _collect(self, just_finished) -> List[Tuple[Any, np.ndarray, int]]:
         if self.beams > 1:
-            return self._collect_beam(just_finished)
-        done = np.nonzero(np.asarray(just_finished))[0]
-        out = []
-        if len(done):
-            tokens = np.asarray(self.state.tokens[done])
-            lengths = np.asarray(self.state.lengths[done])
-            for row, slot in enumerate(done):
-                slot = int(slot)
-                rid = self._slot_req.pop(slot)
-                out.append((rid, tokens[row, : lengths[row]], int(lengths[row])))
-                self._free.append(slot)
+            out = self._collect_beam(just_finished)
+        else:
+            done = np.nonzero(np.asarray(just_finished))[0]
+            out = []
+            if len(done):
+                tokens = np.asarray(self.state.tokens[done])
+                lengths = np.asarray(self.state.lengths[done])
+                for row, slot in enumerate(done):
+                    slot = int(slot)
+                    rid = self._slot_req.pop(slot)
+                    out.append((rid, tokens[row, : lengths[row]],
+                                int(lengths[row])))
+                    self._free.append(slot)
+        self._completed += len(out)
+        self._tokens_out += sum(o[2] for o in out)
         return out
 
     def _collect_beam(self, just_finished) -> List[Tuple[Any, np.ndarray, int]]:
@@ -867,6 +875,41 @@ class ContinuousBatcher:
                 self._free.append(slot)
                 return True
         return False
+
+    def stats(self) -> Dict[str, Any]:
+        """Host-side counters for monitoring: slot occupancy, queue depth,
+        engine steps taken (``ticks * steps_per_tick`` decode steps),
+        completed requests, and tokens emitted. No device sync."""
+        return dict(
+            n_slots=self.n_slots,
+            beams=self.beams,
+            active=len(self._slot_req),
+            queued=len(self._queue),
+            ticks=self._ticks,
+            completed=self._completed,
+            tokens_out=self._tokens_out,
+        )
+
+    def swap_params(self, params) -> None:
+        """Hot-swap the served parameters (model update without downtime).
+
+        The compiled step/insert/project programs key on shapes/dtypes, not
+        values — a same-architecture checkpoint swaps in with zero
+        recompilation. Requests already decoding continue under the NEW
+        parameters from their next step (their cache/prefix came from the
+        old ones); drain first if that mix is unacceptable."""
+        if self.model.dtype != jnp.float32:
+            params = jax.tree.map(
+                lambda x: x.astype(self.model.dtype)
+                if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+                else x, params)
+        new = jax.device_put(params, self._device)
+        old_shapes = jax.tree.map(lambda x: (x.shape, str(x.dtype)), self.params)
+        new_shapes = jax.tree.map(lambda x: (x.shape, str(x.dtype)), new)
+        if old_shapes != new_shapes:
+            raise ValueError("swap_params: parameter tree shapes/dtypes "
+                             "differ from the served model's")
+        self.params = new
 
     def partials(self) -> Dict[Any, np.ndarray]:
         """Tokens generated so far for every in-flight request (one host
@@ -965,6 +1008,25 @@ class EnginePool:
         for e in self.engines:
             out.update(e.partials())
         return out
+
+    def stats(self) -> Dict[str, Any]:
+        """Pool totals plus per-replica counter dicts."""
+        per = [e.stats() for e in self.engines]
+        return dict(
+            replicas=len(per),
+            n_slots_total=self.n_slots_total,
+            active=sum(s["active"] for s in per),
+            queued=sum(s["queued"] for s in per),
+            completed=sum(s["completed"] for s in per),
+            tokens_out=sum(s["tokens_out"] for s in per),
+            per_replica=per,
+        )
+
+    def swap_params(self, params) -> None:
+        """Hot-swap parameters on every replica (each keeps its own pinned
+        device copy)."""
+        for e in self.engines:
+            e.swap_params(params)
 
     def run(self, max_ticks: int = 100000) -> Dict[Any, np.ndarray]:
         """Drain all replicas: tick until every submitted request completes."""

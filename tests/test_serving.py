@@ -579,3 +579,57 @@ def test_beam_serving_randomized_configs(setup, seed):
         np.testing.assert_array_equal(
             results[req[0]], _offline_beam(setup, gen, req),
             err_msg=f"{req[0]} gen={gen}")
+
+
+def test_stats_and_swap_params(setup):
+    """stats() counters track occupancy/completions; swap_params() hot-swaps
+    weights with no recompilation — requests submitted after the swap decode
+    exactly as a fresh engine built with the new params."""
+    import jax
+
+    from multimodalsum_tpu.core.config import GenerationConfig
+    from multimodalsum_tpu.decode.serving import ContinuousBatcher
+
+    gen = GenerationConfig(num_beams=1, do_sample=False, max_length=10,
+                           min_length=2, length_penalty=1.0,
+                           early_stopping=False, no_repeat_ngram_size=2)
+    eng = ContinuousBatcher(setup["model"], setup["params"], gen, n_slots=2,
+                            modality_shapes=[(setup["e"], setup["s"])])
+    s0 = eng.stats()
+    assert s0 == dict(n_slots=2, beams=1, active=0, queued=0, ticks=0,
+                      completed=0, tokens_out=0)
+    for rid, h, m in setup["reqs"][:3]:
+        eng.submit(rid, [h], [m])
+    assert eng.stats()["queued"] == 3
+    first = eng.run()
+    s1 = eng.stats()
+    assert s1["completed"] == 3 and s1["active"] == 0 and s1["queued"] == 0
+    assert s1["tokens_out"] == sum(len(v) for v in first.values())
+    assert s1["ticks"] > 0
+
+    # new weights: same tree, different values
+    params2 = jax.tree.map(lambda x: x * 1.5 if x.dtype.kind == "f" else x,
+                           setup["params"])
+    eng.swap_params(params2)
+    for rid, h, m in setup["reqs"][:3]:
+        eng.submit(rid + "-v2", [h], [m])
+    swapped = eng.run()
+
+    fresh = ContinuousBatcher(setup["model"], params2, gen, n_slots=2,
+                              modality_shapes=[(setup["e"], setup["s"])])
+    for rid, h, m in setup["reqs"][:3]:
+        fresh.submit(rid, [h], [m])
+    want = fresh.run()
+    changed = 0
+    for rid, h, m in setup["reqs"][:3]:
+        np.testing.assert_array_equal(swapped[rid + "-v2"], want[rid],
+                                      err_msg=rid)
+        changed += not np.array_equal(swapped[rid + "-v2"], first[rid])
+    assert changed  # the swap actually took effect
+
+    import pytest
+
+    bad = dict(setup["params"])
+    bad.pop(sorted(bad)[0])
+    with pytest.raises(ValueError, match="swap_params"):
+        eng.swap_params(bad)
