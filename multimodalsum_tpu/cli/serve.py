@@ -218,7 +218,10 @@ def main(argv=None):
     if out_f:
         out_f.close()
     dt = time.time() - t0
-    print(f"# served {done} summaries in {dt:.1f}s = {done/dt:.2f} req/s")
+    stats = eng.stats()
+    print(f"# served {done} summaries in {dt:.1f}s = {done/dt:.2f} req/s; "
+          f"{stats['tokens_out']} tokens over "
+          f"{stats.get('ticks', sum(s['ticks'] for s in stats.get('per_replica', [])))} ticks")
 
 
 if __name__ == "__main__":

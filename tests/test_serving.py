@@ -633,3 +633,23 @@ def test_stats_and_swap_params(setup):
     bad.pop(sorted(bad)[0])
     with pytest.raises(ValueError, match="swap_params"):
         eng.swap_params(bad)
+
+
+def test_beam_serving_int4_matches_offline_int4(setup):
+    """int4 cross-KV slot slabs under beam serving: token-identical to the
+    offline int4 beam path."""
+    from multimodalsum_tpu.core.config import GenerationConfig
+    from multimodalsum_tpu.decode.serving import ContinuousBatcher
+
+    gen = GenerationConfig(num_beams=2, do_sample=False, max_length=10,
+                           min_length=2, length_penalty=1.0,
+                           early_stopping=True, no_repeat_ngram_size=2)
+    eng = ContinuousBatcher(setup["model"], setup["params"], gen, n_slots=2,
+                            modality_shapes=[(setup["e"], setup["s"])],
+                            kv_quant="int4")
+    for rid, h, m in setup["reqs"][:3]:
+        eng.submit(rid, [h], [m])
+    results = eng.run()
+    for rid, h, m in setup["reqs"][:3]:
+        want = _offline_beam(setup, gen, (rid, h, m), kv_quant="int4")
+        np.testing.assert_array_equal(results[rid], want, err_msg=rid)
