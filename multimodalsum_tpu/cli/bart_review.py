@@ -20,7 +20,7 @@ from multimodalsum_tpu.cli.common import (
     base_parser, load_model_config, load_tokenizer, save_args, setup_environment, make_hooks,
 )
 from multimodalsum_tpu.data.noising import BartNoiser
-from multimodalsum_tpu.data.prefetch import prefetch_to_device
+from multimodalsum_tpu.data.prefetch import host_prefetch, prefetch_to_device
 from multimodalsum_tpu.models.bart import BartModel
 from multimodalsum_tpu.cli.common import mesh_for_batch
 from multimodalsum_tpu.parallel.mesh import batch_sharding
@@ -138,7 +138,10 @@ def main(argv=None):
         state,
         make_train_step(loss_fn, tx),
         make_eval_step(lambda p, b, r: denoising_loss(model, p, b, rng=None)),
-        lambda e: prefetch_to_device(batches(e, corpus), sharding=b_shard),
+        # the BART-noise collator (sentence permute + span infill) is the
+        # CPU-heavy part of this stage — build it one batch ahead
+        lambda e: prefetch_to_device(host_prefetch(batches(e, corpus)),
+                                     sharding=b_shard),
         lambda: prefetch_to_device(
             batches(0, val_corpus, shuffle=False,
                     fixed_noise_seed=args.seed + 7919),
