@@ -953,7 +953,8 @@ class EnginePool:
 
     def __init__(self, model: BartModel, params, gen: GenerationConfig,
                  n_slots: int, modality_shapes: Sequence[Tuple[int, int]],
-                 devices: Optional[Sequence] = None, **engine_kwargs):
+                 devices: Optional[Sequence] = None, failover: bool = False,
+                 **engine_kwargs):
         devices = list(devices) if devices is not None else jax.local_devices()
         if not devices:
             raise ValueError("EnginePool needs at least one device")
@@ -963,6 +964,15 @@ class EnginePool:
             for d in devices
         ]
         self._rr = 0  # round-robin tiebreak cursor
+        # failover=True retains a host copy of every live request's inputs
+        # (the in-flight encoder states live only on their replica's device)
+        # so a replica whose device errors can be dropped and its requests
+        # restarted on the survivors — the closest TPU analog of elastic
+        # recovery, absent in the reference entirely (SURVEY §5). Costs
+        # O(live requests x encoder-state bytes) host RAM, hence opt-in.
+        self._failover = bool(failover)
+        self._retained: Dict[Any, Tuple[tuple, dict]] = {}
+        self.failed: List[Tuple[Any, str]] = []  # (device, error) log
 
     @property
     def n_slots_total(self) -> int:
@@ -981,17 +991,61 @@ class EnginePool:
             if best_score is None or score > best_score:
                 best, best_score = j, score
         self._rr = (best + 1) % n
+        if self._failover:
+            self._retained[request_id] = ((modality_hiddens, modality_masks),
+                                          dict(kwargs))
         self.engines[best].submit(request_id, modality_hiddens,
                                   modality_masks, **kwargs)
 
     def tick(self) -> List[Tuple[Any, np.ndarray, int]]:
-        """Advance every replica one engine step; merged completions."""
-        dispatched = [(e, e._dispatch()) for e in self.engines]
+        """Advance every replica one engine step; merged completions. With
+        ``failover=True`` a replica whose device step raises is dropped and
+        its queued + in-flight requests restart from scratch on the
+        survivors (partial decode progress on the dead device is lost)."""
         out: List[Tuple[Any, np.ndarray, int]] = []
+        dispatched, dead = [], []
+        for e in self.engines:
+            try:
+                dispatched.append((e, e._dispatch()))
+            except Exception as exc:  # noqa: BLE001 — device/runtime failure
+                if not self._failover:
+                    raise
+                dead.append((e, exc))
         for e, jf in dispatched:
-            if jf is not None:
-                out.extend(e._collect(jf))
+            if jf is None:
+                continue
+            try:
+                completed = e._collect(jf)
+            except Exception as exc:  # noqa: BLE001
+                if not self._failover:
+                    raise
+                dead.append((e, exc))
+                continue
+            for rid, toks, n in completed:
+                self._retained.pop(rid, None)
+                out.append((rid, toks, n))
+        for e, exc in dead:
+            self._drop_replica(e, exc)
         return out
+
+    def _drop_replica(self, engine, exc) -> None:
+        """Remove a failed replica and resubmit everything it owned."""
+        self.failed.append((engine._device, repr(exc)))
+        self.engines.remove(engine)
+        if not self.engines:
+            raise RuntimeError(
+                f"all serving replicas failed (last: {exc!r})") from exc
+        orphans = [item[0] for item in engine._queue]
+        orphans += list(engine._slot_req.values())
+        for rid in orphans:
+            retained = self._retained.get(rid)
+            if retained is None:  # cannot rebuild the inputs — surface it
+                raise RuntimeError(
+                    f"replica failed with request {rid!r} in flight and no "
+                    f"retained inputs — construct EnginePool(failover=True) "
+                    f"before submitting") from exc
+            (hiddens, masks), kwargs = retained
+            self.submit(rid, hiddens, masks, **kwargs)
 
     @property
     def pending(self) -> bool:
@@ -1000,7 +1054,10 @@ class EnginePool:
 
     def cancel(self, request_id) -> bool:
         """Abort a request on whichever replica holds it."""
-        return any(e.cancel(request_id) for e in self.engines)
+        found = any(e.cancel(request_id) for e in self.engines)
+        if found:
+            self._retained.pop(request_id, None)
+        return found
 
     def partials(self) -> Dict[Any, np.ndarray]:
         """In-flight partial outputs merged across replicas."""

@@ -653,3 +653,64 @@ def test_beam_serving_int4_matches_offline_int4(setup):
     for rid, h, m in setup["reqs"][:3]:
         want = _offline_beam(setup, gen, (rid, h, m), kv_quant="int4")
         np.testing.assert_array_equal(results[rid], want, err_msg=rid)
+
+
+def test_pool_failover_requeues_to_survivors(setup):
+    """failover=True: a replica whose device step raises is dropped, its
+    queued + in-flight requests restart on the survivors, and every output
+    stays token-identical to offline greedy."""
+    import jax
+
+    from multimodalsum_tpu.core.config import GenerationConfig
+    from multimodalsum_tpu.decode.serving import EnginePool
+
+    gen = GenerationConfig(num_beams=1, do_sample=False, max_length=12,
+                           min_length=2, length_penalty=1.0,
+                           early_stopping=False, no_repeat_ngram_size=2)
+    pool = EnginePool(setup["model"], setup["params"], gen, n_slots=1,
+                      modality_shapes=[(setup["e"], setup["s"])],
+                      devices=jax.local_devices()[:2], failover=True)
+    for rid, h, m in setup["reqs"]:
+        pool.submit(rid, [h], [m])
+    pool.tick()  # both replicas now have one in-flight request each
+
+    victim = pool.engines[0]
+    owned = set(victim._slot_req.values()) | {i[0] for i in victim._queue}
+    assert owned  # the sabotage must actually orphan something
+
+    def boom(*a, **k):
+        raise RuntimeError("injected device failure")
+
+    victim._step = boom
+    results = pool.run()
+
+    assert len(pool.engines) == 1
+    assert pool.failed and "injected device failure" in pool.failed[0][1]
+    assert set(results) == {r[0] for r in setup["reqs"]}
+    for req in setup["reqs"]:
+        np.testing.assert_array_equal(results[req[0]], _offline(setup, gen, req),
+                                      err_msg=req[0])
+
+
+def test_pool_without_failover_raises(setup):
+    import jax
+    import pytest
+
+    from multimodalsum_tpu.core.config import GenerationConfig
+    from multimodalsum_tpu.decode.serving import EnginePool
+
+    gen = GenerationConfig(num_beams=1, do_sample=False, max_length=10,
+                           min_length=2, length_penalty=1.0,
+                           early_stopping=False)
+    pool = EnginePool(setup["model"], setup["params"], gen, n_slots=1,
+                      modality_shapes=[(setup["e"], setup["s"])],
+                      devices=jax.local_devices()[:2])
+    for rid, h, m in setup["reqs"][:2]:
+        pool.submit(rid, [h], [m])
+
+    def boom(*a, **k):
+        raise RuntimeError("injected device failure")
+
+    pool.engines[0]._step = boom
+    with pytest.raises(RuntimeError, match="injected device failure"):
+        pool.run()
