@@ -102,13 +102,27 @@ class _BeamSlotState(NamedTuple):
                              # — the cache stays unreordered), or None
 
 
+def _cast_params_to(dtype, params):
+    """Cast floating leaves to the model compute dtype (no-op leaves pass
+    through; casting an already-converted tree is free — same-dtype astype
+    returns the input array)."""
+    if dtype == jnp.float32:
+        return params
+    return jax.tree.map(
+        lambda x: x.astype(dtype)
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+        else x, params)
+
+
 class ContinuousBatcher:
     """Slot-based continuous batching over the multi-entity decoder.
 
     Args:
       model / params: a :class:`BartModel` (uni- or multimodal) and params.
-      gen: generation config (``num_beams`` must be 1).
-      n_slots: decode slots advanced per tick.
+      gen: generation config — greedy/sampling at ``num_beams == 1``, or
+        greedy beam search at ``num_beams > 1`` (a slot then holds the
+        request's beams; outputs token-identical to offline beams).
+      n_slots: decode slots (concurrent requests) advanced per tick.
       modality_shapes: per modality ``(e, s)`` of the encoder states a
         request supplies (static — requests pad to these shapes).
     """
@@ -191,11 +205,7 @@ class ContinuousBatcher:
                              "source must fit at least one match window "
                              "plus a continuation token)")
 
-        if model.dtype != jnp.float32:
-            params = jax.tree.map(
-                lambda x: x.astype(model.dtype)
-                if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
-                else x, params)
+        params = _cast_params_to(model.dtype, params)
         # device=None serves on the default device; an explicit device pins
         # the replica there (EnginePool runs one pinned replica per chip).
         # Every COMPUTED jit input must then be committed to that device —
@@ -209,6 +219,11 @@ class ContinuousBatcher:
         layers = cfg.decoder_layers
         masks = tuple(jnp.zeros((S, e, s), bool) for (e, s) in self.modality_shapes)
         base_rng = jax.random.PRNGKey(0) if rng is None else rng
+        # default per-request sampling keys fold a monotonic submission
+        # counter into this key (submit()) — reproducible across runs,
+        # unlike hashing request ids (PYTHONHASHSEED-randomised)
+        self._base_rng = base_rng
+        self._submitted = 0
         # NOTE: every leaf must be a DISTINCT buffer — the state is donated
         # into the jitted step/insert, and XLA rejects donating one buffer
         # twice (init_self_attn_cache shares one zeros array across layers).
@@ -262,6 +277,7 @@ class ContinuousBatcher:
         self._free: deque = deque(range(n_slots))
         self._slot_req: Dict[int, Any] = {}
         self._queue: deque = deque()
+        self._live_ids: set = set()
         self._ticks = 0
         self._completed = 0
         self._tokens_out = 0
@@ -721,11 +737,33 @@ class ContinuousBatcher:
         ``source_tokens`` (1-D int array, e.g. the request's concatenated
         review token ids) feeds prompt-lookup drafting when the engine runs
         with ``spec_window > 1``; without it the request decodes classically
-        inside the speculative step (every draft rejected)."""
-        for h, (e, s) in zip(modality_hiddens, self.modality_shapes):
+        inside the speculative step (every draft rejected).
+
+        Malformed requests are rejected HERE, where the offending caller
+        gets the exception — inside a tick they would surface ticks later
+        and (with chunked fills) poison innocent batch-mates."""
+        if (len(modality_hiddens) != len(self.modality_shapes)
+                or len(modality_masks) != len(self.modality_shapes)):
+            raise ValueError(
+                f"expected {len(self.modality_shapes)} modalities, got "
+                f"{len(modality_hiddens)} hiddens / {len(modality_masks)} masks")
+        for h, m, (e, s) in zip(modality_hiddens, modality_masks,
+                                self.modality_shapes):
             if tuple(h.shape[:2]) != (e, s):
                 raise ValueError(
                     f"modality shape {tuple(h.shape[:2])} != engine spec {(e, s)}")
+            if tuple(m.shape) != (e, s):
+                raise ValueError(
+                    f"mask shape {tuple(m.shape)} != engine spec {(e, s)}")
+        if request_id in self._live_ids:
+            raise ValueError(
+                f"request id {request_id!r} is already queued or decoding "
+                f"on this engine (duplicate ids break completion routing)")
+        if key is None:
+            # deterministic default: constructor rng + submission counter
+            key = jax.random.fold_in(self._base_rng, self._submitted)
+        self._submitted += 1
+        self._live_ids.add(request_id)
         self._queue.append((request_id, modality_hiddens, modality_masks,
                             rating_diff, key, source_tokens))
 
@@ -742,33 +780,42 @@ class ContinuousBatcher:
             kb = 1 << (n.bit_length() - 1)
             batch = [self._queue.popleft() for _ in range(kb)]
             slots = [self._free.popleft() for _ in range(kb)]
-            n_mod = len(self.modality_shapes)
-            hiddens = [np.stack([b[1][i] for b in batch]) for i in range(n_mod)]
-            ckv = self._project(self.params, hiddens)   # leaves [kb, ...]
-            self._ensure_cross_kv_slabs(ckv)
-            keys = jnp.stack([
-                b[4] if b[4] is not None
-                else jax.random.PRNGKey(abs(hash(b[0])) % (2 ** 31))
-                for b in batch])
-            if self._device is not None:  # stack computes on the default device
-                keys = jax.device_put(keys, self._device)
-            src_rows = src_len_rows = None
-            if self.spec_window > 1:
-                P = self.spec_src_max
-                rows = np.full((kb, P), self.cfg.pad_token_id, np.int32)
-                lens = np.zeros((kb,), np.int32)
-                for r, b in enumerate(batch):
-                    if b[5] is not None:
-                        flat = np.asarray(b[5], np.int32).reshape(-1)[:P]
-                        rows[r, : flat.shape[0]] = flat
-                        lens[r] = flat.shape[0]
-                src_rows, src_len_rows = jnp.asarray(rows), jnp.asarray(lens)
-            self.state = self._insert(
-                self.state, jnp.asarray(slots, jnp.int32), ckv,
-                tuple(jnp.asarray(np.stack([b[2][i] for b in batch]), bool)
-                      for i in range(n_mod)),
-                jnp.asarray([[float(b[3])] for b in batch], jnp.float32),
-                keys, src_rows, src_len_rows)
+            try:
+                n_mod = len(self.modality_shapes)
+                hiddens = [np.stack([b[1][i] for b in batch])
+                           for i in range(n_mod)]
+                ckv = self._project(self.params, hiddens)  # leaves [kb, ...]
+                self._ensure_cross_kv_slabs(ckv)
+                keys = jnp.stack([b[4] for b in batch])  # set at submit()
+                if self._device is not None:  # stack runs on the default device
+                    keys = jax.device_put(keys, self._device)
+                src_rows = src_len_rows = None
+                if self.spec_window > 1:
+                    P = self.spec_src_max
+                    rows = np.full((kb, P), self.cfg.pad_token_id, np.int32)
+                    lens = np.zeros((kb,), np.int32)
+                    for r, b in enumerate(batch):
+                        if b[5] is not None:
+                            flat = np.asarray(b[5], np.int32).reshape(-1)[:P]
+                            rows[r, : flat.shape[0]] = flat
+                            lens[r] = flat.shape[0]
+                    src_rows, src_len_rows = jnp.asarray(rows), jnp.asarray(lens)
+                self.state = self._insert(
+                    self.state, jnp.asarray(slots, jnp.int32), ckv,
+                    tuple(jnp.asarray(np.stack([b[2][i] for b in batch]), bool)
+                          for i in range(n_mod)),
+                    jnp.asarray([[float(b[3])] for b in batch], jnp.float32),
+                    keys, src_rows, src_len_rows)
+            except BaseException:
+                # transactional fill: a mid-fill failure (device error, OOM)
+                # must not leak the popped slots or silently drop the batch
+                # — requeue at the FRONT (order preserved) and return the
+                # slots, so failover can resubmit and a retried tick resumes
+                for b in reversed(batch):
+                    self._queue.appendleft(b)
+                for slot in slots:
+                    self._free.append(slot)
+                raise
             for slot, b in zip(slots, batch):
                 self._slot_req[slot] = b[0]
 
@@ -807,6 +854,7 @@ class ContinuousBatcher:
                     self._free.append(slot)
         self._completed += len(out)
         self._tokens_out += sum(o[2] for o in out)
+        self._live_ids.difference_update(o[0] for o in out)
         return out
 
     def _collect_beam(self, just_finished) -> List[Tuple[Any, np.ndarray, int]]:
@@ -822,13 +870,13 @@ class ContinuousBatcher:
         st, K, L = self.state, self.beams, self.gen.max_length
         lp, eos = self.gen.length_penalty, self.cfg.eos_token_id
         idx = jnp.asarray(done_slots)
-        hyp_scores = np.asarray(st.hyp_scores[idx])
-        hyp_tokens = np.asarray(st.hyp_tokens[idx])
-        hyp_lens = np.asarray(st.hyp_lens[idx])
-        beam_scores = np.asarray(st.beam_scores[idx])
-        tokens = np.asarray(st.tokens[idx])
-        cur_len = np.asarray(st.cur_len[idx])
-        was_done = np.asarray(st.done[idx])
+        # one batched transfer: seven separate np.asarray calls would each
+        # pay a dispatch+sync round-trip (expensive on slow links)
+        (hyp_scores, hyp_tokens, hyp_lens, beam_scores, tokens, cur_len,
+         was_done) = jax.device_get(
+            (st.hyp_scores[idx], st.hyp_tokens[idx], st.hyp_lens[idx],
+             st.beam_scores[idx], st.tokens[idx], st.cur_len[idx],
+             st.done[idx]))
         out = []
         for row, slot in enumerate(done_slots):
             scores, toks, lens = hyp_scores[row], hyp_tokens[row], hyp_lens[row]
@@ -866,6 +914,7 @@ class ContinuousBatcher:
         for i, item in enumerate(self._queue):
             if item[0] == request_id:
                 del self._queue[i]
+                self._live_ids.discard(request_id)
                 return True
         for slot, rid in self._slot_req.items():
             if rid == request_id:
@@ -873,6 +922,7 @@ class ContinuousBatcher:
                     active=self.state.active.at[slot].set(False))
                 del self._slot_req[slot]
                 self._free.append(slot)
+                self._live_ids.discard(request_id)
                 return True
         return False
 
@@ -898,12 +948,8 @@ class ContinuousBatcher:
         recompilation. Requests already decoding continue under the NEW
         parameters from their next step (their cache/prefix came from the
         old ones); drain first if that mix is unacceptable."""
-        if self.model.dtype != jnp.float32:
-            params = jax.tree.map(
-                lambda x: x.astype(self.model.dtype)
-                if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
-                else x, params)
-        new = jax.device_put(params, self._device)
+        new = jax.device_put(_cast_params_to(self.model.dtype, params),
+                             self._device)
         old_shapes = jax.tree.map(lambda x: (x.shape, str(x.dtype)), self.params)
         new_shapes = jax.tree.map(lambda x: (x.shape, str(x.dtype)), new)
         if old_shapes != new_shapes:
@@ -990,6 +1036,10 @@ class EnginePool:
             score = len(e._free) - len(e._queue)
             if best_score is None or score > best_score:
                 best, best_score = j, score
+        if any(request_id in e._live_ids for e in self.engines):
+            raise ValueError(
+                f"request id {request_id!r} is already live in the pool "
+                f"(duplicate ids break completion routing and failover)")
         self._rr = (best + 1) % n
         if self._failover:
             self._retained[request_id] = ((modality_hiddens, modality_masks),
@@ -1007,7 +1057,9 @@ class EnginePool:
         for e in self.engines:
             try:
                 dispatched.append((e, e._dispatch()))
-            except Exception as exc:  # noqa: BLE001 — device/runtime failure
+            except RuntimeError as exc:  # device/runtime failure only:
+                # request-induced errors (ValueError/TypeError) are raised at
+                # submit() by validation, and must NOT cost a healthy replica
                 if not self._failover:
                     raise
                 dead.append((e, exc))
@@ -1016,7 +1068,7 @@ class EnginePool:
                 continue
             try:
                 completed = e._collect(jf)
-            except Exception as exc:  # noqa: BLE001
+            except RuntimeError as exc:
                 if not self._failover:
                     raise
                 dead.append((e, exc))
@@ -1039,11 +1091,14 @@ class EnginePool:
         orphans += list(engine._slot_req.values())
         for rid in orphans:
             retained = self._retained.get(rid)
-            if retained is None:  # cannot rebuild the inputs — surface it
+            if retained is None:
+                # unreachable by construction (failover retains at submit,
+                # duplicates are rejected pool-wide) — surface loudly rather
+                # than silently dropping a client's request
                 raise RuntimeError(
-                    f"replica failed with request {rid!r} in flight and no "
-                    f"retained inputs — construct EnginePool(failover=True) "
-                    f"before submitting") from exc
+                    f"internal failover inconsistency: request {rid!r} was "
+                    f"in flight on the failed replica but has no retained "
+                    f"inputs to restart from") from exc
             (hiddens, masks), kwargs = retained
             self.submit(rid, hiddens, masks, **kwargs)
 

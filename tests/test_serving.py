@@ -714,3 +714,72 @@ def test_pool_without_failover_raises(setup):
     pool.engines[0]._step = boom
     with pytest.raises(RuntimeError, match="injected device failure"):
         pool.run()
+
+
+def test_submit_validation_and_fill_transactionality(setup):
+    """Malformed requests fail at submit() (wrong modality count, wrong mask
+    shape, duplicate live id); a mid-fill device failure must not leak slots
+    or drop the batch (requeued, order preserved, retry succeeds)."""
+    from multimodalsum_tpu.core.config import GenerationConfig
+    from multimodalsum_tpu.decode.serving import ContinuousBatcher
+
+    gen = GenerationConfig(num_beams=1, do_sample=False, max_length=10,
+                           min_length=2, length_penalty=1.0,
+                           early_stopping=False)
+    e, s = setup["e"], setup["s"]
+    eng = ContinuousBatcher(setup["model"], setup["params"], gen, n_slots=2,
+                            modality_shapes=[(e, s)])
+    rid, h, m = setup["reqs"][0]
+    with pytest.raises(ValueError, match="modalities"):
+        eng.submit("x", [h, h], [m, m])
+    with pytest.raises(ValueError, match="mask shape"):
+        eng.submit("x", [h], [np.ones((e, s + 1), bool)])
+    eng.submit(rid, [h], [m])
+    with pytest.raises(ValueError, match="already queued"):
+        eng.submit(rid, [h], [m])
+
+    # transactional fill: first _project call dies, queue/slots must survive
+    real_project = eng._project
+    calls = dict(n=0)
+
+    def flaky(params, hiddens):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("injected fill failure")
+        return real_project(params, hiddens)
+
+    eng._project = flaky
+    with pytest.raises(RuntimeError, match="injected fill"):
+        eng.tick()
+    assert len(eng._free) == 2 and len(eng._queue) == 1  # nothing leaked
+    results = eng.run()  # retry drains normally
+    np.testing.assert_array_equal(
+        results[rid], _offline(setup, gen, setup["reqs"][0]))
+
+
+def test_default_sampling_keys_reproducible_across_runs(setup):
+    """Default per-request keys derive from the constructor rng + a
+    submission counter — two engines with the same rng produce identical
+    sampled outputs with NO explicit per-request keys (the old hash(rid)
+    scheme was PYTHONHASHSEED-randomised)."""
+    import jax
+
+    from multimodalsum_tpu.core.config import GenerationConfig
+    from multimodalsum_tpu.decode.serving import ContinuousBatcher
+
+    gen = GenerationConfig(num_beams=1, do_sample=True, top_k=10,
+                           max_length=10, min_length=2, length_penalty=1.0,
+                           early_stopping=False)
+
+    def run_once():
+        eng = ContinuousBatcher(setup["model"], setup["params"], gen,
+                                n_slots=2,
+                                modality_shapes=[(setup["e"], setup["s"])],
+                                rng=jax.random.PRNGKey(42))
+        for rid, h, m in setup["reqs"][:3]:
+            eng.submit(rid, [h], [m])
+        return eng.run()
+
+    a, b = run_once(), run_once()
+    for rid in a:
+        np.testing.assert_array_equal(a[rid], b[rid], err_msg=rid)
