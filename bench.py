@@ -347,12 +347,25 @@ def _require_live_backend(timeout_s: float = 180.0) -> None:
     import threading
 
     ok = threading.Event()
-    threading.Thread(target=lambda: (jax.devices(), ok.set()),
-                     daemon=True).start()
+    failed: list = []
+
+    def _probe():
+        try:
+            jax.devices()
+        except BaseException as e:  # noqa: BLE001 — report raise vs hang
+            failed.append(e)
+        finally:
+            ok.set()
+
+    threading.Thread(target=_probe, daemon=True).start()
     if not ok.wait(timeout_s):
         print(f"# FATAL: JAX backend did not initialise within {timeout_s:.0f}s "
               f"— device tunnel unreachable (jax.devices() still blocked). "
               f"No measurement possible on this host right now.", flush=True)
+        sys.exit(3)
+    if failed:
+        print(f"# FATAL: JAX backend initialisation raised: {failed[0]!r}",
+              flush=True)
         sys.exit(3)
 
 

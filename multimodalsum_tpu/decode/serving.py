@@ -759,8 +759,9 @@ class ContinuousBatcher:
             raise ValueError(
                 f"request id {request_id!r} is already queued or decoding "
                 f"on this engine (duplicate ids break completion routing)")
-        if key is None:
+        if key is None and self.beams == 1:
             # deterministic default: constructor rng + submission counter
+            # (beam serving is deterministic — skip the key dispatch there)
             key = jax.random.fold_in(self._base_rng, self._submitted)
         self._submitted += 1
         self._live_ids.add(request_id)
@@ -786,9 +787,11 @@ class ContinuousBatcher:
                            for i in range(n_mod)]
                 ckv = self._project(self.params, hiddens)  # leaves [kb, ...]
                 self._ensure_cross_kv_slabs(ckv)
-                keys = jnp.stack([b[4] for b in batch])  # set at submit()
-                if self._device is not None:  # stack runs on the default device
-                    keys = jax.device_put(keys, self._device)
+                keys = None
+                if self.beams == 1:  # beam insert has no per-slot PRNG
+                    keys = jnp.stack([b[4] for b in batch])  # set at submit()
+                    if self._device is not None:  # stack runs on the default device
+                        keys = jax.device_put(keys, self._device)
                 src_rows = src_len_rows = None
                 if self.spec_window > 1:
                     P = self.spec_src_max
@@ -1019,6 +1022,17 @@ class EnginePool:
         self._failover = bool(failover)
         self._retained: Dict[Any, Tuple[tuple, dict]] = {}
         self.failed: List[Tuple[Any, str]] = []  # (device, error) log
+        # pool-level default sampling keys: per-replica counters would
+        # collide (same base rng + same counter value on two replicas =
+        # identical draws for different requests), so the pool assigns keys
+        # from ITS rng + a pool-wide counter before routing
+        self._pool_rng = engine_kwargs.get("rng")
+        if self._pool_rng is None:
+            self._pool_rng = jax.random.PRNGKey(0)
+        self._pool_submitted = 0
+        # counters of replicas dropped by failover, so stats() totals stay
+        # monotonic after a drop
+        self._dropped_stats = dict(completed=0, tokens_out=0, ticks=0)
 
     @property
     def n_slots_total(self) -> int:
@@ -1040,12 +1054,20 @@ class EnginePool:
             raise ValueError(
                 f"request id {request_id!r} is already live in the pool "
                 f"(duplicate ids break completion routing and failover)")
+        if kwargs.get("key") is None and self.engines[best].beams == 1:
+            # pool-wide counter: per-replica counters would hand the same
+            # key to different requests on different replicas
+            kwargs["key"] = jax.random.fold_in(self._pool_rng,
+                                               self._pool_submitted)
+        self._pool_submitted += 1
         self._rr = (best + 1) % n
+        # engine.submit validates (shapes, duplicates) and may raise —
+        # retain only ACCEPTED requests, or rejected ones leak host copies
+        self.engines[best].submit(request_id, modality_hiddens,
+                                  modality_masks, **kwargs)
         if self._failover:
             self._retained[request_id] = ((modality_hiddens, modality_masks),
                                           dict(kwargs))
-        self.engines[best].submit(request_id, modality_hiddens,
-                                  modality_masks, **kwargs)
 
     def tick(self) -> List[Tuple[Any, np.ndarray, int]]:
         """Advance every replica one engine step; merged completions. With
@@ -1083,6 +1105,8 @@ class EnginePool:
     def _drop_replica(self, engine, exc) -> None:
         """Remove a failed replica and resubmit everything it owned."""
         self.failed.append((engine._device, repr(exc)))
+        for k in self._dropped_stats:  # keep pool totals monotonic
+            self._dropped_stats[k] += engine.stats()[k]
         self.engines.remove(engine)
         if not self.engines:
             raise RuntimeError(
@@ -1122,15 +1146,19 @@ class EnginePool:
         return out
 
     def stats(self) -> Dict[str, Any]:
-        """Pool totals plus per-replica counter dicts."""
+        """Pool totals plus per-replica counter dicts. Totals include work
+        served by replicas later dropped via failover, so the counters stay
+        monotonic across drops."""
         per = [e.stats() for e in self.engines]
+        d = self._dropped_stats
         return dict(
             replicas=len(per),
             n_slots_total=self.n_slots_total,
             active=sum(s["active"] for s in per),
             queued=sum(s["queued"] for s in per),
-            completed=sum(s["completed"] for s in per),
-            tokens_out=sum(s["tokens_out"] for s in per),
+            completed=sum(s["completed"] for s in per) + d["completed"],
+            tokens_out=sum(s["tokens_out"] for s in per) + d["tokens_out"],
+            ticks=sum(s["ticks"] for s in per) + d["ticks"],
             per_replica=per,
         )
 

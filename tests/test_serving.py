@@ -783,3 +783,64 @@ def test_default_sampling_keys_reproducible_across_runs(setup):
     a, b = run_once(), run_once()
     for rid in a:
         np.testing.assert_array_equal(a[rid], b[rid], err_msg=rid)
+
+
+def test_beam_cancel_partials_and_refill(setup):
+    """Cancel an in-flight BEAM request: the freed slot's next occupant must
+    decode token-identically to offline beams (stale done/hyp state must not
+    survive the refill), and beam partials() exposes the top live beam."""
+    from multimodalsum_tpu.core.config import GenerationConfig
+    from multimodalsum_tpu.decode.serving import ContinuousBatcher
+
+    gen = GenerationConfig(num_beams=3, do_sample=False, max_length=12,
+                           min_length=2, length_penalty=1.0,
+                           early_stopping=True, no_repeat_ngram_size=2)
+    eng = ContinuousBatcher(setup["model"], setup["params"], gen, n_slots=2,
+                            modality_shapes=[(setup["e"], setup["s"])],
+                            cache_mode="ancestry")
+    for rid, h, m in setup["reqs"]:
+        eng.submit(rid, [h], [m])
+    eng.tick()
+    snap = eng.partials()
+    assert set(snap) == {"req0", "req1"}
+    assert all(len(v) >= 1 for v in snap.values())
+    assert eng.cancel("req1")
+    results = eng.run()
+    assert set(results) == {"req0", "req2", "req3", "req4"}
+    for req in setup["reqs"]:
+        if req[0] in results:
+            np.testing.assert_array_equal(results[req[0]],
+                                          _offline_beam(setup, gen, req),
+                                          err_msg=req[0])
+
+
+def test_pool_stats_monotonic_across_failover(setup):
+    """Pool stats() totals must include work served by replicas that were
+    later dropped (monotonic counters for monitoring)."""
+    import jax
+
+    from multimodalsum_tpu.core.config import GenerationConfig
+    from multimodalsum_tpu.decode.serving import EnginePool
+
+    gen = GenerationConfig(num_beams=1, do_sample=False, max_length=10,
+                           min_length=2, length_penalty=1.0,
+                           early_stopping=False)
+    pool = EnginePool(setup["model"], setup["params"], gen, n_slots=1,
+                      modality_shapes=[(setup["e"], setup["s"])],
+                      devices=jax.local_devices()[:2], failover=True)
+    for rid, h, m in setup["reqs"][:2]:
+        pool.submit(rid, [h], [m])
+    pool.run()
+    before = pool.stats()
+    assert before["completed"] == 2
+
+    def boom(*a, **k):
+        raise RuntimeError("injected device failure")
+
+    pool.engines[0]._step = boom
+    for rid, h, m in setup["reqs"][2:4]:
+        pool.submit(rid, [h], [m])
+    pool.run()
+    after = pool.stats()
+    assert after["completed"] == 4  # not reset by the drop
+    assert after["tokens_out"] >= before["tokens_out"]
