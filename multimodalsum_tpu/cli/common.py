@@ -57,7 +57,12 @@ def setup_environment(args) -> None:
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
     if getattr(args, "multihost", False):
-        jax.distributed.initialize()
+        # the repo's rendezvous wrapper (reference torch.distributed.launch
+        # env-var analog, parallel/comm.py) — not jax.distributed directly,
+        # so explicit-coordinator environments share one code path
+        from multimodalsum_tpu.parallel.comm import initialize_multihost
+
+        initialize_multihost()
 
 
 def load_model_config(args):
@@ -79,28 +84,61 @@ def load_tokenizer(args):
     return ByteLevelBPETokenizer.from_dir(args.tokenizer_dir)
 
 
-def mesh_for_batch(batch_size: int):
-    """Data-parallel mesh over as many devices as the batch divides into —
-    a batch smaller than the device count shards over a device subset."""
-    import math
+def _largest_divisor_leq(n: int, cap: int) -> int:
+    """Largest divisor of ``n`` that is <= ``cap`` (the data-axis size must
+    divide the batch, NOT the device count — gcd(devices, batch) leaves
+    devices idle, e.g. batch 6 on 8 devices can use 6 chips, gcd says 2)."""
+    for d in range(min(n, cap), 0, -1):
+        if n % d == 0:
+            return d
+    return 1
 
+
+def mesh_for_batch(batch_size: int):
+    """Data-parallel mesh over as many devices as the (per-host) batch
+    divides into — a batch smaller than the device count shards over a
+    device subset.
+
+    Multi-process runs (``--multihost``): every host contributes
+    ``batch_size`` examples per step, so the mesh spans the same number of
+    devices on EVERY process (process-major order) and the global batch is
+    ``batch_size * process_count``. Feed batches through
+    ``prefetch_to_device`` — it assembles global arrays from each host's
+    local shard."""
     from multimodalsum_tpu.parallel.mesh import make_mesh
 
-    devices = jax.devices()
-    data = math.gcd(len(devices), batch_size) or 1
-    if data < len(devices):
-        print(f"warning: batch_size {batch_size} shards over only {data} of "
-              f"{len(devices)} devices; pick a batch divisible by the device "
-              f"count to use the whole mesh")
-    return make_mesh(data=data, model=1, devices=devices[:data])
+    nproc = jax.process_count()
+    local = jax.local_devices()
+    per_host = _largest_divisor_leq(batch_size, len(local))
+    if per_host < len(local):
+        print(f"warning: per-host batch_size {batch_size} shards over only "
+              f"{per_host} of {len(local)} local devices; pick a batch with "
+              f"a divisor >= the device count to use the whole mesh")
+    if nproc == 1:
+        return make_mesh(data=per_host, model=1, devices=local[:per_host])
+    # global mesh: the first per_host local devices of every process, in
+    # process order, so each host's batch rows land on its own chips
+    devices = []
+    for p in range(nproc):
+        owned = [d for d in jax.devices() if d.process_index == p]
+        devices.extend(owned[:per_host])
+    return make_mesh(data=per_host * nproc, model=1, devices=devices)
 
 
 def make_hooks(args, save):
     """LoopHooks with the console line plus, when ``--metrics_log`` or
     ``--wandb_project`` is set, a JSON-lines/W&B record per logged step
-    (``core/observability.MetricLogger``)."""
+    (``core/observability.MetricLogger``).
+
+    Multi-host: checkpointing, metric files, and W&B runs belong to
+    process 0 only (the reference's world-master gating, rank-0 save in
+    ``train_utils.py:79`` and ``Trainer.is_world_master`` around
+    ``setup_wandb``) — N hosts would otherwise create N W&B runs and race
+    on shared checkpoint/metrics files."""
     from multimodalsum_tpu.train.loop import LoopHooks
 
+    if jax.process_index() != 0:
+        return LoopHooks(save=lambda *a, **k: None)
     if not (getattr(args, "metrics_log", None)
             or getattr(args, "wandb_project", None)):
         return LoopHooks(save=save)
@@ -112,6 +150,12 @@ def make_hooks(args, save):
                       wandb_project=getattr(args, "wandb_project", None),
                       run_name=getattr(args, "run_name", None),
                       config=vars(args))
+    # LoopHooks has no teardown; close the file handle / finish the W&B run
+    # at interpreter exit (repeated main() calls in one process, as the test
+    # suite does, would otherwise accumulate open handles)
+    import atexit
+
+    atexit.register(ml.close)
 
     def log(m):
         console(m)
@@ -136,7 +180,15 @@ def host_data_shard(n_examples: int, batch_size: int):
 
     shard_index, shard_count = host_shard()
     per_host = -(-n_examples // shard_count)  # ceil: shard_order pads
-    return shard_index, shard_count, per_host // batch_size
+    steps = per_host // batch_size
+    if steps == 0:
+        raise SystemExit(
+            f"per-host shard of {per_host} examples (of {n_examples} over "
+            f"{shard_count} hosts) is smaller than batch_size {batch_size}: "
+            f"drop_last training would run ZERO steps per epoch (and still "
+            f"save checkpoints of untouched params) — lower the batch size "
+            f"or host count")
+    return shard_index, shard_count, steps
 
 
 def resume_state(resume_dir: str, state):
@@ -162,7 +214,10 @@ def resume_state(resume_dir: str, state):
 
 def save_args(args, ckpt_dir: str) -> None:
     """Snapshot CLI args beside the checkpoint (reference
-    ``training_args.bin``, ``src/train_utils.py:13-16``)."""
+    ``training_args.bin``, ``src/train_utils.py:13-16``). Process 0 only —
+    N hosts writing one file on shared storage race."""
+    if jax.process_index() != 0:
+        return
     os.makedirs(ckpt_dir, exist_ok=True)
     with open(os.path.join(ckpt_dir, "training_args.json"), "w") as f:
         json.dump(vars(args), f, indent=2, default=str)

@@ -38,9 +38,17 @@ def prefetch_to_device(
     queue: deque = deque()
     divisor = _axis0_divisor(sharding) if sharding is not None else None
 
+    multiproc = jax.process_count() > 1
+
     def put(batch):
         if sharding is not None:
             def _put(x):
+                if multiproc:
+                    # multi-controller world: each host holds only ITS rows;
+                    # assemble the global array from the per-process shards
+                    # (the sharding spans every process's devices —
+                    # cli.common.mesh_for_batch builds it that way)
+                    return jax.make_array_from_process_local_data(sharding, x)
                 # Uneven tail batch (axis 0 not divisible by the mesh data
                 # axis, e.g. drop_last=False validation): transfer unsharded
                 # so the caller's unsharded-eval fallback runs. Checked

@@ -74,4 +74,24 @@ def loss_fn(params, batch):
 loss = jax.jit(loss_fn, in_shardings=(replicated(mesh), bs),
                out_shardings=replicated(mesh))(params, gbatch)
 print(f"MULTIHOST_LOSS {pid} {float(loss):.8f}", flush=True)
+
+# ---- the CLI-path helpers in the same multi-controller world -------------
+# mesh_for_batch must build a global process-major mesh from the PER-HOST
+# batch, and prefetch_to_device must assemble global arrays from each
+# host's local rows — the exact chain every training CLI uses under
+# --multihost. The loss must equal the hand-built global-mesh value above.
+from multimodalsum_tpu.cli.common import host_data_shard, mesh_for_batch  # noqa: E402
+from multimodalsum_tpu.data.prefetch import prefetch_to_device  # noqa: E402
+
+si2, sc2, steps = host_data_shard(B, batch_size=4)
+assert (si2, sc2, steps) == (pid, nproc, 1), (si2, sc2, steps)
+mesh2 = mesh_for_batch(4)
+assert mesh2.devices.size == 4 * nproc, mesh2.devices.shape
+assert [d.process_index for d in mesh2.devices.flat] == sorted(
+    d.process_index for d in mesh2.devices.flat), "mesh not process-major"
+bs2 = batch_sharding(mesh2)
+gbatch2 = next(prefetch_to_device(iter([local]), sharding=bs2))
+loss2 = jax.jit(loss_fn, in_shardings=(replicated(mesh2), bs2),
+                out_shardings=replicated(mesh2))(params, gbatch2)
+print(f"MULTIHOST_CLI_LOSS {pid} {float(loss2):.8f}", flush=True)
 jax.distributed.shutdown()

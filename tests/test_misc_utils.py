@@ -221,3 +221,26 @@ def test_host_prefetch_order_and_errors():
 
     with pytest.raises(RuntimeError, match="producer exploded"):
         list(it)
+
+
+def test_mesh_for_batch_and_host_shard_guards():
+    """mesh_for_batch picks the LARGEST batch divisor that fits the device
+    count (gcd left devices idle: batch 6 on 8 devices can use 6 chips);
+    host_data_shard refuses configs whose per-host shard trains zero steps."""
+    import pytest
+
+    from multimodalsum_tpu.cli.common import (
+        _largest_divisor_leq, host_data_shard, mesh_for_batch,
+    )
+
+    assert _largest_divisor_leq(6, 8) == 6
+    assert _largest_divisor_leq(12, 8) == 6
+    assert _largest_divisor_leq(8, 8) == 8
+    assert _largest_divisor_leq(7, 4) == 1
+    mesh = mesh_for_batch(6)  # conftest forces an 8-CPU-device world
+    assert mesh.devices.size == 6
+
+    si, sc, steps = host_data_shard(10, batch_size=4)
+    assert (si, sc, steps) == (0, 1, 2)
+    with pytest.raises(SystemExit, match="ZERO steps"):
+        host_data_shard(3, batch_size=4)

@@ -44,13 +44,21 @@ def test_two_process_distributed_dp_loss_matches_single():
         outs.append(out)
         assert p.returncode == 0, f"worker failed:\n{out[-2000:]}"
 
-    losses = {}
+    losses, cli_losses = {}, {}
     for out in outs:
         for line in out.splitlines():
             if line.startswith("MULTIHOST_LOSS"):
                 _, pid, val = line.split()
                 losses[int(pid)] = float(val)
+            elif line.startswith("MULTIHOST_CLI_LOSS"):
+                _, pid, val = line.split()
+                cli_losses[int(pid)] = float(val)
     assert set(losses) == {0, 1}, f"missing loss lines: {outs}"
+    # the CLI-path helpers (mesh_for_batch + prefetch_to_device) must agree
+    # with the hand-built global mesh on both controllers
+    assert set(cli_losses) == {0, 1}, f"missing CLI loss lines: {outs}"
+    for pid in (0, 1):
+        np.testing.assert_allclose(cli_losses[pid], losses[pid], rtol=1e-7)
     # the loss is a global array — both controllers must see the same value
     np.testing.assert_allclose(losses[0], losses[1], rtol=1e-7)
 
