@@ -115,7 +115,7 @@ def main(argv=None):
                                      sharding=b_shard),
         lambda: prefetch_to_device(
             multimodal_batches(val_store, tokenizer, args.batch_size, epoch=0,
-                               train=False, shuffle=False, drop_last=False,
+                               train=False, shuffle=False, drop_last=(sc > 1),
                                shard_index=si, shard_count=sc),
             sharding=b_shard),
         num_epochs=args.num_epochs,

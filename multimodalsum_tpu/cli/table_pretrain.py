@@ -121,7 +121,7 @@ def main(argv=None):
             sharding=b_shard),
         lambda: prefetch_to_device(
             table_label_batches(val_store, tokenizer, args.batch_size, epoch=0,
-                                train=False, drop_last=False,
+                                train=False, drop_last=(sc > 1),  # multihost: drop the val tail
                                 shard_index=si, shard_count=sc), sharding=b_shard),
         num_epochs=args.num_epochs,
         rng=jax.random.PRNGKey(args.seed),

@@ -62,7 +62,7 @@ def main(argv=None):
     train_data = TextBatches(train_store, tokenizer, args.batch_size, seed=args.seed,
                              shard_index=si, shard_count=sc)
     val_data = TextBatches(val_store, tokenizer, args.batch_size, shuffle=False,
-                           drop_last=False, shard_index=si, shard_count=sc)
+                           drop_last=(sc > 1), shard_index=si, shard_count=sc)
     tx = make_optimizer(
         params,
         learning_rate=args.learning_rate,

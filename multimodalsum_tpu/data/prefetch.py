@@ -47,16 +47,30 @@ def prefetch_to_device(
                     # multi-controller world: each host holds only ITS rows;
                     # assemble the global array from the per-process shards
                     # (the sharding spans every process's devices —
-                    # cli.common.mesh_for_batch builds it that way)
+                    # cli.common.mesh_for_batch builds it that way). The
+                    # single-host unsharded-tail fallback cannot work here
+                    # (no host can address the global array), so uneven
+                    # tails are a caller error: multihost val loaders drop
+                    # the tail (reference DistributedSampler pads instead)
+                    per_host_axis = (divisor or 1) // jax.process_count()
+                    if (getattr(x, "ndim", 0) >= 1 and per_host_axis
+                            and x.shape[0] % per_host_axis != 0):
+                        raise ValueError(
+                            f"multihost batch leading dim {x.shape[0]} does "
+                            f"not divide the per-host data axis "
+                            f"{per_host_axis}; use drop_last=True (see "
+                            f"cli.common.host_data_shard)")
                     return jax.make_array_from_process_local_data(sharding, x)
                 # Uneven tail batch (axis 0 not divisible by the mesh data
-                # axis, e.g. drop_last=False validation): transfer unsharded
-                # so the caller's unsharded-eval fallback runs. Checked
-                # explicitly — any other ValueError from device_put (dtype /
-                # sharding-spec bugs) must surface, not silently replicate.
+                # axis, e.g. drop_last=False validation): leave it on HOST —
+                # the caller's unsharded-eval fallback re-reads it host-side
+                # anyway, so an eager device_put here would just buy a wasted
+                # D2H+H2D round trip. Checked explicitly — any other
+                # ValueError from device_put (dtype / sharding-spec bugs)
+                # must surface, not silently replicate.
                 if (divisor is not None and getattr(x, "ndim", 0) >= 1
                         and x.shape[0] % divisor != 0):
-                    return jax.device_put(x)
+                    return x
                 return jax.device_put(x, sharding)
             return jax.tree.map(_put, batch)
         return jax.tree.map(jax.device_put, batch)

@@ -11,6 +11,7 @@ rides ICI (replacing apex DDP's delayed all-reduce).
 
 from __future__ import annotations
 
+import math
 import time
 from dataclasses import dataclass
 from typing import Any, Callable, Iterable, Optional
@@ -53,6 +54,11 @@ def make_train_step(loss_fn: Callable, tx: optax.GradientTransformation,
         if grad_accum <= 1:
             loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, step_rng)
         else:
+            lead = jax.tree.leaves(batch)[0].shape[0]
+            if lead % grad_accum:
+                raise ValueError(
+                    f"batch leading dim {lead} is not divisible by "
+                    f"grad_accum {grad_accum}")
             micro = jax.tree.map(
                 lambda x: x.reshape((grad_accum, x.shape[0] // grad_accum) + x.shape[1:]),
                 batch,
@@ -191,9 +197,14 @@ def train_model(
     )
     jit_eval = jax.jit(eval_step, in_shardings=(r_shard, b_shard), out_shardings=r_shard)
     # tail val batches (drop_last=False) may not divide the data axis; they
-    # run unsharded instead of being dropped or padded
+    # run unsharded instead of being dropped or padded (single-host only —
+    # multihost CLIs drop the val tail, see cli/common.host_data_shard)
     jit_eval_unsharded = jax.jit(eval_step)
-    data_size = mesh.shape[next(iter(mesh.axis_names))]
+    from multimodalsum_tpu.parallel.mesh import DATA_AXIS
+
+    # the axis batch_sharding shards over, NOT the mesh's first axis (a
+    # ('model', 'data')-ordered mesh would silently misroute tail batches)
+    data_size = mesh.shape[DATA_AXIS]
 
     start = time.time()
     val_losses = []
@@ -208,7 +219,8 @@ def train_model(
                 state, loss = jit_train(state, batch, rng)
             global_step += 1
             if i % max(log_interval, 1) == 0:
-                elapsed = time.strftime("%H:%M:%S", time.gmtime(time.time() - start))
+                dt = int(time.time() - start)
+                elapsed = f"{dt // 3600}:{dt // 60 % 60:02d}:{dt % 60:02d}"
                 hooks.log(dict(epoch=epoch + 1, step=i + 1,
                                global_step=global_step,
                                steps_per_epoch=steps_per_epoch or "?",
@@ -226,7 +238,9 @@ def train_model(
                 host_batch = jax.device_get(batch)
                 total += float(jit_eval_unsharded(state, host_batch)) * n
             count += n
-        val_loss = total / max(count, 1)
+        # count == 0 (empty val iterator) must NOT record 0.0: it would
+        # become the unbeatable "best" and disable every later save
+        val_loss = total / count if count else float("inf")
         if count == 0:
             print(f"epoch {epoch + 1}: no validation batches (val set smaller "
                   f"than the batch size?)")
@@ -234,7 +248,13 @@ def train_model(
             print(f"epoch {epoch + 1} valid loss {val_loss:.6f}")
 
         val_losses.append(val_loss)
-        should_save = (not early_stopping) or (val_loss <= min(val_losses))
+        # best-val gating over FINITE losses only: a NaN epoch (diverged
+        # early, recovered later) would otherwise poison min() for the whole
+        # run (nan comparisons are always False) and no checkpoint would
+        # ever be written again
+        finite = [v for v in val_losses if math.isfinite(v)]
+        should_save = (not early_stopping) or (
+            math.isfinite(val_loss) and val_loss <= min(finite))
         if should_save and hooks.save is not None:
             hooks.save(state, epoch, val_loss)
 
