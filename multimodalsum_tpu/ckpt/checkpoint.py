@@ -31,10 +31,28 @@ EXPORT_SUBTREES = {
     "table": ("table_encoder",),
 }
 
+_CKPTR = None
+
+
+def _checkpointer() -> "ocp.StandardCheckpointer":
+    """One shared StandardCheckpointer — each instance owns an async
+    background executor, so constructing a fresh one per save/restore call
+    churns threads over a multi-epoch run."""
+    global _CKPTR
+    if _CKPTR is None:
+        _CKPTR = ocp.StandardCheckpointer()
+    return _CKPTR
+
 
 def _subtree(params, option: str):
     path = EXPORT_SUBTREES[option]
     if path is None:
+        return params
+    if option == "text" and isinstance(params, dict) and "bart" not in params:
+        # stage 1 trains BartModel DIRECTLY (params: shared/encoder/decoder/
+        # final_logits_bias — no 'bart' wrapper); its whole model IS the
+        # text export. Stages 2/3 hold a MultimodalSum tree with a 'bart'
+        # subtree, which is what the next stage consumes.
         return params
     node = params
     for k in path:
@@ -53,7 +71,14 @@ def save_checkpoint(
 ) -> None:
     directory = os.path.abspath(directory)
     os.makedirs(directory, exist_ok=True)
-    ckptr = ocp.StandardCheckpointer()
+    meta_path = os.path.join(directory, "meta.json")
+    # invalidate the completeness marker BEFORE touching the state tree: a
+    # kill between orbax's rmtree of the old state/ and the meta rewrite
+    # must not leave a stale meta.json beside a deleted/partial tree (the
+    # resume machinery treats meta presence as "checkpoint is complete")
+    if os.path.exists(meta_path):
+        os.remove(meta_path)
+    ckptr = _checkpointer()
     state = jax.device_get(state)
     ckptr.save(os.path.join(directory, "state"), state, force=True)
     ckptr.save(
@@ -63,26 +88,38 @@ def save_checkpoint(
     # include BN buffers; load_state_dict transfers them — reference
     # multimodal_train.py:121-122)
     stats = getattr(state, "batch_stats", None)
+    stats_sub = None
     if stats is not None:
         try:
             stats_sub = _subtree(stats, save_option)
         except (KeyError, TypeError):
             stats_sub = None
-        if stats_sub:
-            ckptr.save(os.path.join(directory, "export_stats"), stats_sub, force=True)
+    stats_path = os.path.join(directory, "export_stats")
+    if stats_sub:
+        ckptr.save(stats_path, stats_sub, force=True)
+    elif os.path.isdir(stats_path):
+        # a previous save's stats must not pair with this save's export
+        import shutil
+
+        shutil.rmtree(stats_path, ignore_errors=True)
     ckptr.wait_until_finished()
     meta = dict(save_option=save_option, epoch=epoch, val_loss=val_loss,
                 step=int(state.step), **(extra_meta or {}))
-    with open(os.path.join(directory, "meta.json"), "w") as f:
+    # atomic: a kill mid-dump must leave either no meta (incomplete, resume
+    # falls back) or the full one — a truncated meta silently reset the
+    # resume epoch to 0 and re-trained past the LR horizon
+    tmp = meta_path + ".tmp"
+    with open(tmp, "w") as f:
         json.dump(meta, f, indent=2)
+    os.replace(tmp, meta_path)
 
 
 def restore_checkpoint(directory: str, template: Any) -> Any:
     """Full-state resume: ``template`` is a TrainState with the right structure
     (e.g. freshly created); returns the restored state."""
-    ckptr = ocp.StandardCheckpointer()
-    return ckptr.restore(os.path.join(os.path.abspath(directory), "state"),
-                         jax.device_get(template))
+    return _checkpointer().restore(
+        os.path.join(os.path.abspath(directory), "state"),
+        jax.device_get(template))
 
 
 def _merge(template, restored, path="", stats=None):
@@ -106,10 +143,12 @@ def _merge(template, restored, path="", stats=None):
         if stats is not None:
             stats["kept"] = stats.get("kept", 0) + 1
         return template
-    assert getattr(restored, "shape", None) == getattr(template, "shape", None), (
-        f"shape mismatch at {path}: {getattr(restored, 'shape', None)} vs "
-        f"{getattr(template, 'shape', None)}"
-    )
+    if getattr(restored, "shape", None) != getattr(template, "shape", None):
+        # ValueError, not assert: python -O must not silently merge
+        # wrong-shaped arrays (surfaces later as an opaque jit shape error)
+        raise ValueError(
+            f"shape mismatch at {path}: {getattr(restored, 'shape', None)} vs "
+            f"{getattr(template, 'shape', None)}")
     if stats is not None:
         stats["restored"] = stats.get("restored", 0) + 1
     return restored
@@ -124,8 +163,8 @@ def load_export(directory: str, template: Any) -> Any:
     checkpoint directory / save_option (e.g. a whole-model export passed
     where a bart submodule is expected), and silently training from random
     init would waste the run."""
-    ckptr = ocp.StandardCheckpointer()
-    restored = ckptr.restore(os.path.join(os.path.abspath(directory), "export"))
+    restored = _checkpointer().restore(
+        os.path.join(os.path.abspath(directory), "export"))
     stats: dict = {}
     out = _merge(jax.device_get(template), restored, stats=stats)
     if not stats.get("restored"):
@@ -144,8 +183,7 @@ def load_export_stats(directory: str, template: Any) -> Any:
     path = os.path.join(os.path.abspath(directory), "export_stats")
     if not os.path.isdir(path):
         return template
-    ckptr = ocp.StandardCheckpointer()
-    return _merge(jax.device_get(template), ckptr.restore(path))
+    return _merge(jax.device_get(template), _checkpointer().restore(path))
 
 
 def load_state_raw(directory: str):
@@ -153,8 +191,30 @@ def load_state_raw(directory: str):
     robust to optimizer-structure differences when only params/batch_stats
     are needed (e.g. evaluation of a checkpoint trained with different
     optimizer options)."""
-    ckptr = ocp.StandardCheckpointer()
-    return ckptr.restore(os.path.join(os.path.abspath(directory), "state"))
+    return _checkpointer().restore(
+        os.path.join(os.path.abspath(directory), "state"))
+
+
+def load_eval_params(directory: str, params, batch_stats=None):
+    """Load a full training checkpoint's params (and optionally BatchNorm
+    stats) onto fresh templates for evaluation/serving — the guarded public
+    form of the raw-restore + merge the eval CLIs need (robust to optimizer
+    structure differences). Raises when the checkpoint restores ZERO param
+    leaves (wrong checkpoint for this model — silently serving random-init
+    weights is the failure mode this guard exists for)."""
+    raw = load_state_raw(directory)
+    stats: dict = {}
+    params = _merge(jax.device_get(params), raw.get("params"), stats=stats)
+    if not stats.get("restored"):
+        raise ValueError(
+            f"checkpoint at {directory!r} restored ZERO parameter leaves "
+            f"onto this model — wrong checkpoint (e.g. a bart-only stage-1 "
+            f"state passed as a multimodal one)?")
+    if batch_stats is not None:
+        batch_stats = _merge(jax.device_get(batch_stats),
+                             raw.get("batch_stats"))
+        return params, batch_stats
+    return params
 
 
 def read_meta(directory: str) -> dict:

@@ -108,11 +108,10 @@ def main(argv=None):
                            method=MultimodalSum.init_all)
     params, batch_stats = variables["params"], variables["batch_stats"]
     if args.multimodal_trained:
-        from multimodalsum_tpu.ckpt.checkpoint import _merge, load_state_raw
+        from multimodalsum_tpu.ckpt.checkpoint import load_eval_params
 
-        raw = load_state_raw(args.multimodal_trained)
-        params = _merge(jax.device_get(params), raw.get("params"))
-        batch_stats = _merge(jax.device_get(batch_stats), raw.get("batch_stats"))
+        params, batch_stats = load_eval_params(
+            args.multimodal_trained, params, batch_stats)
 
     dataset = EvalDataset(args.data_root, args.dataset, args.mode)
     field = dataset.field_tokens(tokenizer)
@@ -163,7 +162,8 @@ def main(argv=None):
         devices = jax.local_devices()
         if args.pool_devices > 0:
             devices = devices[: args.pool_devices]
-        engine_kwargs.pop("rng")  # each replica derives its own slot keys
+        # rng stays in kwargs: the pool derives per-request default keys
+        # from it (pool-wide counter, so keys never collide across replicas)
         eng = EnginePool(bart, params["bart"], gen, n_slots=args.n_slots,
                          modality_shapes=shapes, devices=devices,
                          **engine_kwargs)

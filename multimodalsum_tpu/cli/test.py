@@ -82,11 +82,10 @@ def main(argv=None):
         # raw restore + merge: evaluation must not depend on how the
         # checkpoint's optimizer was configured (opt_state structure varies
         # with e.g. --max_grad_norm)
-        from multimodalsum_tpu.ckpt.checkpoint import _merge, load_state_raw
+        from multimodalsum_tpu.ckpt.checkpoint import load_eval_params
 
-        raw = load_state_raw(args.multimodal_trained)
-        params = _merge(jax.device_get(params), raw.get("params"))
-        batch_stats = _merge(jax.device_get(batch_stats), raw.get("batch_stats"))
+        params, batch_stats = load_eval_params(
+            args.multimodal_trained, params, batch_stats)
 
     gen = GenerationConfig(
         num_beams=args.num_beams, length_penalty=args.length_penalty,
