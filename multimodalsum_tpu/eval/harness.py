@@ -12,13 +12,13 @@ TPU runs the full beam search without host round-trips.
 from __future__ import annotations
 
 import time
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from multimodalsum_tpu.core.config import BartConfig, GenerationConfig
+from multimodalsum_tpu.core.config import GenerationConfig
 from multimodalsum_tpu.data.multimodal_data import EvalDataset
 from multimodalsum_tpu.data.tables import stack_features
 from multimodalsum_tpu.decode.engine import generate
@@ -62,8 +62,13 @@ def generate_summaries(
         # the same chunking; keeps large serving batches compiling). Under a
         # mesh the batch axis is already sharded (per-device count is small)
         # and reshaping a sharded axis would fight the partitioner.
-        img_chunks = 1 if mesh is not None else max(1, b // 16)
-        if img_chunks > 1 and b % img_chunks == 0:
+        # smallest chunk count DIVIDING b with <= 16 images' batch rows per
+        # chunk (a non-divisor fallback would silently run the full-batch
+        # ResNet and reintroduce the memory spike for e.g. b = 50)
+        img_chunks = 1
+        if mesh is None and b > 16:
+            img_chunks = next(c for c in range(-(-b // 16), b + 1) if b % c == 0)
+        if img_chunks > 1:
             imgs = img.reshape(img_chunks, b // img_chunks, *img.shape[1:])
             imasks = img_mask.reshape(img_chunks, b // img_chunks, img_mask.shape[1])
             img_h, img_m = jax.lax.map(
@@ -79,6 +84,8 @@ def generate_summaries(
                        [reviews_mask.astype(bool), table_m, img_m],
                        rating, gen, kv_quant=kv_quant,
                        self_kv_quant=self_kv_quant, cache_mode=cache_mode)
+        if res.lengths.ndim == 1:  # greedy (num_beams == 1): [B, L] / [B]
+            return res.sequences, res.lengths
         return res.sequences[:, 0], res.lengths[:, 0]
 
     if mesh is not None:
@@ -87,10 +94,10 @@ def generate_summaries(
         # sharded run is token-identical). The reference serves one process
         # per GPU instead; one mesh-wide jit amortises compile + weights.
         from multimodalsum_tpu.parallel.mesh import (
-            MODEL_AXIS, batch_sharding, dp_shardings,
+            DATA_AXIS, MODEL_AXIS, batch_sharding, dp_shardings,
         )
 
-        n_data = mesh.shape["data"]
+        n_data = mesh.shape[DATA_AXIS]
         if batch_size % n_data:
             raise ValueError(
                 f"batch_size ({batch_size}) must be divisible by the mesh "
@@ -102,9 +109,15 @@ def generate_summaries(
             from multimodalsum_tpu.parallel.sharding import param_shardings
 
             in_sh[0] = param_shardings(params, mesh)
+        # pre-place weights to match in_shardings ONCE — otherwise jit
+        # reshards the full multi-GB tree on EVERY batch call
+        params = jax.device_put(params, in_sh[0])
+        batch_stats = jax.device_put(batch_stats, in_sh[1])
+        b_sh = batch_sharding(mesh)
         pipeline = jax.jit(pipeline, in_shardings=tuple(in_sh),
-                           out_shardings=batch_sharding(mesh))
+                           out_shardings=b_sh)
     else:
+        b_sh = None
         pipeline = jax.jit(pipeline)
 
     outputs: List[str] = []
@@ -129,11 +142,13 @@ def generate_summaries(
                 np.stack([r["img_mask"] for r in rows]),
             )
 
-    # overlap host assembly + H2D transfer with device compute: device_put is
-    # async, so queuing the next batch while the current one decodes is the
-    # TPU-native double buffering (replaces the reference's CUDA-stream
+    # overlap host assembly AND H2D transfer with device compute: batches
+    # build in a background thread (host_prefetch — PIL decode of b*10
+    # images + tokenization would otherwise run while the device idles) and
+    # device_put queues the next transfer during decode — the TPU-native
+    # double buffering (replaces the reference's CUDA-stream
     # data_prefetcher, src/multimodal_train.py:196-343)
-    from multimodalsum_tpu.data.prefetch import prefetch_to_device
+    from multimodalsum_tpu.data.prefetch import host_prefetch, prefetch_to_device
 
     reals = []
 
@@ -142,14 +157,8 @@ def generate_summaries(
             reals.append(real)
             yield arrs
 
-    if mesh is not None:
-        from multimodalsum_tpu.parallel.mesh import batch_sharding as _bs
-
-        b_sh = _bs(mesh)
-    else:
-        b_sh = None
     for bi, dev_args in enumerate(
-        prefetch_to_device(arrays_only(), size=2, sharding=b_sh)
+        prefetch_to_device(host_prefetch(arrays_only()), size=2, sharding=b_sh)
     ):
         t0 = time.time()
         seqs, lengths = pipeline(params, batch_stats, *dev_args)
@@ -173,11 +182,12 @@ def evaluate(
     self_kv_quant: str | None = None,
     cache_mode: str | None = None,
     mesh=None,
+    log=print,
 ) -> tuple[Dict[str, float], List[str]]:
     """Generate + score (reference ``src/test.py:218-236``); returns
     (metrics, generated summaries)."""
     preds = generate_summaries(model, params, batch_stats, dataset, tokenizer,
-                               gen, batch_size, kv_quant=kv_quant,
+                               gen, batch_size, log=log, kv_quant=kv_quant,
                                self_kv_quant=self_kv_quant,
                                cache_mode=cache_mode, mesh=mesh)
     return aggregate_multi_reference(preds, dataset.summaries, with_bert=with_bert), preds

@@ -134,3 +134,11 @@ def test_harness_data_parallel_eval(amazon_root):
     with _pytest.raises(ValueError, match="divisible"):
         generate_summaries(model, params, batch_stats, ds, tok, gen,
                            batch_size=3, log=lambda *a: None, mesh=mesh)
+
+    # greedy eval (num_beams == 1): GreedyResult has 1-D lengths — the
+    # harness must handle both result shapes (regression: trace-time
+    # IndexError on res.lengths[:, 0])
+    gen1 = gen.replace(num_beams=1, early_stopping=False)
+    greedy = generate_summaries(model, params, batch_stats, ds, tok, gen1,
+                                batch_size=8, log=lambda *a: None)
+    assert len(greedy) == len(ds) and all(isinstance(s, str) for s in greedy)
