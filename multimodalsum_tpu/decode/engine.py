@@ -55,7 +55,13 @@ def generate(
         cross-attention K/V; scale-folded attention reads the int values
         directly (ops/attention.entity_cross_attention_quantized).
       self_kv_quant: "int8" quantizes the decoder self-attention cache
-        (per-position scales, folded into logits/probs).
+        (per-position scales, folded into logits/probs). ``kv_quant`` also
+        accepts "int8_kernel" (the fused Pallas decode kernel — opt-in
+        research surface, slower than XLA on v5e, SCALING.md).
+      rng: PRNG key for sampling paths; ``None`` means a FIXED
+        ``PRNGKey(0)`` — repeated ``do_sample`` calls then draw identical
+        noise (per-step variation comes only from ``fold_in(step)``), so
+        thread a fresh key per call for independent samples.
 
     Returns:
       :class:`BeamResult` or :class:`GreedyResult` (sequences include the
@@ -64,10 +70,19 @@ def generate(
     cfg: BartConfig = model.config
     K = gen.num_beams
 
+    if K < 1:
+        raise ValueError(f"num_beams must be >= 1, got {K} (the reference "
+                         f"generate() asserts strictly positive beams)")
     if gen.max_length > cfg.max_position_embeddings:
         raise ValueError(
             f"max_length ({gen.max_length}) exceeds max_position_embeddings "
             f"({cfg.max_position_embeddings})")
+    if gen.min_length >= gen.max_length:
+        # forced EOS at max_length-1 plus the min-length EOS ban would leave
+        # the whole scores row -inf: garbage tokens, silently
+        raise ValueError(
+            f"min_length ({gen.min_length}) must be < max_length "
+            f"({gen.max_length})")
 
     if not gen.do_sample and gen.num_return_sequences > 1:
         if K == 1:
@@ -80,19 +95,20 @@ def generate(
                 f"num_return_sequences ({gen.num_return_sequences}) cannot "
                 f"exceed num_beams ({K}) for greedy beam search")
 
+    sample_mult = 1
     if gen.do_sample and gen.num_return_sequences > 1:
         # sampling draws num_return_sequences INDEPENDENT samples per input
-        # via an expanded effective batch (reference generation setup
-        # :1684-1689); rows of the result are [input0 x R, input1 x R, ...]
-        R = gen.num_return_sequences
-        modality_hiddens = [jnp.repeat(h, R, axis=0) for h in modality_hiddens]
-        modality_masks = [None if m is None else jnp.repeat(m, R, axis=0)
-                          for m in modality_masks]
-        if rating_diff is not None:
-            rating_diff = jnp.repeat(rating_diff, R, axis=0)
+        # (the reference expands the effective batch, :1684-1689); result
+        # rows are [input0 x R, input1 x R, ...]. The encoder states stay
+        # UNEXPANDED: the cross-attention fold maps an input's R (x K) query
+        # rows onto its single K/V copy (EntityCrossAttention), so the
+        # dominant per-step HBM read is NOT multiplied by R — only
+        # rating_diff expands (it rides the token embedding).
+        sample_mult = gen.num_return_sequences
         gen = gen.replace(num_return_sequences=1)
 
     batch = modality_hiddens[0].shape[0]
+    eff_batch = batch * sample_mult
 
     if model.dtype != jnp.float32:
         # cast float params to the compute dtype once, outside the decode
@@ -123,7 +139,7 @@ def generate(
             "(supported: 'int8', 'int4', 'int8_kernel')")
     masks = [None if m is None else m.astype(bool) for m in modality_masks]
 
-    rows = batch * K if K > 1 else batch
+    rows = eff_batch * K if K > 1 else eff_batch
     cache = init_self_attn_cache(cfg, rows, gen.max_length, dtype=model.dtype,
                                  quant=self_kv_quant)
     rating_rows = None
@@ -177,9 +193,9 @@ def generate(
         bad_lengths=bad_lengths,
     )
     if K > 1:
-        return beam_search(step_fn, cache, batch, rng=rng,
+        return beam_search(step_fn, cache, eff_batch, rng=rng,
                            reorder_cache_fn=reorder_cache_fn, **common)
-    return greedy_search(step_fn, cache, batch, rng=rng, **common)
+    return greedy_search(step_fn, cache, eff_batch, rng=rng, **common)
 
 
 def generate_from_input_ids(
@@ -194,6 +210,11 @@ def generate_from_input_ids(
     ``BartForConditionalGeneration.generate`` path, stage-0 model): encode
     ``input_ids`` then beam/greedy decode — the encoder output becomes a
     single-entity modality bundle."""
+    if model.multimodal:
+        raise ValueError(
+            "generate_from_input_ids decodes a UNIMODAL (stage-0) BartModel; "
+            "a multimodal decoder needs three modality bundles — use "
+            "generate() with encoder outputs instead")
     hiddens = model.apply({"params": params}, input_ids, attention_mask,
                           method=BartModel.encode)
     b, s = input_ids.shape
