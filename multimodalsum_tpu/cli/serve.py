@@ -80,6 +80,10 @@ def main(argv=None):
                         "engine replica (n_slots each) per device; -1 = all "
                         "local devices. 1 = single engine on the default "
                         "device")
+    p.add_argument("--failover", action="store_true",
+                   help="pool serving: retain request inputs on host and "
+                        "restart a failed replica's requests on the "
+                        "survivors (costs host RAM per live request)")
     p.add_argument("--fill_chunk_max", type=int, default=1,
                    help="max requests per slot-fill dispatch (power-of-two "
                         "chunked). Default 1: per-request fills measured "
@@ -166,7 +170,7 @@ def main(argv=None):
         # from it (pool-wide counter, so keys never collide across replicas)
         eng = EnginePool(bart, params["bart"], gen, n_slots=args.n_slots,
                          modality_shapes=shapes, devices=devices,
-                         **engine_kwargs)
+                         failover=args.failover, **engine_kwargs)
         print(f"# serving pool: {len(devices)} replicas x {args.n_slots} "
               f"slots", flush=True)
 

@@ -60,7 +60,8 @@ def main(argv=None):
 
     si, sc, steps_per_epoch = host_data_shard(len(train_store), args.batch_size)
     train_data = TextBatches(train_store, tokenizer, args.batch_size, seed=args.seed,
-                             shard_index=si, shard_count=sc)
+                             shard_index=si, shard_count=sc,
+                             workers=args.workers)
     val_data = TextBatches(val_store, tokenizer, args.batch_size, shuffle=False,
                            drop_last=(sc > 1), shard_index=si, shard_count=sc)
     tx = make_optimizer(

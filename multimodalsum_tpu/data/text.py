@@ -49,14 +49,16 @@ def shard_order(order, shard_index: int, shard_count: int):
     ``DistributedSampler.__iter__``). Unequal shards would make hosts run
     different numbers of jitted steps per epoch and hang inside the
     collectives of a multi-host run."""
-    import numpy as _np
-
-    if shard_count <= 1:
+    if shard_count <= 1 or len(order) == 0:
         return order
     per_shard = -(-len(order) // shard_count)  # ceil
     total = per_shard * shard_count
     if total > len(order):
-        order = _np.concatenate([order, order[: total - len(order)]])
+        # cyclic repeat (np.resize), NOT a single concatenate: with fewer
+        # groups than hosts the pad exceeds len(order) and a one-shot
+        # concat under-fills — some shards would run fewer steps and hang
+        # the collectives (DistributedSampler repeats the same way)
+        order = np.resize(order, total)
     return order[shard_index::shard_count]
 
 
@@ -145,6 +147,14 @@ class TextBatches:
         # num_workers=4, src/train_utils.py:45); 0 = inline
         self.workers = workers
         self._pool = None
+        if workers > 0:
+            # fork EAGERLY, before training dispatch spins up more runtime
+            # threads (fork in a heavily multithreaded process risks
+            # inheriting held locks). Workers receive TEXTS over the pipe,
+            # never dataframe indices, so the parent's per-epoch resampling
+            # is always visible (a fork snapshot of the store would pin
+            # epoch-0's samples forever).
+            self._get_pool()
 
     def _tokenize_group(self, i: int):
         _, texts, rates = self.store.group(int(i))
@@ -178,7 +188,12 @@ class TextBatches:
         for start in range(0, limit, b):
             idxs = [int(i) for i in order[start:start + b]]
             if self.workers > 0:
-                rows = self._get_pool().map(_pool_tokenize, idxs)
+                # the PARENT reads the (freshly resampled) store; only the
+                # texts cross the pipe — see __init__
+                groups = [self.store.group(int(i)) for i in idxs]
+                toks = self._get_pool().map(_pool_tokenize,
+                                            [g[1] for g in groups])
+                rows = [(ids, m, g[2]) for (ids, m), g in zip(toks, groups)]
             else:
                 rows = [self._tokenize_group(i) for i in idxs]
             yield dict(
@@ -188,14 +203,22 @@ class TextBatches:
             )
 
     def close(self):
+        global _ACTIVE_BATCHES
         if self._pool is not None:
-            self._pool.terminate()
+            self._pool.close()  # graceful: lets in-flight maps finish
+            self._pool.join()
             self._pool = None
+        if _ACTIVE_BATCHES is self:
+            # drop the module-global pin or the store's dataframes can never
+            # be garbage-collected after this iterator is discarded
+            _ACTIVE_BATCHES = None
 
 
 #: the TextBatches instance the forked tokenisation workers operate on
+#: (workers inherit its tokenizer/max_length at fork; texts come per call)
 _ACTIVE_BATCHES: Optional["TextBatches"] = None
 
 
-def _pool_tokenize(i: int):
-    return _ACTIVE_BATCHES._tokenize_group(i)
+def _pool_tokenize(texts):
+    self = _ACTIVE_BATCHES
+    return tokenize_reviews(self.tokenizer, texts, self.max_length)

@@ -132,3 +132,51 @@ def test_host_data_shard_steps_per_epoch():
     finally:
         comm.host_shard = orig
     assert (si, sc) == (2, 4) and steps == 6  # ceil(100/4)=25 -> 25//4
+
+
+def test_shard_order_wraps_when_fewer_items_than_shards():
+    """Fewer groups than hosts: every shard must still receive exactly
+    ceil(n / shard_count) indices (cyclic repeat, DistributedSampler
+    semantics) — an under-filled shard runs fewer jitted steps and hangs
+    the collectives."""
+    from multimodalsum_tpu.data.text import shard_order
+
+    order = np.arange(3)
+    shards = [shard_order(order, i, 8) for i in range(8)]
+    assert all(len(s) == 1 for s in shards)
+    got = sorted(int(s[0]) for s in shards)
+    assert got == [0, 0, 0, 1, 1, 1, 2, 2]  # cyclic pad of [0,1,2] to 8
+
+
+def test_worker_tokenization_matches_inline_across_epochs():
+    """workers > 0 must produce byte-identical batches to inline
+    tokenisation INCLUDING epochs after a resample — the workers receive
+    texts over the pipe, so the parent's set_epoch() is always visible (a
+    fork snapshot of the store would pin epoch-0's samples forever)."""
+    from multimodalsum_tpu.data.text import TextBatches
+
+    tok = _StubTokenizer()
+
+    def run(workers):
+        np.random.seed(11)  # set_epoch's pandas sample uses global np.random
+        store = _store(6)
+        tb = TextBatches(store, tok, batch_size=2, max_length=12, seed=5,
+                         workers=workers)
+        out = []
+        for ep in range(2):
+            np.random.seed(100 + ep)
+            out.append([{k: v.copy() for k, v in b.items()}
+                        for b in tb.epoch(ep)])
+        tb.close()
+        return out
+
+    inline, pooled = run(0), run(2)
+    assert len(inline) == len(pooled) == 2
+    for ep in range(2):
+        assert len(inline[ep]) == len(pooled[ep]) > 0
+        for bi, bp in zip(inline[ep], pooled[ep]):
+            for k in bi:
+                np.testing.assert_array_equal(bi[k], bp[k], err_msg=f"ep{ep} {k}")
+    # and the two epochs genuinely differ (resample happened)
+    assert any(not np.array_equal(a["reviews"], b["reviews"])
+               for a, b in zip(inline[0], inline[1]))
