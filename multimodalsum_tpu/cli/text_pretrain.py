@@ -31,6 +31,9 @@ def main(argv=None):
     p = base_parser("MultimodalSum-TPU stage 1: text pretraining")
     p.add_argument("--bart_init", type=str, default=None,
                    help="checkpoint dir from stage 0 (orbax export)")
+    p.add_argument("--workers", type=int, default=0,
+                   help="tokenisation worker processes for the train stream "
+                        "(the reference DataLoader num_workers; 0 = inline)")
     p.add_argument("--torch_init", type=str, default=None,
                    help="pytorch_model.bin to convert (e.g. facebook/bart-large dump)")
     p.add_argument("--resume", type=str, default=None,
