@@ -34,21 +34,23 @@ def img_label_batches(store, tokenizer, batch_size, *, epoch, train, seed=0,
                       block=130, drop_last=True, shard_index=0, shard_count=1):
     """(img, img_mask, labels) batches: one sampled review per group as the
     reconstruction target (reference ``ImgDataset``, ``src/img_pretrain.py:22-83``).
-    Label: the group's first sampled review (the img dataset keeps one
-    review per row; here a 1-review sample of the same distribution)."""
+    Labels: each of the group's 9 sampled reviews is its own dataset item
+    (reference ImgDataset keeps one review per row, src/img_pretrain.py:60-66
+    — 9 rows per group per epoch)."""
     from multimodalsum_tpu.data.multimodal_data import example_batches
 
     def project(rows):
         return dict(
             img=np.stack([r["img"] for r in rows]),
             img_mask=np.stack([r["img_mask"] for r in rows]),
-            labels=np.stack([r["reviews"][0] for r in rows]),
+            labels=np.stack([r["reviews"][r["label_idx"]] for r in rows]),
         )
 
     yield from example_batches(
         store, tokenizer, batch_size, project=project, epoch=epoch,
         max_length=block, shuffle=train, drop_last=drop_last, seed=seed,
         shard_index=shard_index, shard_count=shard_count,
+        labels_per_group=9,
         example_kwargs=dict(train=train),
     )
 
@@ -94,11 +96,16 @@ def main(argv=None):
         params["img_encoder"] = _merge(params["img_encoder"], rp)
         batch_stats["img_encoder"] = _merge(batch_stats["img_encoder"], rs)
 
-    store = MultimodalStore(args.data_root, args.dataset, "train")
-    val_store = MultimodalStore(args.data_root, args.dataset, "val")
+    # only groups WITH photos train the image encoder (reference
+    # ImgDataset filters by photo_business_dict, src/img_pretrain.py:44)
+    store = MultimodalStore(args.data_root, args.dataset, "train",
+                            require_photos=True)
+    val_store = MultimodalStore(args.data_root, args.dataset, "val",
+                                require_photos=True)
     from multimodalsum_tpu.cli.common import host_data_shard
 
-    si, sc, steps_per_epoch = host_data_shard(len(store), args.batch_size)
+    # 9 dataset items per group (one per sampled review, like the reference)
+    si, sc, steps_per_epoch = host_data_shard(len(store) * 9, args.batch_size)
     tx = make_optimizer(
         params, learning_rate=args.learning_rate,
         total_steps=steps_per_epoch * args.num_epochs,

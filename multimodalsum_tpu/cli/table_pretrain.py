@@ -39,13 +39,14 @@ def table_label_batches(store, tokenizer, batch_size, *, epoch, train, seed=0,
     def project(rows):
         return dict(
             field_values=stack_features([r["field_values"] for r in rows]),
-            labels=np.stack([r["reviews"][0] for r in rows]),
+            labels=np.stack([r["reviews"][r["label_idx"]] for r in rows]),
         )
 
     yield from example_batches(
         store, tokenizer, batch_size, project=project, epoch=epoch,
         max_length=block, shuffle=train, drop_last=drop_last, seed=seed,
         shard_index=shard_index, shard_count=shard_count,
+        labels_per_group=9,  # one item per sampled review (reference :55-61)
         example_kwargs=dict(train=False, skip_images=True),
     )
 

@@ -54,7 +54,15 @@ def load_photo_map(data_root: str, dataset: str, mode: str) -> Dict[str, List[st
         members = set(members) if members is not None else None
     if dataset == "yelp":
         pd_path = os.path.join(base, "photo_dict.pickle")
-        photo_dict = pd.read_pickle(pd_path) if os.path.exists(pd_path) else {}
+        if not os.path.exists(pd_path):
+            # fail LOUDLY like the reference's unconditional read_pickle
+            # (src/data_utils.py:37): a wrong --data_root or skipped image
+            # prep would otherwise train/evaluate silently image-free
+            raise FileNotFoundError(
+                f"{pd_path} not found — run the image modality prep, or "
+                f"construct the store with with_photos=False for stages "
+                f"that never read images")
+        photo_dict = pd.read_pickle(pd_path)
         out = {}
         for gid, photos in photo_dict.items():
             if members is None or gid in members:
@@ -76,27 +84,47 @@ def table_features_for(tokenizer, dataset: str, meta_row, columns) -> dict:
     return amazon_table_features(tokenizer, meta_row)
 
 
+#: cached zero image tensors for skip_images examples, keyed by MAX_IMGS
+_ZERO_IMGS: Dict[int, tuple] = {}
+
+
 class MultimodalStore:
     """Per-group store joining reviews, photos and the metadata table."""
 
     def __init__(self, data_root: str, dataset: str, mode: str,
-                 reviews_per_group: int = 9):
+                 reviews_per_group: int = 9, with_photos: bool = True,
+                 require_photos: bool = False):
+        """``with_photos=False`` skips the photo map entirely (the table
+        stage never reads images — the reference TableDataset does not
+        touch photos either). ``require_photos=True`` keeps only groups
+        that HAVE photos — the reference ImgDataset filters its filelist
+        by photo_business_dict (src/img_pretrain.py:44): without the
+        filter, stage 2a would mostly train the image encoder to decode
+        reviews from a constant null embedding."""
         self.data_root, self.dataset, self.mode = data_root, dataset, mode
         frame = read_review_csvs(
             os.path.join(data_root, dataset, "5.text", mode, "*.csv"))
         self.text = ReviewGroupStore(frame, mode=mode, reviews_per_group=reviews_per_group)
         self.meta = load_meta(data_root, dataset)
         self.meta_by_id = {r["group_id"]: r for _, r in self.meta.iterrows()}
-        self.photos = load_photo_map(data_root, dataset, mode)
+        self.photos = (load_photo_map(data_root, dataset, mode)
+                       if with_photos else {})
+        self.require_photos = require_photos
+        self._filter_groups()
+
+    def _filter_groups(self):
         # train/val keeps only groups present in meta (reference
-        # multimodal_train.py:54-56 intersects group ids)
+        # multimodal_train.py:54-56 intersects group ids); the img stage
+        # additionally requires photos (reference img_pretrain.py:44)
         keep = self.text.df.group_id.isin(self.meta_by_id)
+        if self.require_photos:
+            keep &= self.text.df.group_id.isin(
+                {g for g, p in self.photos.items() if p})
         self.text.df = self.text.df[keep].reset_index(drop=True)
 
     def set_epoch(self):
         self.text.set_epoch()
-        keep = self.text.df.group_id.isin(self.meta_by_id)
-        self.text.df = self.text.df[keep].reset_index(drop=True)
+        self._filter_groups()
 
     def __len__(self):
         return len(self.text)
@@ -123,9 +151,17 @@ class MultimodalStore:
                                    self.meta_columns())
 
         if skip_images:
+            # shared read-only zeros (consumers np.stack-copy them): a fresh
+            # (10, 224, 224, 3) float32 per example is ~6 MB of throwaway
+            # allocation in the table-pretrain hot loop
             n = MAX_IMGS[self.dataset]
-            img = np.zeros((n, 224, 224, 3), np.float32)
-            img_mask = np.zeros((n,), bool)
+            if n not in _ZERO_IMGS:
+                z = np.zeros((n, 224, 224, 3), np.float32)
+                z.setflags(write=False)
+                zm = np.zeros((n,), bool)
+                zm.setflags(write=False)
+                _ZERO_IMGS[n] = (z, zm)
+            img, img_mask = _ZERO_IMGS[n]
         else:
             paths = photo_paths(self.data_root, self.dataset, self.photos.get(gid, []))
             paths = [p for p in paths if os.path.exists(p)]
@@ -140,16 +176,24 @@ def example_batches(store: MultimodalStore, tokenizer, batch_size: int, *,
                     project, epoch: int = 0, max_length: int = 130,
                     shuffle: bool = True, drop_last: bool = True, seed: int = 0,
                     shard_index: int = 0, shard_count: int = 1,
+                    labels_per_group: int = 1,
                     example_kwargs: dict | None = None) -> Iterator[dict]:
     """Shared per-epoch iterator for every training stage: resampling
     (``set_epoch``), seeded permutation, equal-size per-host sharding,
     drop_last, then ``project(rows)`` shapes the batch for the stage (the
     reference re-implements this loop in each of ``ImgDataset`` /
-    ``TableDataset`` / ``MultimodalDataset``)."""
+    ``TableDataset`` / ``MultimodalDataset``).
+
+    ``labels_per_group > 1``: each group contributes that many dataset
+    items per epoch — item ``(g, r)`` is group ``g`` with ``label_idx=r``
+    set on the example, and the permutation runs over ALL items, exactly
+    the reference's ImgDataset/TableDataset layout (one row per sampled
+    review, src/img_pretrain.py:60-66 / table_pretrain.py:55-61)."""
     if epoch > 0:
         store.set_epoch()
     rng = np.random.default_rng(seed + epoch)
-    n = len(store)
+    lpg = labels_per_group
+    n = len(store) * lpg
     order = rng.permutation(n) if shuffle else np.arange(n)
     from multimodalsum_tpu.data.text import shard_order
 
@@ -157,9 +201,13 @@ def example_batches(store: MultimodalStore, tokenizer, batch_size: int, *,
     limit = (len(order) // batch_size) * batch_size if drop_last else len(order)
     kw = example_kwargs or {}
     for start in range(0, limit, batch_size):
-        rows = [store.example(int(i), tokenizer, max_length=max_length,
-                              rng=rng, **kw)
-                for i in order[start:start + batch_size]]
+        rows = []
+        for i in order[start:start + batch_size]:
+            g, r = divmod(int(i), lpg)
+            row = store.example(g, tokenizer, max_length=max_length,
+                                rng=rng, **kw)
+            row["label_idx"] = r
+            rows.append(row)
         yield project(rows)
 
 

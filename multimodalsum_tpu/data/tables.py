@@ -88,8 +88,14 @@ def amazon_table_features(tokenizer, row: Mapping[str, str] | None) -> Dict[str,
             category=np.ones((3, 8, 12), np.int32),
             description=np.ones(128, np.int32),
         )
-    price = np.asarray([int(x) for x in row["price"]], np.int32)
-    rating = np.asarray([int(x) for x in row["ratings"]], np.int32)
+    # empty-string features are valid meta states this repo's own prep
+    # produces (e.g. a gold-only eval product with no training reviews has
+    # ratings="") — a bare int() loop would yield a shape-(0,) array and
+    # crash np.stack against normal (4,)/(11,) rows
+    price = (np.zeros(11, np.int32) if row["price"] == ""
+             else np.asarray([int(x) for x in row["price"]], np.int32))
+    rating = (np.zeros(4, np.int32) if row["ratings"] == ""
+              else np.asarray([int(x) for x in row["ratings"]], np.int32))
     brand = (np.ones(12, np.int32) if row["brand"] == ""
              else np.asarray(_tok(tokenizer, row["brand"], 12), np.int32))
     name = (np.ones(32, np.int32) if row["name"] == ""
