@@ -27,11 +27,19 @@ class QuantizedKV(NamedTuple):
     scale: jnp.ndarray    # f32, amax/127 with the reduced axis kept at 1
 
 
+def _symmetric_quantize(x: jnp.ndarray, axis: int, qmax: int):
+    """Shared symmetric amax/round/clip core for int8 (qmax=127) and int4
+    (qmax=7): one place for the epsilon/rounding policy."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=axis, keepdims=True)
+    scale = jnp.maximum(amax, 1e-8) / qmax
+    q = jnp.clip(jnp.round(xf / scale), -qmax, qmax).astype(jnp.int8)
+    return q, scale
+
+
 def quantize_int8(x: jnp.ndarray, axis: int) -> QuantizedKV:
     """Symmetric per-channel quantisation along ``axis`` (the reduced axis)."""
-    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=axis, keepdims=True)
-    scale = jnp.maximum(amax, 1e-8) / 127.0
-    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127).astype(jnp.int8)
+    q, scale = _symmetric_quantize(x, axis, 127)
     return QuantizedKV(values=q, scale=scale)
 
 
@@ -50,9 +58,7 @@ def quantize_int4(x: jnp.ndarray, axis: int) -> QuantizedKV4:
     interleave (an interleave forces an expensive lane relayout on TPU)."""
     if x.shape[-1] % 2:
         raise ValueError(f"int4 packing needs an even last axis, got {x.shape}")
-    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=axis, keepdims=True)
-    scale = jnp.maximum(amax, 1e-8) / 7.0
-    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -7, 7).astype(jnp.int8)
+    q, scale = _symmetric_quantize(x, axis, 7)
     half = x.shape[-1] // 2
     lo, hi = q[..., :half], q[..., half:]
     packed = jnp.bitwise_or(jnp.bitwise_and(lo, 0x0F), jnp.left_shift(hi, 4))
@@ -68,13 +74,6 @@ def unpack_int4_values(packed: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([lo, hi], axis=-1)
 
 
-def dequantize(q, dtype=jnp.bfloat16) -> jnp.ndarray:
-    if isinstance(q, QuantizedKV4):
-        vals = unpack_int4_values(q.values)
-        return (vals.astype(jnp.float32) * q.scale).astype(dtype)
-    return (q.values.astype(jnp.float32) * q.scale).astype(dtype)
-
-
 class QuantizedKVKernel(NamedTuple):
     """Int8 K/V pre-arranged for the fused Pallas decode kernel:
     values ``[b, n, e, s, h]``, scale ``[b, n, e, h]`` (f32). Built once per
@@ -82,6 +81,20 @@ class QuantizedKVKernel(NamedTuple):
 
     values: jnp.ndarray
     scale: jnp.ndarray
+
+
+def dequantize(q, dtype=jnp.bfloat16) -> jnp.ndarray:
+    if isinstance(q, QuantizedKVKernel):
+        # [b, n, e, s, h] values x [b, n, e, h] scale: the generic branch
+        # below would right-align-broadcast the scale along the wrong axes
+        return (q.values.astype(jnp.float32)
+                * q.scale[:, :, :, None, :]).astype(dtype)
+    if isinstance(q, QuantizedKV4):
+        vals = unpack_int4_values(q.values)
+        return (vals.astype(jnp.float32) * q.scale).astype(dtype)
+    return (q.values.astype(jnp.float32) * q.scale).astype(dtype)
+
+
 
 
 def to_kernel_layout(q: QuantizedKV) -> QuantizedKVKernel:
@@ -97,9 +110,16 @@ def quantize_cross_kv(cross_kv, *, seq_axis: int = 2, bits: int = 8,
     (each ``[b, e, s, n, h]``), reducing over the sequence axis.
     ``kernel_layout`` additionally re-arranges for the fused Pallas decode
     kernel (int8 only)."""
-    quant = {8: quantize_int8, 4: quantize_int4}[bits]
+    if bits not in (8, 4):
+        raise ValueError(f"unsupported bits={bits} (supported: 8, 4)")
+    quant = quantize_int8 if bits == 8 else quantize_int4
     if kernel_layout and bits != 8:
         raise ValueError("kernel_layout requires bits=8")
+    if kernel_layout and seq_axis != 2:
+        # to_kernel_layout hardcodes the [b, e, s, n, h] layout (scale
+        # reduced over axis 2); any other seq_axis would silently build a
+        # wrong-layout scale for the Pallas kernel
+        raise ValueError("kernel_layout requires seq_axis=2")
 
     def _q(x):
         qx = quant(x, axis=seq_axis)
