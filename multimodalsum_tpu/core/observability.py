@@ -59,11 +59,21 @@ class StepTimer:
         self.examples = examples_per_step
         self.warmup = warmup_steps
         self._steps = 0
-        self._t0: Optional[float] = None
+        # warmup 0 measures from construction (the `== warmup` trigger below
+        # can never fire at 0: _steps is incremented before the comparison)
+        self._t0: Optional[float] = time.time() if warmup_steps == 0 else None
 
     def step(self, result=None) -> None:
         if result is not None:
-            jax.block_until_ready(result)
+            leaves = [x for x in jax.tree.leaves(result) if hasattr(x, "ndim")]
+            if leaves:
+                # block_until_ready does NOT block on the axon backend
+                # (SCALING.md "Benchmark hygiene"); a one-element host read
+                # forces execution completion, so rates are execution rates
+                x = leaves[0]
+                jax.device_get(x if x.ndim == 0 else x[(0,) * x.ndim])
+            else:
+                jax.block_until_ready(result)
         self._steps += 1
         if self._steps == self.warmup:
             self._t0 = time.time()
@@ -155,6 +165,11 @@ class MetricLogger:
             return [MetricLogger._sanitize(x) for x in v]
         if isinstance(v, (float, int, str, bool)) or v is None:
             return None if isinstance(v, float) and not math.isfinite(v) else v
+        if hasattr(v, "tolist") and getattr(v, "ndim", 0) > 0:
+            # numpy/jax ARRAYS (e.g. per-reference metric lists): float(v)
+            # on a multi-element array raises, and json.dumps would raise
+            # again on the raw array — recurse over the list form instead
+            return MetricLogger._sanitize(v.tolist())
         try:
             f = float(v)  # numpy / jax scalars
         except (TypeError, ValueError):
@@ -162,7 +177,11 @@ class MetricLogger:
         return None if not math.isfinite(f) else f
 
     def log(self, step: int, **metrics) -> None:
-        record = dict(step=step, time=time.time(), **metrics)
+        record = {"step": step, "time": time.time()}
+        for k, v in metrics.items():
+            # a metric named 'step'/'time' must not collide with the record
+            # keys (dict(**) would raise TypeError mid-run)
+            record[f"{k}_metric" if k in record else k] = v
         record = {k: self._sanitize(v) for k, v in record.items()}
         line = json.dumps(record, default=float)
         if self.stdout:
@@ -174,8 +193,11 @@ class MetricLogger:
             import tensorflow as tf
 
             with self._tb.as_default():
-                for k, v in metrics.items():
-                    if isinstance(v, (int, float)):
+                # iterate the SANITIZED record: raw numpy/jax scalars fail
+                # an isinstance((int, float)) check and would silently drop
+                # from TensorBoard while reaching the JSONL file and wandb
+                for k, v in record.items():
+                    if k not in ("step", "time") and isinstance(v, (int, float)):
                         tf.summary.scalar(k, v, step=step)
         if self._wandb is not None:
             numeric = {k: v for k, v in record.items()
@@ -185,6 +207,10 @@ class MetricLogger:
     def close(self) -> None:
         if self._file:
             self._file.close()
+        if self._tb is not None:
+            # the TF writer buffers with a ~2 min flush interval: a short
+            # run that exits without closing can lose its last events
+            self._tb.close()
         if self._wandb is not None:
             try:
                 self._wandb.finish()
@@ -213,6 +239,9 @@ def init_logger(name: str = "multimodalsum_tpu",
     stream = logging.StreamHandler()
     stream.setFormatter(fmt)
     logger.addHandler(stream)
+    # the logger owns its handlers; propagating to a configured root logger
+    # would emit every record twice
+    logger.propagate = False
     if output_path:
         if os.path.isdir(output_path) or output_path.endswith(os.sep):
             os.makedirs(output_path, exist_ok=True)

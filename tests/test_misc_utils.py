@@ -244,3 +244,29 @@ def test_mesh_for_batch_and_host_shard_guards():
     assert (si, sc, steps) == (0, 1, 2)
     with pytest.raises(SystemExit, match="ZERO steps"):
         host_data_shard(3, batch_size=4)
+
+
+def test_metric_logger_arrays_colliding_keys_and_timer(tmp_path):
+    """Array metrics serialize as lists (not TypeError), metrics named
+    'step'/'time' don't collide with the record keys, and StepTimer with
+    warmup 0 measures from construction."""
+    import json as _json
+
+    import numpy as np
+
+    from multimodalsum_tpu.core.observability import MetricLogger, StepTimer
+
+    path = tmp_path / "m.jsonl"
+    ml = MetricLogger(log_path=str(path), stdout=False)
+    ml.log(1, rouge_per_ref=np.array([0.31, 0.28]), time=3.5, loss=np.float32(2.0))
+    ml.close()
+    rec = _json.loads(path.read_text().splitlines()[0])
+    assert rec["rouge_per_ref"] == [0.31, 0.28]
+    assert rec["time_metric"] == 3.5 and isinstance(rec["time"], float)
+    assert rec["loss"] == 2.0
+
+    t = StepTimer(tokens_per_step=10, warmup_steps=0)
+    t.step()
+    t.step()
+    r = t.rates()
+    assert r and r["tokens_per_sec"] > 0 and t.measured_steps == 2
