@@ -137,10 +137,15 @@ class ContinuousBatcher:
                  spec_src_max: Optional[int] = None,
                  device=None,
                  fill_chunk_max: Optional[int] = 1,
-                 cache_mode: str = "reorder"):
+                 cache_mode: Optional[str] = None):
         self.beams = int(gen.num_beams)
-        if cache_mode not in ("reorder", "ancestry"):
+        if cache_mode not in (None, "reorder", "ancestry"):
             raise ValueError(f"unknown cache_mode {cache_mode!r}")
+        if cache_mode is None:
+            # default to the measured-best beam slot cache: ancestry was
+            # 8.5x reorder at bart-large shapes on one v5e chip (8 slots,
+            # beam 5: 0.92 vs 0.11 req/s — SCALING.md serving table)
+            cache_mode = "ancestry"
         # ancestry is moot at K == 1 (no selection ever reorders anything)
         self.cache_mode = cache_mode if self.beams > 1 else "reorder"
         if self.beams > 1:

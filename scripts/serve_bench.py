@@ -55,8 +55,10 @@ def main():
     p.add_argument("--num_beams", type=int, default=1)
     p.add_argument("--length_penalty", type=float, default=1.0)
     p.add_argument("--early_stopping", action="store_true")
-    p.add_argument("--cache_mode", default="reorder",
-                   choices=["reorder", "ancestry"])
+    p.add_argument("--cache_mode", default=None,
+                   choices=["reorder", "ancestry"],
+                   help="beam slot cache (default: engine auto — ancestry "
+                        "at num_beams>1, the measured 8.5x winner)")
     p.add_argument("--kv_quant", default=None, choices=["int8", "int4"])
     p.add_argument("--steps_per_tick", type=int, default=8)
     p.add_argument("--spec_window", type=int, default=1)
