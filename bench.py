@@ -34,8 +34,10 @@ publishes no numbers (BASELINE.md), so this anchor is an engineering
 estimate, stated here for transparency.
 
 Flags: ``--exact`` (skip the quantized config), ``--no-train`` (skip the
-training benchmark), ``--batch=N --cache_mode=M --kv_quant=Q`` (bench one
-explicit config), ``--pallas`` (entity-attention Pallas kernel A/B).
+training benchmark), ``--train-only`` (just the training step),
+``--train_remat=true|false|<policy name>`` (rotation remat A/B),
+``--batch=N --cache_mode=M --kv_quant=Q`` (bench one explicit config),
+``--pallas`` (entity-attention Pallas kernel A/B).
 """
 
 import json
@@ -269,9 +271,12 @@ def bench_batch(inputs, b: int, cache_mode: str = "reorder",
                 mfu=mfu)
 
 
-def bench_train():
+def bench_train(remat=True):
     """Stage-3 training step at production shapes (bart-large, x9 rotations,
-    ResNet-101 over 10 images, AdamW, donation): s/step + tokens/s + MFU."""
+    ResNet-101 over 10 images, AdamW, donation): s/step + tokens/s + MFU.
+
+    ``remat``: True (full), False (none), or a jax.checkpoint_policies name
+    (``--train_remat=`` flag) — A/B lever for the rotation recompute."""
     from multimodalsum_tpu.core.config import BartConfig
     from multimodalsum_tpu.models.multimodal import MultimodalSum, yelp_dummy_table
     from multimodalsum_tpu.train.loop import TrainStateWithStats, make_train_step_with_stats
@@ -304,7 +309,7 @@ def bench_train():
 
     def loss_fn(p, stats, bt, r):
         return multimodal_train_loss(model, p, stats, dict(bt, field=field),
-                                     label_smoothing=0.1, rng=r)
+                                     label_smoothing=0.1, rng=r, remat=remat)
 
     step = jax.jit(make_train_step_with_stats(loss_fn, tx), donate_argnums=0)
     state = TrainStateWithStats.create(params, batch_stats, tx)
@@ -333,7 +338,7 @@ def bench_train():
     return dict(s_per_step=round(dt, 4), batch=b,
                 groups_per_sec=round(b / dt, 3),
                 target_tokens_per_sec=round(tokens / dt, 1),
-                mfu=round(mfu, 4))
+                mfu=round(mfu, 4), remat=remat)
 
 
 def _require_live_backend(timeout_s: float = 180.0) -> None:
@@ -396,6 +401,15 @@ def main():
         elif a == "--ancestry":  # back-compat
             cache_mode = "ancestry"
     explicit = bool(batch or cache_mode or kv_quant)
+
+    train_remat = True
+    for a in sys.argv:
+        if a.startswith("--train_remat="):
+            v = a.split("=", 1)[1]
+            train_remat = {"true": True, "false": False}.get(v.lower(), v)
+    if "--train-only" in sys.argv:
+        print(json.dumps({"train": bench_train(remat=train_remat)}))
+        return
 
     from multimodalsum_tpu.core.config import BartConfig
 
@@ -485,7 +499,7 @@ def main():
 
     if "--no-train" not in sys.argv:
         try:
-            record["train"] = bench_train()
+            record["train"] = bench_train(remat=train_remat)
         except Exception:
             print("# train bench failed:", flush=True)
             traceback.print_exc()

@@ -84,9 +84,19 @@ def leave_one_out_loss(
     extra_modalities: Sequence = (),
     label_smoothing: Optional[float] = None,
     rng=None,
-    remat: bool = True,
+    remat=True,
 ) -> jnp.ndarray:
-    """Stages 1 and 3: mean loss over the e leave-one-out rotations."""
+    """Stages 1 and 3: mean loss over the e leave-one-out rotations.
+
+    ``remat`` selects the rematerialisation mode for each rotation:
+    ``True`` = full remat (recompute the whole rotation forward in the
+    backward pass — lowest memory, ~1 extra forward of FLOPs), ``False`` =
+    no remat (all e rotation activations live at once), or the name of a
+    :mod:`jax.checkpoint_policies` policy (e.g. ``"dots_saveable"`` /
+    ``"dots_with_no_batch_dims_saveable"``) to keep matmul outputs and
+    recompute only the cheap elementwise work — a FLOPs/memory middle
+    ground worth A/B-ing per chip generation (value-neutral either way,
+    ``tests/test_train.py``)."""
     reviews = jnp.asarray(reviews)
     reviews_rating = jnp.asarray(reviews_rating)
     b, e, s = reviews.shape
@@ -108,7 +118,15 @@ def leave_one_out_loss(
         return _decoder_loss(model, params, modalities, labels, rating_diff,
                              label_smoothing, step_rng)
 
-    if remat:
+    if isinstance(remat, str):
+        policy = getattr(jax.checkpoint_policies, remat, None)
+        if policy is None:
+            raise ValueError(
+                f"unknown remat policy {remat!r}; expected a "
+                f"jax.checkpoint_policies name such as 'dots_saveable' or "
+                f"'dots_with_no_batch_dims_saveable'")
+        one_rotation = jax.checkpoint(one_rotation, policy=policy)
+    elif remat:
         one_rotation = jax.checkpoint(one_rotation, static_argnums=())
 
     def body(total, i):

@@ -103,10 +103,15 @@ def test_leave_one_out_remat_flag_is_value_neutral():
 
     l_on, g_on = jax.value_and_grad(lambda p: loss(p, True))(params)
     l_off, g_off = jax.value_and_grad(lambda p: loss(p, False))(params)
+    l_pol, g_pol = jax.value_and_grad(
+        lambda p: loss(p, "dots_with_no_batch_dims_saveable"))(params)
     np.testing.assert_allclose(float(l_on), float(l_off), rtol=1e-6)
+    np.testing.assert_allclose(float(l_on), float(l_pol), rtol=1e-6)
     import chex
 
     chex.assert_trees_all_close(jax.device_get(g_on), jax.device_get(g_off),
+                                rtol=1e-5, atol=1e-7)
+    chex.assert_trees_all_close(jax.device_get(g_on), jax.device_get(g_pol),
                                 rtol=1e-5, atol=1e-7)
 
 
