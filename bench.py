@@ -387,8 +387,12 @@ def main():
     attempts_exact = [(44, "ancestry", None), (48, "ancestry", None),
                       (32, "ancestry", None), (32, "reorder", None),
                       (8, "reorder", None)]
-    attempts_quant = [(72, "ancestry", "int8"), (64, "ancestry", "int8"),
-                      (32, "ancestry", "int8")]
+    # int4 uses the native jnp.int4 dtype (XLA fuses the widening into the
+    # dot operand load — measured 19.2 sum/s at b72 vs 17.4 for int8; the
+    # manual nibble-packed int4 loses, SCALING.md). Quality metrics vs the
+    # exact path ride along in the JSON either way.
+    attempts_quant = [(72, "ancestry", "int4"), (72, "ancestry", "int8"),
+                      (64, "ancestry", "int8"), (32, "ancestry", "int8")]
 
     cache_mode = kv_quant = batch = None
     for a in sys.argv:

@@ -53,12 +53,15 @@ def ancestry_attention(q, k_cache, v_cache, anc, index, num_beams: int | None = 
     the XLA path — the Pallas kernel reads raw arrays).
 
     ``num_beams``: static beam width. Beam selection never crosses batch
-    items, so when given, the one-hot gather runs block-locally over K
-    ancestor candidates instead of all ``batch*K`` rows — the gather FLOPs
-    drop by a factor of ``batch`` (they are O(rows^2) globally). Measured
-    caveat (v5e): the local form lowers to ``b*L`` tiny ``[K,K]`` batched
-    matmuls and ran 4x SLOWER than the global MXU-shaped one-hot despite
-    the FLOP saving — leave ``num_beams=None`` on TPU (SCALING.md).
+    items, so when given, the block-local *logits* form runs: attend to all
+    K in-block ancestor candidates and select per position
+    (:func:`_local_logits_attention`) — a factor-of-batch FLOP cut over the
+    global one-hot gather (O(rows^2)). Measured on v5e at b72/beam5: wins
+    for the int8-quantized self cache (0.48 vs 0.66 ms/layer — the global
+    form's f32 scale gathers dominate) but LOSES for the bf16 cache (0.81
+    vs 0.30 — the [B,K,n,K,L] f32 logits intermediate outweighs the gather),
+    so the engine default stays ``num_beams=None`` (SCALING.md). Results
+    match the global form to f32 accumulation order, not bit-exactly.
     """
     from multimodalsum_tpu.ops.quantization import QuantizedKV
 
@@ -118,6 +121,60 @@ def _local_onehot(anc: jnp.ndarray, rows: int, num_beams: int | None, dtype):
     return (anc_local[..., None] == jnp.arange(K)).astype(dtype)
 
 
+def _local_logits_attention(q5, k5, v5, onehot, index, L,
+                            ks5=None, vs5=None):
+    """Block-local ancestry attention WITHOUT materialising a gathered cache.
+
+    Instead of gathering ``k_eff[r, p] = k[anc[r, p], p]`` and attending
+    (O(rows^2·L·d) one-hot-matmul FLOPs), compute logits of every row against
+    ALL K in-block ancestor candidates directly —
+
+        logits_all[b, k, n, j, p] = q[b, k, n, :] . k5[b, j, p, n, :]
+
+    (O(B·K^2·L·d), a factor-of-B FLOP cut) — then *select* per position with
+    the ancestry one-hot, a cheap elementwise reduce over the K candidates.
+    The value side folds the selection into the probabilities
+    (``probs_e = probs * onehot``), so the context dot contracts the combined
+    ``(j, p)`` axis, an MXU-shaped [K, K·L] x [K·L, h] matmul per (b, n).
+    Selection commutes with the head-dim contraction exactly (the one-hot
+    picks whole h-vectors), so results match the gather form up to f32
+    accumulation order.
+
+    Args:
+      q5: ``[B, K, n, h]`` pre-scaled queries.
+      k5 / v5: ``[B, K, L, n, h]`` block-shaped caches (any float/int dtype;
+        int values are fed to the dots directly).
+      onehot: ``[B, K, L, K]`` float — row k's ancestor at position p.
+      ks5 / vs5: optional ``[B, K, L, n]`` f32 per-(row, position, head)
+        quantisation scales (int8 cache); folded into logits/probs exactly
+        like the global quantized form.
+    """
+    dtype = q5.dtype
+    B, K, _, n, h = k5.shape
+    logits_all = jnp.einsum("bknh,bjpnh->bknjp", q5, k5.astype(dtype),
+                            precision=matmul_precision())
+    sel = onehot.transpose(0, 1, 3, 2)                     # [B, K(row), K(j), L]
+    logits = jnp.einsum("bknjp,bkjp->bknp",
+                        logits_all.astype(jnp.float32), sel)
+    if ks5 is not None:
+        # ks5 [B, j, L, n] -> selected per-(row, head, pos) scale
+        logits = logits * jnp.einsum("bjpn,bkjp->bknp", ks5, sel)
+    # valid-position mask broadcast over (B, K, n)
+    if jnp.ndim(index) == 1:
+        valid = (jnp.arange(L)[None, :] <= index[:, None]).reshape(B, K, 1, L)
+    else:
+        valid = (jnp.arange(L) <= index)[None, None, None, :]
+    logits = jnp.where(valid, logits, TOKEN_MASK_VALUE)
+    probs = jax.nn.softmax(logits, axis=-1)                # [B, K, n, L] f32
+    if vs5 is not None:
+        probs = probs * jnp.einsum("bjpn,bkjp->bknp", vs5, sel)
+    probs_e = (probs[:, :, :, None, :] * sel[:, :, None, :, :]).astype(dtype)
+    ctx = jnp.einsum("bknjp,bjpnh->bknh", probs_e, v5.astype(dtype),
+                     precision=matmul_precision())
+    rows = B * K
+    return ctx.reshape(rows, n, h)[:, None]                # [rows, 1, n, h]
+
+
 def ancestry_attention_xla(
     q: jnp.ndarray,          # [rows, 1, n, h] pre-scaled
     k_cache: jnp.ndarray,    # [rows, L, n, h] (unreordered)
@@ -127,19 +184,21 @@ def ancestry_attention_xla(
     num_beams: int | None = None,
 ) -> jnp.ndarray:
     """One-hot-matmul gather + attention, all in XLA. With ``num_beams`` the
-    gather is block-local (O(rows*K*L*n*h) instead of O(rows^2*L*n*h))."""
+    block-local *logits* formulation runs instead — attend to all K in-block
+    ancestor candidates and select per position (O(B*K^2*L*d) instead of the
+    global gather's O(rows^2*L*d); see :func:`_local_logits_attention`)."""
     rows, L, n, h = k_cache.shape
-    onehot = _local_onehot(anc, rows, num_beams, k_cache.dtype)
-    if onehot.ndim == 4:  # block-local [B, K, L, K]
+    local = num_beams is not None and num_beams < rows
+    if local:  # block-local [B, K, L, K]
+        onehot = _local_onehot(anc, rows, num_beams, jnp.float32)
         B, K = onehot.shape[0], onehot.shape[1]
-        k5 = k_cache.reshape(B, K, L, n, h)
-        v5 = v_cache.reshape(B, K, L, n, h)
-        # k_eff[b, k, p] = sum_j onehot[b, k, p, j] * k_cache[b, j, p]
-        k_eff = jnp.einsum("bkpj,bjpnh->bkpnh", onehot, k5,
-                           precision=matmul_precision()).reshape(rows, L, n, h)
-        v_eff = jnp.einsum("bkpj,bjpnh->bkpnh", onehot, v5,
-                           precision=matmul_precision()).reshape(rows, L, n, h)
+        return _local_logits_attention(
+            q[:, 0].reshape(B, K, n, h),
+            k_cache.reshape(B, K, L, n, h),
+            v_cache.reshape(B, K, L, n, h),
+            onehot, index, L)
     else:
+        onehot = _local_onehot(anc, rows, None, k_cache.dtype)
         # k_eff[r, p, n, h] = sum_x onehot[r, p, x] * k_cache[x, p, n, h]
         k_eff = jnp.einsum("rpx,xpnh->rpnh", onehot, k_cache, precision=matmul_precision())
         v_eff = jnp.einsum("rpx,xpnh->rpnh", onehot, v_cache, precision=matmul_precision())
@@ -161,22 +220,19 @@ def ancestry_attention_xla_quantized(q, kq, vq, anc, index,
     """
     dtype = q.dtype
     rows, L, n, h = kq.values.shape
-    onehot = _local_onehot(anc, rows, num_beams, dtype)
-    if onehot.ndim == 4:  # block-local [B, K, L, K]
+    local = num_beams is not None and num_beams < rows
+    if local:  # block-local [B, K, L, K]
+        onehot = _local_onehot(anc, rows, num_beams, jnp.float32)
         B, K = onehot.shape[0], onehot.shape[1]
-        kv5 = kq.values.reshape(B, K, L, n, h).astype(dtype)
-        vv5 = vq.values.reshape(B, K, L, n, h).astype(dtype)
-        k_eff = jnp.einsum("bkpj,bjpnh->bkpnh", onehot, kv5,
-                           precision=matmul_precision()).reshape(rows, L, n, h)
-        v_eff = jnp.einsum("bkpj,bjpnh->bkpnh", onehot, vv5,
-                           precision=matmul_precision()).reshape(rows, L, n, h)
-        ks5 = kq.scale[..., 0].reshape(B, K, L, n).astype(jnp.float32)
-        vs5 = vq.scale[..., 0].reshape(B, K, L, n).astype(jnp.float32)
-        ks_eff = jnp.einsum("bkpj,bjpn->nbkp", onehot.astype(jnp.float32),
-                            ks5).reshape(n, rows, L)
-        vs_eff = jnp.einsum("bkpj,bjpn->nbkp", onehot.astype(jnp.float32),
-                            vs5).reshape(n, rows, L)
+        return _local_logits_attention(
+            q[:, 0].reshape(B, K, n, h),
+            kq.values.reshape(B, K, L, n, h),
+            vq.values.reshape(B, K, L, n, h),
+            onehot, index, L,
+            ks5=kq.scale[..., 0].reshape(B, K, L, n).astype(jnp.float32),
+            vs5=vq.scale[..., 0].reshape(B, K, L, n).astype(jnp.float32))
     else:
+        onehot = _local_onehot(anc, rows, None, dtype)
         k_eff = jnp.einsum("rpx,xpnh->rpnh", onehot, kq.values.astype(dtype),
                            precision=matmul_precision())
         v_eff = jnp.einsum("rpx,xpnh->rpnh", onehot, vq.values.astype(dtype),

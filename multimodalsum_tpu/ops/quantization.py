@@ -65,6 +65,24 @@ def quantize_int4(x: jnp.ndarray, axis: int) -> QuantizedKV4:
     return QuantizedKV4(values=packed.astype(jnp.int8), scale=scale)
 
 
+def quantize_int4_native(x: jnp.ndarray, axis: int) -> QuantizedKV:
+    """Symmetric per-channel int4 quantisation using the NATIVE ``jnp.int4``
+    dtype (XLA packs two values per byte on TPU and fuses the int4->bf16
+    widening into the dot operand load — the measured attention read runs at
+    the packed byte rate, unlike :func:`quantize_int4`'s manual shift+concat
+    unpack, which materialises and loses to int8; SCALING.md A/B table).
+
+    Same integer grid and scales as :func:`quantize_int4`, so attention
+    outputs (and generated tokens) are identical to the packed path.
+
+    Only for values that stay INSIDE one jit (offline ``generate``): int4
+    arrays crossing a jit boundary crash the experimental axon dev backend,
+    so the serving engine keeps the packed byte slabs.
+    """
+    q, scale = _symmetric_quantize(x, axis, 7)
+    return QuantizedKV(values=q.astype(jnp.int4), scale=scale)
+
+
 def unpack_int4_values(packed: jnp.ndarray) -> jnp.ndarray:
     """Packed int4 bytes -> int8 values (inverse of the packing in
     :func:`quantize_int4`, without applying the scale)."""
@@ -105,14 +123,19 @@ def to_kernel_layout(q: QuantizedKV) -> QuantizedKVKernel:
 
 
 def quantize_cross_kv(cross_kv, *, seq_axis: int = 2, bits: int = 8,
-                      kernel_layout: bool = False):
+                      kernel_layout: bool = False, native_int4: bool = False):
     """Quantize a layers×modalities nested tuple of (k, v) pairs
     (each ``[b, e, s, n, h]``), reducing over the sequence axis.
     ``kernel_layout`` additionally re-arranges for the fused Pallas decode
-    kernel (int8 only)."""
+    kernel (int8 only). ``native_int4`` uses the ``jnp.int4`` dtype instead
+    of manual nibble packing (token-identical, faster on TPU; only safe when
+    the result never crosses a jit boundary — see quantize_int4_native)."""
     if bits not in (8, 4):
         raise ValueError(f"unsupported bits={bits} (supported: 8, 4)")
-    quant = quantize_int8 if bits == 8 else quantize_int4
+    if bits == 4:
+        quant = quantize_int4_native if native_int4 else quantize_int4
+    else:
+        quant = quantize_int8
     if kernel_layout and bits != 8:
         raise ValueError("kernel_layout requires bits=8")
     if kernel_layout and seq_axis != 2:

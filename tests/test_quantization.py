@@ -148,3 +148,83 @@ def test_quantized_self_attention_step_matches_dequantized():
     got_a = ancestry_attention_xla_quantized(q, kq, vq, anc, idx)
     np.testing.assert_allclose(np.asarray(got_a), np.asarray(ref_a),
                                atol=2e-5, rtol=1e-4)
+
+
+def test_int4_native_matches_packed():
+    """The native-jnp.int4 path (offline generate) must be TOKEN-IDENTICAL to
+    the manual nibble-packed path: same integer grid, same scales, so the
+    attention operands are bit-equal bf16 values either way."""
+    import jax
+    import jax.numpy as jnp
+
+    from multimodalsum_tpu.ops.attention import entity_cross_attention_quantized
+    from multimodalsum_tpu.ops.quantization import (quantize_int4,
+                                                    quantize_int4_native)
+
+    rng = np.random.default_rng(5)
+    b, e, s, n, h, t = 2, 3, 16, 2, 8, 4
+    k = jnp.asarray(rng.normal(size=(b, e, s, n, h)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, e, s, n, h)).astype(np.float32))
+    q = jnp.asarray(rng.normal(size=(b, t, n, h)).astype(np.float32))
+    mask = np.ones((b, e, s), bool)
+    mask[0, 1] = False
+    mask = jnp.asarray(mask)
+
+    # identical integer grids and scales (compare both INSIDE jit, like the
+    # engine runs them — eager-vs-jit differs by 1 ULP in the /7 division)
+    from multimodalsum_tpu.ops.quantization import unpack_int4_values
+
+    @jax.jit
+    def both(k):
+        p = quantize_int4(k, axis=2)
+        n = quantize_int4_native(k, axis=2)
+        return (unpack_int4_values(p.values), p.scale,
+                n.values.astype(jnp.int8), n.scale)
+
+    p_vals, p_scale, n_vals, n_scale = both(k)
+    np.testing.assert_array_equal(np.asarray(p_vals), np.asarray(n_vals))
+    np.testing.assert_array_equal(np.asarray(p_scale), np.asarray(n_scale))
+
+    # identical attention outputs (same ints -> same bf16 operands -> same dots)
+    a = jax.jit(lambda q, k, v, m: entity_cross_attention_quantized(
+        q, quantize_int4(k, 2), quantize_int4(v, 2), m))(q, k, v, mask)
+    bij = jax.jit(lambda q, k, v, m: entity_cross_attention_quantized(
+        q, quantize_int4_native(k, 2), quantize_int4_native(v, 2), m))(q, k, v, mask)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(bij))
+
+
+def test_generate_int4_native_matches_packed_tokens(monkeypatch):
+    """End-to-end: generate(kv_quant='int4') with the native dtype produces
+    the same sequences and scores as the packed-nibble implementation."""
+    import jax
+
+    import multimodalsum_tpu.ops.quantization as qmod
+    from multimodalsum_tpu.core.config import TINY_CONFIG as cfg, GenerationConfig
+    from multimodalsum_tpu.decode.engine import generate
+    from multimodalsum_tpu.models.bart import BartModel
+
+    model = BartModel(cfg)
+    params = model.init(jax.random.PRNGKey(0), method=BartModel.init_all)["params"]
+    rng = np.random.default_rng(7)
+    eh = (rng.normal(size=(2, 3, 8, cfg.d_model)) * 2.0).astype(np.float32)
+    mask = np.ones((2, 3, 8), bool)
+    rating = np.zeros((2, 1), np.float32)
+    gen = GenerationConfig(num_beams=2, max_length=10, min_length=2,
+                           length_penalty=1.0, early_stopping=True,
+                           no_repeat_ngram_size=0)
+
+    native = generate(model, params, [eh], [mask], rating, gen, kv_quant="int4")
+
+    orig = qmod.quantize_cross_kv
+
+    def forced_packed(*args, **kwargs):
+        kwargs["native_int4"] = False
+        return orig(*args, **kwargs)
+
+    monkeypatch.setattr(qmod, "quantize_cross_kv", forced_packed)
+    packed = generate(model, params, [eh], [mask], rating, gen, kv_quant="int4")
+
+    np.testing.assert_array_equal(np.asarray(native.sequences),
+                                  np.asarray(packed.sequences))
+    np.testing.assert_array_equal(np.asarray(native.scores),
+                                  np.asarray(packed.scores))
