@@ -188,6 +188,10 @@ def beam_search(
             top_scores = jnp.take_along_axis(top_scores, order_s, axis=1)
             top_idx = jnp.take_along_axis(top_idx, order_s, axis=1)
         else:
+            # NOT decode/logits.exact_top_k: the chunked form wins standalone
+            # (7.3 vs 24 ms) but LOSES inside this while_loop (-6.5 ms/step
+            # at b72 — XLA's in-loop top_k lowering is already cheap, and
+            # the extra reshape/pad/gather don't fuse; SCALING.md)
             top_scores, top_idx = jax.lax.top_k(
                 next_scores.reshape(B, K * vocab_size), 2 * K)
         tok_id = top_idx % vocab_size

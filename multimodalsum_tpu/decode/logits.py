@@ -85,9 +85,11 @@ def ban_repeated_ngrams(
     j_valid = jnp.arange(length - n + 1) <= (cur_len - n)
     match = jnp.all(windows[:, :, : n - 1] == suffix[:, None, :], axis=-1) & j_valid[None, :]
     banned_token = windows[:, :, n - 1]
-    ban = jnp.zeros(scores.shape, bool)
-    ban = ban.at[jnp.arange(rows)[:, None], banned_token].max(match)
-    return jnp.where(ban, NEG_INF, scores)
+    # scatter -inf straight into the scores (min with +inf is a no-op for
+    # non-matching windows) instead of building a [rows, vocab] bool ban
+    # and a full-vocab where — two fewer full-vocab passes per step
+    neg = jnp.where(match, NEG_INF, jnp.inf).astype(scores.dtype)
+    return jnp.asarray(scores).at[jnp.arange(rows)[:, None], banned_token].min(neg)
 
 
 def ban_bad_words(
@@ -183,3 +185,43 @@ def top_k_top_p_filtering(
         threshold = jnp.min(kept, axis=-1, keepdims=True)
         logits = jnp.where(logits < threshold, NEG_INF, logits)
     return logits
+
+
+def exact_top_k(x: jnp.ndarray, k: int, chunks: int = 128):
+    """Exact, tie-stable top-k over the last axis via two chunked stages.
+
+    Splits the axis into ``chunks`` blocks, takes top-k per block (small
+    parallel sorts), then top-k over the ``chunks*k`` block winners — the
+    same set by a simple exchange argument.
+
+    Measured on v5e at the beam step's ``[72, 5*50265]`` shape: 3x faster
+    than ``lax.top_k`` standalone (7.3 vs 24 ms) but ~6.5 ms/step SLOWER
+    inside the decode ``while_loop`` (XLA's in-loop top_k lowering is
+    already cheap there and the reshape/pad/gather stages don't fuse), so
+    the beam engine deliberately does NOT use it — it is kept for host-side
+    / standalone top-k work (SCALING.md "A/B" notes).
+
+    Tie order matches ``lax.top_k`` exactly: within a block, ties resolve to
+    the lowest index (lax.top_k is index-stable); blocks are concatenated in
+    index order, so the second stage's lowest-position tie-break again picks
+    the lowest original index. Verified bit-identical (values and indices)
+    against ``lax.top_k`` on tie-dense inputs (tests/test_logits_ops.py).
+
+    Padding uses -inf, which cannot displace real candidates; rows with
+    fewer than ``k`` finite entries return -inf-filled tails in both forms.
+    """
+    n = x.shape[-1]
+    if chunks <= 1 or n < 2 * chunks * k:
+        return jax.lax.top_k(x, k)
+    pad = (-n) % chunks
+    if pad:
+        x = jnp.pad(x, ((0, 0),) * (x.ndim - 1) + ((0, pad),),
+                    constant_values=NEG_INF)
+    vc = x.shape[-1] // chunks
+    xc = x.reshape(*x.shape[:-1], chunks, vc)
+    v1, i1 = jax.lax.top_k(xc, k)                      # [..., chunks, k]
+    base = (jnp.arange(chunks) * vc)[..., :, None]
+    gi = (i1 + base).reshape(*x.shape[:-1], chunks * k)
+    v1 = v1.reshape(*x.shape[:-1], chunks * k)
+    v2, i2 = jax.lax.top_k(v1, k)
+    return v2, jnp.take_along_axis(gi, i2, axis=-1)

@@ -105,3 +105,36 @@ def test_bad_words(torch_mod):
         for r in range(rows):
             banned = set(np.where(np.isneginf(got[r]))[0].tolist())
             assert set(ref_banned[r]) == banned, (cur_len, r, ref_banned[r], banned)
+
+
+def test_exact_top_k_matches_lax_top_k():
+    """exact_top_k must be bit-identical to lax.top_k — values AND indices —
+    including tie-dense inputs (stable lowest-index tie resolution) and
+    -inf-banned entries, across chunked and fallback shapes."""
+    import jax
+    import jax.numpy as jnp
+
+    from multimodalsum_tpu.decode.logits import exact_top_k
+
+    rng = np.random.default_rng(9)
+    # tie-dense: quantized values force many exact ties
+    x = np.round(rng.normal(size=(7, 50265 * 3)) * 2.0).astype(np.float32)
+    x[0, :17] = -np.inf                     # banned entries
+    x[3] = 1.0                              # a fully-tied row
+    xj = jnp.asarray(x)
+    for k in (1, 10):
+        for chunks in (16, 128):
+            va, ia = jax.jit(lambda v: jax.lax.top_k(v, k))(xj)
+            vb, ib = jax.jit(lambda v: exact_top_k(v, k, chunks=chunks))(xj)
+            np.testing.assert_array_equal(np.asarray(va), np.asarray(vb))
+            np.testing.assert_array_equal(np.asarray(ia), np.asarray(ib))
+    # 1-D input (serving beam slots) and small-input fallback
+    v1, i1 = exact_top_k(xj[0], 10)
+    v2, i2 = jax.lax.top_k(xj[0], 10)
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+    small = jnp.asarray(rng.normal(size=(4, 64)).astype(np.float32))
+    vs, is_ = exact_top_k(small, 5)
+    vr, ir = jax.lax.top_k(small, 5)
+    np.testing.assert_array_equal(np.asarray(vs), np.asarray(vr))
+    np.testing.assert_array_equal(np.asarray(is_), np.asarray(ir))
