@@ -41,7 +41,7 @@ def main(argv=None):
                    help="write generated summaries, one per line")
     p.add_argument("--self_kv_quant", type=str, default=None, choices=["int8"],
                    help="quantize the decoder self-attention KV cache")
-    p.add_argument("--kv_quant", type=str, default=None, choices=["int8", "int4"],
+    p.add_argument("--kv_quant", type=str, default=None, choices=["int8", "int4", "int8+int4", "int4+int8"],
                    help="quantize decode-time cross-attention K/V")
     p.add_argument("--cache_mode", type=str, default=None,
                    choices=["reorder", "ancestry"],

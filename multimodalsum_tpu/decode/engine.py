@@ -54,6 +54,10 @@ def generate(
       kv_quant: "int8"/"int4" quantizes the (write-once, read-every-step)
         cross-attention K/V; scale-folded attention reads the int values
         directly (ops/attention.entity_cross_attention_quantized).
+        "int8+int4" / "int4+int8" set K and V precision independently
+        (K errors perturb the pre-softmax logits, V errors average out
+        under the probabilities — mixed precision trades between the int8
+        and int4 speed/quality points).
       self_kv_quant: "int8" quantizes the decoder self-attention cache
         (per-position scales, folded into logits/probs). ``kv_quant`` also
         accepts "int8_kernel" (the fused Pallas decode kernel — opt-in
@@ -121,7 +125,7 @@ def generate(
         )
 
     cross_kv = model.apply({"params": params}, list(modality_hiddens), method=BartModel.init_decode)
-    if kv_quant in ("int8", "int4", "int8_kernel"):
+    if kv_quant in ("int8", "int4", "int8_kernel", "int8+int4", "int4+int8"):
         # shrink the dominant per-step HBM read of the decode loop (the
         # cross-attention K/V are read every step, written once): int8
         # halves it, int4 quarters it. "int8_kernel" additionally routes
@@ -129,9 +133,16 @@ def generate(
         # in kernel layout once, here).
         from multimodalsum_tpu.ops.quantization import quantize_cross_kv
 
+        if kv_quant == "int8_kernel":
+            bits = 8
+        elif "+" in kv_quant:  # mixed K/V precision, e.g. "int8+int4"
+            kb, vb = kv_quant.split("+")
+            bits = (int(kb[3:]), int(vb[3:]))
+        else:
+            bits = int(kv_quant[3:])
         cross_kv = quantize_cross_kv(
             cross_kv,
-            bits=8 if kv_quant == "int8_kernel" else int(kv_quant[3:]),
+            bits=bits,
             kernel_layout=kv_quant == "int8_kernel",
             # offline decode keeps the quantized slabs inside one jit, so
             # int4 can use the native dtype (XLA fuses the widening into the
@@ -141,7 +152,8 @@ def generate(
     elif kv_quant is not None:
         raise ValueError(
             f"unknown kv_quant {kv_quant!r} "
-            "(supported: 'int8', 'int4', 'int8_kernel')")
+            "(supported: 'int8', 'int4', 'int8+int4', 'int4+int8', "
+            "'int8_kernel')")
     masks = [None if m is None else m.astype(bool) for m in modality_masks]
 
     rows = eff_batch * K if K > 1 else eff_batch

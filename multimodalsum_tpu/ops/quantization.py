@@ -122,21 +122,29 @@ def to_kernel_layout(q: QuantizedKV) -> QuantizedKVKernel:
     return QuantizedKVKernel(values=vals, scale=scale.astype(jnp.float32))
 
 
-def quantize_cross_kv(cross_kv, *, seq_axis: int = 2, bits: int = 8,
+def quantize_cross_kv(cross_kv, *, seq_axis: int = 2, bits=8,
                       kernel_layout: bool = False, native_int4: bool = False):
     """Quantize a layers×modalities nested tuple of (k, v) pairs
     (each ``[b, e, s, n, h]``), reducing over the sequence axis.
+
+    ``bits``: 8, 4, or a ``(k_bits, v_bits)`` pair for mixed precision —
+    K and V contribute differently to output quality (K errors perturb the
+    pre-softmax logits, V errors average out under the probabilities), so
+    e.g. ``(8, 4)`` trades between the int8 and int4 speed/quality points.
     ``kernel_layout`` additionally re-arranges for the fused Pallas decode
     kernel (int8 only). ``native_int4`` uses the ``jnp.int4`` dtype instead
     of manual nibble packing (token-identical, faster on TPU; only safe when
     the result never crosses a jit boundary — see quantize_int4_native)."""
-    if bits not in (8, 4):
-        raise ValueError(f"unsupported bits={bits} (supported: 8, 4)")
-    if bits == 4:
-        quant = quantize_int4_native if native_int4 else quantize_int4
-    else:
-        quant = quantize_int8
-    if kernel_layout and bits != 8:
+    k_bits, v_bits = bits if isinstance(bits, tuple) else (bits, bits)
+    for b_ in (k_bits, v_bits):
+        if b_ not in (8, 4):
+            raise ValueError(f"unsupported bits={bits} (supported: 8, 4, or a pair)")
+    int4 = quantize_int4_native if native_int4 else quantize_int4
+
+    def quant_for(b_):
+        return quantize_int8 if b_ == 8 else int4
+
+    if kernel_layout and (k_bits != 8 or v_bits != 8):
         raise ValueError("kernel_layout requires bits=8")
     if kernel_layout and seq_axis != 2:
         # to_kernel_layout hardcodes the [b, e, s, n, h] layout (scale
@@ -144,11 +152,11 @@ def quantize_cross_kv(cross_kv, *, seq_axis: int = 2, bits: int = 8,
         # wrong-layout scale for the Pallas kernel
         raise ValueError("kernel_layout requires seq_axis=2")
 
-    def _q(x):
-        qx = quant(x, axis=seq_axis)
+    def _q(x, b_):
+        qx = quant_for(b_)(x, axis=seq_axis)
         return to_kernel_layout(qx) if kernel_layout else qx
 
     return tuple(
-        tuple((_q(k), _q(v)) for (k, v) in per_layer)
+        tuple((_q(k, k_bits), _q(v, v_bits)) for (k, v) in per_layer)
         for per_layer in cross_kv
     )

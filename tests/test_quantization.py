@@ -228,3 +228,31 @@ def test_generate_int4_native_matches_packed_tokens(monkeypatch):
                                   np.asarray(packed.sequences))
     np.testing.assert_array_equal(np.asarray(native.scores),
                                   np.asarray(packed.scores))
+
+
+def test_decode_mixed_kv_precision():
+    """kv_quant='int8+int4' / 'int4+int8' (independent K/V precision) decode
+    finitely and score between/near the uniform-precision paths."""
+    import jax
+
+    from multimodalsum_tpu.core.config import TINY_CONFIG as cfg, GenerationConfig
+    from multimodalsum_tpu.decode.engine import generate
+    from multimodalsum_tpu.models.bart import BartModel
+
+    model = BartModel(cfg)
+    params = model.init(jax.random.PRNGKey(0), method=BartModel.init_all)["params"]
+    rng = np.random.default_rng(13)
+    eh = (rng.normal(size=(2, 3, 8, cfg.d_model)) * 2.0).astype(np.float32)
+    mask = np.ones((2, 3, 8), bool)
+    rating = np.zeros((2, 1), np.float32)
+    gen = GenerationConfig(num_beams=2, max_length=10, min_length=2,
+                           length_penalty=1.0, early_stopping=True,
+                           no_repeat_ngram_size=0)
+    full = generate(model, params, [eh], [mask], rating, gen)
+    for kvq in ("int8+int4", "int4+int8"):
+        mixed = generate(model, params, [eh], [mask], rating, gen, kv_quant=kvq)
+        assert np.isfinite(np.asarray(mixed.scores)).all(), kvq
+        np.testing.assert_allclose(np.asarray(mixed.scores),
+                                   np.asarray(full.scores), atol=0.5)
+    with pytest.raises(ValueError):
+        generate(model, params, [eh], [mask], rating, gen, kv_quant="int8+int2")
