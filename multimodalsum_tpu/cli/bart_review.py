@@ -148,6 +148,7 @@ def main(argv=None):
             sharding=b_shard),
         num_epochs=args.num_epochs,
         rng=jax.random.PRNGKey(args.seed),
+        fsdp=args.fsdp,
         mesh=mesh,
         log_interval=500,
         early_stopping=args.early_stopping,

@@ -38,6 +38,11 @@ def base_parser(description: str) -> argparse.ArgumentParser:
                    help="force a jax platform (e.g. cpu for dry runs)")
     p.add_argument("--multihost", action="store_true",
                    help="call jax.distributed.initialize() for pod slices")
+    p.add_argument("--fsdp", action="store_true",
+                   help="shard params + optimizer state over the data axis "
+                        "(ZeRO/FSDP-style; ~Nx less state memory per device, "
+                        "one parameter all-gather per step; losses identical "
+                        "to plain DP)")
     p.add_argument("--metrics_log", type=str, default=None,
                    help="append JSON-lines training metrics to this file "
                         "(the vendored Trainer's log format, trainer.py:617)")

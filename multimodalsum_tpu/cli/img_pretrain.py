@@ -153,6 +153,7 @@ def main(argv=None):
                               shard_index=si, shard_count=sc), sharding=b_shard),
         num_epochs=args.num_epochs,
         rng=jax.random.PRNGKey(args.seed),
+        fsdp=args.fsdp,
         mesh=mesh,
         log_interval=max(steps_per_epoch // 10, 1),
         early_stopping=args.early_stopping,

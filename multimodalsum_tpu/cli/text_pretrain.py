@@ -106,6 +106,7 @@ def main(argv=None):
         lambda: prefetch_to_device(val_data.epoch(0), sharding=b_shard),
         num_epochs=args.num_epochs,
         rng=jax.random.PRNGKey(args.seed),
+        fsdp=args.fsdp,
         mesh=mesh,
         log_interval=max(steps_per_epoch // 10, 1),
         early_stopping=args.early_stopping,

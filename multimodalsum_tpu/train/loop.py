@@ -157,6 +157,7 @@ def train_model(
     hooks: LoopHooks | None = None,
     deterministic_after: int | None = None,
     start_epoch: int = 0,
+    fsdp: bool = False,
 ):
     """Epoch loop mirroring reference ``train_model`` (``src/train_utils.py:65-97``):
     per-epoch resampling via ``train_batches(epoch)``, validation each epoch,
@@ -171,6 +172,12 @@ def train_model(
     (reference ``trainer.py:419,524-527``). Implemented by passing
     ``rng=None`` (a second jit specialisation), not by mutating the model.
 
+    ``fsdp``: shard params + optimizer state over the mesh's data axis
+    (ZeRO/FSDP-style; ``parallel/sharding.fsdp_shardings``) instead of
+    replicating — ~data_size× less state memory per device, one parameter
+    all-gather per step. Losses are identical to plain DP (same math,
+    different placement); no reference analog (SURVEY §2.5 "optional").
+
     ``start_epoch``: first epoch index to run — pass the resumed checkpoint's
     completed epoch + 1 so ``--resume`` continues the interrupted run instead
     of re-training the full epoch count on top of the restored step (the HF
@@ -183,19 +190,32 @@ def train_model(
     b_shard = batch_sharding(mesh)
     r_shard = replicated(mesh)
 
+    if fsdp:
+        # ZeRO/FSDP-style: params + optimizer state sharded over the data
+        # axis (largest divisible dim per leaf); XLA inserts the per-step
+        # parameter all-gather and gradient reduce-scatter. The state is
+        # re-placed here so the first step doesn't pay a layout transfer
+        # inside the compiled program. parallel/sharding.fsdp_shardings.
+        from multimodalsum_tpu.parallel.sharding import fsdp_shardings
+
+        s_shard = fsdp_shardings(state, mesh)
+        state = jax.device_put(state, s_shard)
+    else:
+        s_shard = r_shard
+
     # donate the state: without donation every step transiently holds TWO
     # copies of params + optimizer state (~15 GB for BART-large + AdamW),
     # which OOMs a 16 GB chip that fits the donated step comfortably
     jit_train = jax.jit(
-        train_step, in_shardings=(r_shard, b_shard, r_shard),
-        out_shardings=(r_shard, r_shard), donate_argnums=0,
+        train_step, in_shardings=(s_shard, b_shard, r_shard),
+        out_shardings=(s_shard, r_shard), donate_argnums=0,
     )
     jit_train_det = jax.jit(
         lambda s, b: train_step(s, b, None),
-        in_shardings=(r_shard, b_shard), out_shardings=(r_shard, r_shard),
+        in_shardings=(s_shard, b_shard), out_shardings=(s_shard, r_shard),
         donate_argnums=0,
     )
-    jit_eval = jax.jit(eval_step, in_shardings=(r_shard, b_shard), out_shardings=r_shard)
+    jit_eval = jax.jit(eval_step, in_shardings=(s_shard, b_shard), out_shardings=r_shard)
     # tail val batches (drop_last=False) may not divide the data axis; they
     # run unsharded instead of being dropped or padded (single-host only —
     # multihost CLIs drop the val tail, see cli/common.host_data_shard)

@@ -110,10 +110,17 @@ def build_real_raw(root, rng):
     Image.fromarray((rng.random((60, 80, 3)) * 255).astype(np.uint8)).save(tmp_img)
     photos = []
     with tarfile.TarFile(f"{root}/yelp/raw_others/yelp_photos.tar", "w") as tar:
-        for i, bid in enumerate(biz_ids + [b[:-3] for b in biz_ids]):
-            pid = f"photo{i}"
-            tar.add(tmp_img, arcname=f"photos/{pid}.jpg")
-            photos.append(dict(photo_id=pid, business_id=bid, label="food"))
+        i = 0
+        for j, bid in enumerate(biz_ids + [b[:-3] for b in biz_ids]):
+            # VARIED photo counts: the prep drops businesses at/above the
+            # 90th-percentile count (reference img_modality_preprocessing.py:
+            # 29-34, strict <) — a uniform count would equal the percentile
+            # and empty photo_dict, starving stage 2a of photo-having groups
+            for _ in range(1 + (j % 3) + (3 if j % 7 == 0 else 0)):
+                pid = f"photo{i}"
+                i += 1
+                tar.add(tmp_img, arcname=f"photos/{pid}.jpg")
+                photos.append(dict(photo_id=pid, business_id=bid, label="food"))
         pj = f"{root}/_photos.json"
         with open(pj, "w") as fj:
             fj.write("\n".join(json.dumps(p) for p in photos))
