@@ -38,6 +38,9 @@ def base_parser(description: str) -> argparse.ArgumentParser:
                    help="force a jax platform (e.g. cpu for dry runs)")
     p.add_argument("--multihost", action="store_true",
                    help="call jax.distributed.initialize() for pod slices")
+    p.add_argument("--max_steps_per_epoch", type=int, default=None,
+                   help="cap training steps per epoch (bounded smoke/debug "
+                        "runs; validation and checkpointing still run)")
     p.add_argument("--fsdp", action="store_true",
                    help="shard params + optimizer state over the data axis "
                         "(ZeRO/FSDP-style; ~Nx less state memory per device, "

@@ -107,6 +107,7 @@ def main(argv=None):
         num_epochs=args.num_epochs,
         rng=jax.random.PRNGKey(args.seed),
         fsdp=args.fsdp,
+        max_steps_per_epoch=args.max_steps_per_epoch,
         mesh=mesh,
         log_interval=max(steps_per_epoch // 10, 1),
         early_stopping=args.early_stopping,

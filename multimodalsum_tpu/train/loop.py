@@ -158,6 +158,7 @@ def train_model(
     deterministic_after: int | None = None,
     start_epoch: int = 0,
     fsdp: bool = False,
+    max_steps_per_epoch: int | None = None,
 ):
     """Epoch loop mirroring reference ``train_model`` (``src/train_utils.py:65-97``):
     per-epoch resampling via ``train_batches(epoch)``, validation each epoch,
@@ -177,6 +178,10 @@ def train_model(
     replicating — ~data_size× less state memory per device, one parameter
     all-gather per step. Losses are identical to plain DP (same math,
     different placement); no reference analog (SURVEY §2.5 "optional").
+
+    ``max_steps_per_epoch``: cap on training steps per epoch for bounded
+    smoke/debug runs (validation and checkpointing still run; note the LR
+    schedule horizon is computed from the uncapped epoch length).
 
     ``start_epoch``: first epoch index to run — pass the resumed checkpoint's
     completed epoch + 1 so ``--resume`` continues the interrupted run instead
@@ -233,6 +238,10 @@ def train_model(
     for epoch in range(start_epoch, num_epochs):
         i = 0
         for batch in train_batches(epoch):
+            if max_steps_per_epoch is not None and i >= max_steps_per_epoch:
+                # bounded smoke/debug runs (scripts/real_data_e2e.py): stop
+                # the epoch early but still validate + checkpoint normally
+                break
             if deterministic_after is not None and global_step >= deterministic_after:
                 state, loss = jit_train_det(state, batch)
             else:

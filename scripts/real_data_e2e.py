@@ -172,7 +172,12 @@ def main():
 
     common = ["--dataset", "yelp", "--data_root", ".", "--ckpt_root", "ckpt",
               "--tokenizer_dir", f"{work}/tok", "--model_config", cfgp,
-              "--num_epochs", "1", "--batch_size", "4"]
+              "--num_epochs", "1", "--batch_size", "4",
+              # bounded smoke: stage 2a/2b expand to 9 items/group (the r2
+              # reference-parity dataset layout) and stage 3 is the full
+              # model — uncapped epochs take hours on CPU without proving
+              # anything extra; every stage still validates + checkpoints
+              "--max_steps_per_epoch", "40"]
 
     print("== stage 1: text_pretrain on real reviews", flush=True)
     from multimodalsum_tpu.cli import text_pretrain
