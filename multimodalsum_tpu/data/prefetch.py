@@ -77,17 +77,24 @@ def prefetch_to_device(
 
     it = iter(batches)
     try:
-        for _ in range(size):
-            queue.append(put(next(it)))
-    except StopIteration:
-        pass
-    while queue:
-        out = queue.popleft()
         try:
-            queue.append(put(next(it)))
+            for _ in range(size):
+                queue.append(put(next(it)))
         except StopIteration:
             pass
-        yield out
+        while queue:
+            out = queue.popleft()
+            try:
+                queue.append(put(next(it)))
+            except StopIteration:
+                pass
+            yield out
+    finally:
+        # propagate early abandonment (generator .close()/GC) to the source
+        # so a host_prefetch producer thread underneath gets released
+        close = getattr(it, "close", None)
+        if close is not None:
+            close()
 
 
 def host_prefetch(batches: Iterable, depth: int = 2) -> Iterator:
@@ -107,8 +114,9 @@ def host_prefetch(batches: Iterable, depth: int = 2) -> Iterator:
 
     Exceptions in the producer re-raise at the consumer. The producer is a
     daemon thread holding at most ``depth`` finished batches; abandoning
-    the iterator early leaves it parked on a full queue until process
-    exit (epoch iterators are always drained by the train loop).
+    the iterator early (generator ``.close()`` or GC — e.g.
+    ``train_model``'s ``max_steps_per_epoch`` break) sets a stop flag that
+    releases the thread instead of leaving it parked on a full queue.
     """
     import queue as queue_mod
     import threading
@@ -116,22 +124,45 @@ def host_prefetch(batches: Iterable, depth: int = 2) -> Iterator:
     q: "queue_mod.Queue" = queue_mod.Queue(maxsize=max(1, depth))
     sentinel = object()
     failure: list = []
+    stop = threading.Event()
 
     def produce():
         try:
             for b in batches:
-                q.put(b)
+                # bounded put so an abandoned consumer (generator .close()
+                # or GC — e.g. train_model's max_steps_per_epoch break)
+                # releases this thread instead of parking it on a full
+                # queue until process exit
+                while not stop.is_set():
+                    try:
+                        q.put(b, timeout=0.2)
+                        break
+                    except queue_mod.Full:
+                        continue
+                if stop.is_set():
+                    return
         except BaseException as e:  # noqa: BLE001 — re-raised at consumer
             failure.append(e)
         finally:
-            q.put(sentinel)
+            # same bounded loop: dropping the sentinel on a transiently full
+            # queue would leave a live consumer blocked on q.get() forever
+            while not stop.is_set():
+                try:
+                    q.put(sentinel, timeout=0.2)
+                    break
+                except queue_mod.Full:
+                    continue
 
-    threading.Thread(target=produce, daemon=True,
-                     name="host_prefetch").start()
-    while True:
-        b = q.get()
-        if b is sentinel:
-            if failure:
-                raise failure[0]
-            return
-        yield b
+    thread = threading.Thread(target=produce, daemon=True,
+                              name="host_prefetch")
+    thread.start()
+    try:
+        while True:
+            b = q.get()
+            if b is sentinel:
+                if failure:
+                    raise failure[0]
+                return
+            yield b
+    finally:
+        stop.set()

@@ -237,10 +237,16 @@ def train_model(
     global_step = int(state.step)
     for epoch in range(start_epoch, num_epochs):
         i = 0
-        for batch in train_batches(epoch):
+        epoch_iter = train_batches(epoch)
+        for batch in epoch_iter:
             if max_steps_per_epoch is not None and i >= max_steps_per_epoch:
                 # bounded smoke/debug runs (scripts/real_data_e2e.py): stop
-                # the epoch early but still validate + checkpoint normally
+                # the epoch early but still validate + checkpoint normally.
+                # Close the iterator so prefetch producer threads underneath
+                # are released (data/prefetch.host_prefetch stop flag)
+                close = getattr(epoch_iter, "close", None)
+                if close is not None:
+                    close()
                 break
             if deterministic_after is not None and global_step >= deterministic_after:
                 state, loss = jit_train_det(state, batch)

@@ -270,3 +270,58 @@ def test_metric_logger_arrays_colliding_keys_and_timer(tmp_path):
     t.step()
     r = t.rates()
     assert r and r["tokens_per_sec"] > 0 and t.measured_steps == 2
+
+
+def test_host_prefetch_releases_producer_on_early_close():
+    """Abandoning a (possibly nested) prefetch iterator mid-epoch — what
+    train_model's max_steps_per_epoch break does — must release the
+    host_prefetch producer thread instead of leaving it parked on a full
+    queue for the life of the process."""
+    import threading
+    import time
+
+    from multimodalsum_tpu.data.prefetch import host_prefetch, prefetch_to_device
+
+    started = threading.Event()
+
+    def slow_source():
+        i = 0
+        while True:  # unbounded: only early close can end the producer
+            started.set()
+            yield {"x": np.full((2, 2), i)}
+            i += 1
+
+    before = {t.ident for t in threading.enumerate()}
+    it = prefetch_to_device(host_prefetch(slow_source(), depth=2))
+    first = next(it)
+    assert first["x"].shape == (2, 2)
+    assert started.wait(5)
+    it.close()  # what the train loop's capped break triggers
+
+    deadline = time.time() + 5
+    while time.time() < deadline:
+        leaked = [t for t in threading.enumerate()
+                  if t.name == "host_prefetch" and t.ident not in before
+                  and t.is_alive()]
+        if not leaked:
+            break
+        time.sleep(0.05)
+    assert not leaked, f"host_prefetch producer thread leaked: {leaked}"
+
+
+def test_host_prefetch_normal_drain_still_works():
+    from multimodalsum_tpu.data.prefetch import host_prefetch
+
+    out = list(host_prefetch(iter([1, 2, 3]), depth=1))
+    assert out == [1, 2, 3]
+
+    # producer exceptions still re-raise at the consumer
+    def bad():
+        yield 1
+        raise RuntimeError("boom")
+
+    it = host_prefetch(bad(), depth=1)
+    assert next(it) == 1
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="boom"):
+        list(it)
