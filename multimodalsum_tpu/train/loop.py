@@ -201,6 +201,15 @@ def train_model(
         # parameter all-gather and gradient reduce-scatter. The state is
         # re-placed here so the first step doesn't pay a layout transfer
         # inside the compiled program. parallel/sharding.fsdp_shardings.
+        if jax.process_count() > 1:
+            # checkpoint hooks np.asarray the state; a multi-host-sharded
+            # array is not host-addressable, so the save would crash deep in
+            # the hook instead of here. Gather-to-host-0 saving is the
+            # missing piece — fail clearly until it exists.
+            raise NotImplementedError(
+                "--fsdp is single-host for now: checkpoint saving gathers "
+                "the state to host memory, which multi-host-sharded arrays "
+                "do not support yet")
         from multimodalsum_tpu.parallel.sharding import fsdp_shardings
 
         s_shard = fsdp_shardings(state, mesh)
