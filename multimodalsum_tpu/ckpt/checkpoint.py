@@ -69,6 +69,14 @@ def save_checkpoint(
     val_loss: float | None = None,
     extra_meta: Optional[dict] = None,
 ) -> None:
+    """Save a train state + per-stage export.
+
+    Multi-controller runs: EVERY process must call this with the same
+    host-gathered state (``train/loop.gather_state_to_host``) — orbax's
+    ``Checkpointer.save`` synchronizes internally and only the primary host
+    writes data; the plain host-file side effects here (meta.json, stats
+    cleanup) are primary-only for the same reason (shared filesystem)."""
+    primary = jax.process_index() == 0
     directory = os.path.abspath(directory)
     os.makedirs(directory, exist_ok=True)
     meta_path = os.path.join(directory, "meta.json")
@@ -76,7 +84,7 @@ def save_checkpoint(
     # kill between orbax's rmtree of the old state/ and the meta rewrite
     # must not leave a stale meta.json beside a deleted/partial tree (the
     # resume machinery treats meta presence as "checkpoint is complete")
-    if os.path.exists(meta_path):
+    if primary and os.path.exists(meta_path):
         os.remove(meta_path)
     ckptr = _checkpointer()
     state = jax.device_get(state)
@@ -97,12 +105,14 @@ def save_checkpoint(
     stats_path = os.path.join(directory, "export_stats")
     if stats_sub:
         ckptr.save(stats_path, stats_sub, force=True)
-    elif os.path.isdir(stats_path):
+    elif primary and os.path.isdir(stats_path):
         # a previous save's stats must not pair with this save's export
         import shutil
 
         shutil.rmtree(stats_path, ignore_errors=True)
     ckptr.wait_until_finished()
+    if not primary:
+        return
     meta = dict(save_option=save_option, epoch=epoch, val_loss=val_loss,
                 step=int(state.step), **(extra_meta or {}))
     # atomic: a kill mid-dump must leave either no meta (incomplete, resume
@@ -235,6 +245,8 @@ def save_rotating_checkpoint(
     directory = os.path.join(root, f"checkpoint-{step}")
     save_checkpoint(directory, state, save_option=save_option, epoch=epoch,
                     val_loss=val_loss)
+    if jax.process_index() != 0:
+        return directory  # rotation cleanup is a primary-host job
     # Incomplete numbered dirs (no meta.json — left by a mid-save kill) are
     # unusable for resume; delete them eagerly so they never occupy a slot in
     # the keep window (a stale incomplete dir with a high step number would

@@ -46,6 +46,13 @@ def base_parser(description: str) -> argparse.ArgumentParser:
                         "(ZeRO/FSDP-style; ~Nx less state memory per device, "
                         "one parameter all-gather per step; losses identical "
                         "to plain DP)")
+    p.add_argument("--save_interval", type=int, default=1,
+                   help="save a checkpoint every N epochs (the final epoch "
+                        "always saves; reference saves every epoch — raise "
+                        "this when per-epoch device->host checkpoint traffic "
+                        "dominates short epochs, e.g. small-corpus overfit "
+                        "runs). Composes with --early_stopping: only epochs "
+                        "the loop deems save-worthy AND on-interval save")
     p.add_argument("--metrics_log", type=str, default=None,
                    help="append JSON-lines training metrics to this file "
                         "(the vendored Trainer's log format, trainer.py:617)")
@@ -138,15 +145,29 @@ def make_hooks(args, save):
     ``--wandb_project`` is set, a JSON-lines/W&B record per logged step
     (``core/observability.MetricLogger``).
 
-    Multi-host: checkpointing, metric files, and W&B runs belong to
-    process 0 only (the reference's world-master gating, rank-0 save in
-    ``train_utils.py:79`` and ``Trainer.is_world_master`` around
+    Multi-host: console/metric files/W&B belong to process 0 only (the
+    reference's world-master gating, ``Trainer.is_world_master`` around
     ``setup_wandb``) — N hosts would otherwise create N W&B runs and race
-    on shared checkpoint/metrics files."""
+    on shared metrics files. The SAVE hook stays live on every process:
+    orbax checkpoint saves are collective (all hosts call, orbax barriers
+    internally and only the primary host writes — ``ckpt.save_checkpoint``),
+    and the loop gathers cross-host-sharded state to host first
+    (``train/loop.gather_state_to_host``)."""
     from multimodalsum_tpu.train.loop import LoopHooks
 
+    interval = getattr(args, "save_interval", 1) or 1
+    if interval > 1:
+        inner_save = save
+        num_epochs = getattr(args, "num_epochs", None)
+
+        def save(st, epoch, vl, _inner=inner_save, _n=num_epochs):
+            # 1-indexed epochs on the interval, plus the final epoch — a run
+            # whose num_epochs is not a multiple of the interval still ends
+            # with a checkpoint
+            if (epoch + 1) % interval == 0 or (_n is not None and epoch >= _n - 1):
+                _inner(st, epoch, vl)
     if jax.process_index() != 0:
-        return LoopHooks(save=lambda *a, **k: None)
+        return LoopHooks(log=lambda m: None, save=save)
     if not (getattr(args, "metrics_log", None)
             or getattr(args, "wandb_project", None)):
         return LoopHooks(save=save)

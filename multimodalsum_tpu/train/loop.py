@@ -131,6 +131,32 @@ def make_eval_step(loss_fn: Callable):
     return eval_step
 
 
+def gather_state_to_host(state, mesh):
+    """Full host-side copy of a (possibly cross-host-sharded) train state.
+
+    The reference's save contract is rank-0 full-state
+    (``src/train_utils.py:79-97``). On one controller this is the identity
+    (``ckpt.save_checkpoint`` does its own ``device_get``). In a
+    multi-controller world the state's arrays are global — a host cannot
+    ``np.asarray`` leaves whose shards live on other hosts (the FSDP case;
+    even replicated leaves are not *fully* addressable) — so a compiled
+    all-gather first replicates every leaf across the mesh (one collective
+    per save, riding ICI/DCN), then each host reads its local copy.
+
+    COLLECTIVE: every process must call this, even though only process 0's
+    save hook writes (``cli.common.make_hooks`` no-ops the others). The full
+    state transiently exists per device; for models whose *sharded* state
+    only just fits, switch to an orbax per-shard distributed save instead.
+    """
+    if jax.process_count() == 1:
+        return state
+    import numpy as np
+
+    rep = replicated(mesh)
+    state = jax.jit(lambda s: s, out_shardings=rep)(state)
+    return jax.tree.map(lambda x: np.asarray(x.addressable_data(0)), state)
+
+
 @dataclass
 class LoopHooks:
     """Host-side callbacks: logging and checkpointing."""
@@ -201,15 +227,8 @@ def train_model(
         # parameter all-gather and gradient reduce-scatter. The state is
         # re-placed here so the first step doesn't pay a layout transfer
         # inside the compiled program. parallel/sharding.fsdp_shardings.
-        if jax.process_count() > 1:
-            # checkpoint hooks np.asarray the state; a multi-host-sharded
-            # array is not host-addressable, so the save would crash deep in
-            # the hook instead of here. Gather-to-host-0 saving is the
-            # missing piece — fail clearly until it exists.
-            raise NotImplementedError(
-                "--fsdp is single-host for now: checkpoint saving gathers "
-                "the state to host memory, which multi-host-sharded arrays "
-                "do not support yet")
+        # Multi-host saves gather the sharded state back to host memory
+        # first (gather_state_to_host below).
         from multimodalsum_tpu.parallel.sharding import fsdp_shardings
 
         s_shard = fsdp_shardings(state, mesh)
@@ -300,6 +319,8 @@ def train_model(
         should_save = (not early_stopping) or (
             math.isfinite(val_loss) and val_loss <= min(finite))
         if should_save and hooks.save is not None:
-            hooks.save(state, epoch, val_loss)
+            # the argument is evaluated on EVERY process (the gather is a
+            # collective) even where the hook itself is a process!=0 no-op
+            hooks.save(gather_state_to_host(state, mesh), epoch, val_loss)
 
     return state, val_losses

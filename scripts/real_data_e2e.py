@@ -32,10 +32,6 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import jax
-
-jax.config.update("jax_platforms", os.environ.get("MMS_DEMO_PLATFORM", "cpu"))
-
 import numpy as np
 import pandas as pd
 
@@ -128,6 +124,12 @@ def build_real_raw(root, rng):
 
 
 def main():
+    # platform pin lives here, NOT at import time — train_real_ckpt.py
+    # imports build_real_raw and must keep the default (TPU) backend
+    import jax
+
+    jax.config.update("jax_platforms", os.environ.get("MMS_DEMO_PLATFORM", "cpu"))
+
     import glob
     import tempfile
 

@@ -1,0 +1,163 @@
+"""Train a REAL-corpus bart-large checkpoint in-environment (VERDICT r2 #1).
+
+Overfit-trains the full-geometry model (d_model 1024, 12+12 layers, vocab
+50265 — the exact shapes `bench.py` measures) through stages 1 -> 2a/2b -> 3
+on the reference repo's own 200-business Yelp corpus
+(`/root/reference/data/yelp/test/summaries_0-200_cleaned.csv`, the same
+real-text source `scripts/real_data_e2e.py` uses). Overfitting is the POINT:
+the deliverable is *peaked logits* so the int8/int4 quantization quality gate
+(reference metric contract: ``src/test.py:222-236``) measures real divergence
+instead of single-ULP coin flips on near-uniform random-init logits.
+
+The tokenizer is a byte-level BPE trained on the corpus (no pretrained BART
+assets exist in this offline environment); the model keeps the full 50265
+vocab so throughput geometry is identical to the headline bench config.
+
+Stages are skipped when their checkpoint already reports the target epoch —
+re-running after an interruption resumes at the first unfinished stage.
+
+Usage:
+  python scripts/train_real_ckpt.py [workdir]       # full run (~1.5 h on chip)
+  SMOKE=1 python scripts/train_real_ckpt.py [wd]    # wiring check (~5 min)
+"""
+
+import glob
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SMOKE = bool(int(os.environ.get("SMOKE", "0")))
+
+# epochs per stage (21 train steps/epoch at batch 8 over the 170-group split)
+EPOCHS = dict(stage1=2, stage2a=1, stage2b=1, stage3=2) if SMOKE else dict(
+    stage1=180, stage2a=3, stage2b=3, stage3=70)
+SAVE_IV = dict(stage1=2, stage2a=1, stage2b=1, stage3=2) if SMOKE else dict(
+    stage1=30, stage2a=3, stage2b=3, stage3=14)
+BATCH = 8          # the reference stage-3 global batch (README.md:139-140)
+VOCAB = 50265      # full bart-large head geometry; the corpus caps the BPE
+                   # at fewer real merges, unused tail ids train toward -inf
+
+
+def stage_done(ckpt_dir: str, target_epochs: int) -> bool:
+    meta = os.path.join(ckpt_dir, "meta.json")
+    if not os.path.exists(meta):
+        return False
+    try:
+        return int(json.load(open(meta)).get("epoch", -1)) >= target_epochs - 1
+    except (ValueError, TypeError):
+        return False
+
+
+def main():
+    work = os.path.abspath(sys.argv[1] if len(sys.argv) > 1 else
+                           os.path.join(os.path.dirname(__file__), "..",
+                                        "_work", "real_ckpt"))
+    os.makedirs(work, exist_ok=True)
+    os.chdir(work)
+    print(f"== workdir {work} (smoke={SMOKE})", flush=True)
+
+    import numpy as np
+
+    # ---- data: identical construction to scripts/real_data_e2e.py ---------
+    if not os.path.exists(f"{work}/yelp/raw/reviews.json"):
+        from scripts.real_data_e2e import build_real_raw
+
+        print("== building raw dumps from the shipped reference corpus", flush=True)
+        build_real_raw(work, np.random.default_rng(0))
+
+    if not os.path.exists(f"{work}/yelp/meta.csv"):
+        print("== preprocess (text DAG + multimodal)", flush=True)
+        from multimodalsum_tpu.cli import preprocess
+
+        preprocess.main(["text", "--dataset", "yelp", "--data_root", ".",
+                         "--raw", f"{work}/yelp/raw/reviews.json",
+                         "--min_revs", "9", "--min_rev_len", "5",
+                         "--max_rev_len", "400", "--percentile", "100",
+                         "--train_part", "0.85", "--val_part", "0.15"])
+        preprocess.main(["multimodal", "--dataset", "yelp", "--data_root", "."])
+
+    if not os.path.exists(f"{work}/tok/vocab.json"):
+        print("== training byte-level BPE on the real reviews", flush=True)
+        from multimodalsum_tpu.data.tokenizer import train_bpe
+        from multimodalsum_tpu.pipeline.textprep import read_group_csv
+
+        corpus = []
+        for fp in glob.glob(f"{work}/yelp/5.text/*/*.csv"):
+            corpus.extend(r["review_text"] for r in read_group_csv(fp))
+        tok = train_bpe(corpus, VOCAB, f"{work}/tok")
+        print(f"   corpus {len(corpus)} reviews -> BPE vocab {tok.vocab_size} "
+              f"(model head stays {VOCAB})", flush=True)
+
+    common = ["--dataset", "yelp", "--data_root", ".", "--ckpt_root", "ckpt",
+              "--tokenizer_dir", f"{work}/tok", "--bf16",
+              "--batch_size", str(BATCH), "--max_grad_norm", "1.0"]
+    if SMOKE:
+        common += ["--max_steps_per_epoch", "3"]
+
+    def run(stage, fn, argv):
+        t0 = time.time()
+        fn(argv)
+        print(f"== {stage} done in {time.time() - t0:.0f}s", flush=True)
+
+    # ---- stage 1: text pretraining at bart-large geometry ------------------
+    if stage_done("ckpt/text_pretrained_yelp", EPOCHS["stage1"]):
+        print("== stage 1 already complete, skipping", flush=True)
+    else:
+        from multimodalsum_tpu.cli import text_pretrain
+
+        run("stage 1 (text_pretrain)", text_pretrain.main, common + [
+            "--num_epochs", str(EPOCHS["stage1"]),
+            "--save_interval", str(SAVE_IV["stage1"]),
+            "--learning_rate", "1e-4", "--warmup_ratio", "0.1",
+            "--workers", "2",
+            "--metrics_log", f"{work}/metrics_stage1.jsonl"])
+
+    # ---- stage 2a/2b: img + table pretraining (frozen text decoder pivot) --
+    if stage_done("ckpt/img_pretrained_yelp", EPOCHS["stage2a"]):
+        print("== stage 2a already complete, skipping", flush=True)
+    else:
+        from multimodalsum_tpu.cli import img_pretrain
+
+        run("stage 2a (img_pretrain)", img_pretrain.main, common + [
+            "--num_epochs", str(EPOCHS["stage2a"]),
+            "--save_interval", str(SAVE_IV["stage2a"]),
+            "--learning_rate", "1e-4",
+            "--bart_init", "ckpt/text_pretrained_yelp",
+            "--metrics_log", f"{work}/metrics_stage2a.jsonl"])
+
+    if stage_done("ckpt/table_pretrained_yelp", EPOCHS["stage2b"]):
+        print("== stage 2b already complete, skipping", flush=True)
+    else:
+        from multimodalsum_tpu.cli import table_pretrain
+
+        run("stage 2b (table_pretrain)", table_pretrain.main, common + [
+            "--num_epochs", str(EPOCHS["stage2b"]),
+            "--save_interval", str(SAVE_IV["stage2b"]),
+            "--learning_rate", "1e-4",
+            "--bart_init", "ckpt/text_pretrained_yelp",
+            "--metrics_log", f"{work}/metrics_stage2b.jsonl"])
+
+    # ---- stage 3: end-to-end multimodal training ----------------------------
+    if stage_done("ckpt/multimodal_trained_yelp", EPOCHS["stage3"]):
+        print("== stage 3 already complete, skipping", flush=True)
+    else:
+        from multimodalsum_tpu.cli import multimodal_train
+
+        run("stage 3 (multimodal_train)", multimodal_train.main, common + [
+            "--num_epochs", str(EPOCHS["stage3"]),
+            "--save_interval", str(SAVE_IV["stage3"]),
+            "--learning_rate", "5e-5", "--label_smoothing", "0.1",
+            "--bart_init", "ckpt/text_pretrained_yelp",
+            "--img_init", "ckpt/img_pretrained_yelp",
+            "--table_init", "ckpt/table_pretrained_yelp",
+            "--metrics_log", f"{work}/metrics_stage3.jsonl"])
+
+    print(f"== all stages complete; checkpoint: "
+          f"{work}/ckpt/multimodal_trained_yelp", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -22,11 +22,12 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_distributed_dp_loss_matches_single():
+def test_two_process_distributed_dp_loss_matches_single(tmp_path):
     port = _free_port()
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)  # worker sets its own 4-device count
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    env["MULTIHOST_FSDP_CKPT_DIR"] = str(tmp_path / "fsdp_ckpt")
     worker = os.path.join(REPO, "tests", "multihost_worker.py")
 
     procs = [subprocess.Popen(
@@ -44,7 +45,7 @@ def test_two_process_distributed_dp_loss_matches_single():
         outs.append(out)
         assert p.returncode == 0, f"worker failed:\n{out[-2000:]}"
 
-    losses, cli_losses = {}, {}
+    losses, cli_losses, fsdp_ok = {}, {}, {}
     for out in outs:
         for line in out.splitlines():
             if line.startswith("MULTIHOST_LOSS"):
@@ -53,7 +54,15 @@ def test_two_process_distributed_dp_loss_matches_single():
             elif line.startswith("MULTIHOST_CLI_LOSS"):
                 _, pid, val = line.split()
                 cli_losses[int(pid)] = float(val)
+            elif line.startswith("MULTIHOST_FSDP_OK"):
+                _, pid, val = line.split()
+                fsdp_ok[int(pid)] = float(val)
     assert set(losses) == {0, 1}, f"missing loss lines: {outs}"
+    # FSDP train -> gather-to-host -> orbax save -> restore succeeded on both
+    # controllers, with identical restored params (the in-worker asserts
+    # compare leaf-by-leaf; the checksum equality here crosses hosts)
+    assert set(fsdp_ok) == {0, 1}, f"missing FSDP save/restore lines: {outs}"
+    assert fsdp_ok[0] == fsdp_ok[1], fsdp_ok
     # the CLI-path helpers (mesh_for_batch + prefetch_to_device) must agree
     # with the hand-built global mesh on both controllers
     assert set(cli_losses) == {0, 1}, f"missing CLI loss lines: {outs}"
