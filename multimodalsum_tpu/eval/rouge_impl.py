@@ -25,13 +25,13 @@ protocol the reference actually exercises:
   every alpha (harmonic mean at 0.5; alpha→1 weights precision);
 * ``apply_avg``: mean F over pairs.
 
-Known deviation (documented in PARITY.md): py-rouge additionally maps
-irregular word forms through a WordNet exception table
-(``wordnet_key_value.txt``, derived from WordNet's ``*.exc`` files) before
-Porter stemming; that data file ships inside the py-rouge package and is not
-available in this offline environment. Scores can differ in the last decimals
-on texts containing irregular plurals/past tenses longer than 3 chars
-(e.g. 'children', 'mice', 'brought').
+Like py-rouge, irregular word forms are mapped through a WordNet
+exception table *instead of* Porter stemming ('children' -> 'child',
+'brought' -> 'bring'): py-rouge's ``stem_tokens`` consults
+``wordnet_key_value.txt`` for every token longer than 3 chars and only stems
+on a miss. That data file is not available offline, so ``eval/wordnet_exc.py``
+ships a curated equivalent covering the common English irregular inflections
+(see its docstring and PARITY.md for the tiny residual gap on rare forms).
 
 Note: the installed ``rouge`` 1.0.1 library is NOT a valid oracle — it counts
 unique n-grams (set semantics) instead of ROUGE-1.5.5's clipped multiset
@@ -49,6 +49,8 @@ from typing import Dict, List
 from nltk.stem import PorterStemmer
 from nltk.tokenize.treebank import TreebankWordTokenizer
 
+from multimodalsum_tpu.eval.wordnet_exc import WORDNET_EXCEPTIONS
+
 _REMOVE_CHARS = re.compile(r"[^A-Za-z0-9]")  # py-rouge REMOVE_CHAR_PATTERN
 # py-rouge: Rouge.STEMMER = PorterStemmer('ORIGINAL_ALGORITHM') when
 # ensure_compatibility (the default, and what reference src/test.py:28 uses)
@@ -62,15 +64,16 @@ def plansum_tokens(text: str) -> List[str]:
     """PlanSum preprocessing to a token list (reference ``rouge_preprocess``,
     ``src/test.py:19-26``; py-rouge ``_preprocess_summary_as_a_whole``):
     lowercase → strip punctuation → protect substring 'cannot' → Treebank
-    tokenize → Porter-stem (ORIGINAL_ALGORITHM) tokens with len > 3 →
-    restore 'cannot'."""
+    tokenize → for tokens with len > 3: WordNet irregular-form lookup, else
+    Porter-stem (ORIGINAL_ALGORITHM) → restore 'cannot'."""
     text = _REMOVE_CHARS.sub(" ", text.lower()).strip()
     # KEEP_CANNOT_IN_ONE_WORD is a plain substring sub in py-rouge
     text = text.replace("cannot", "_cannot_")
     out = []
     for tok in _TREEBANK.tokenize(text):
         if len(tok) > 3:
-            tok = _STEMMER.stem(tok)
+            # py-rouge stem_tokens: WordNet exception hit REPLACES stemming
+            tok = WORDNET_EXCEPTIONS.get(tok) or _STEMMER.stem(tok)
         out.append(tok)
     # KEEP_CANNOT_IN_ONE_WORD_REVERSED applies to the joined string
     return " ".join(out).replace("_cannot_", "cannot").split()

@@ -176,3 +176,40 @@ def test_floor_corpora_vs_rouge_score_oracle():
                             for h, r in zip(ahyps, arefs)]) * 100
             np.testing.assert_allclose(got[key], want, atol=1e-9,
                                        err_msg=f"summ{j} {key}")
+
+
+def test_wordnet_irregular_forms_replace_stemming():
+    """py-rouge maps irregular forms through its WordNet exception table
+    INSTEAD of Porter-stemming (stem_tokens); reference src/test.py:19-26.
+    Curated equivalent: eval/wordnet_exc.py."""
+    # irregular plural / past forms hit the table
+    assert plansum_tokens("the children were happy") == \
+        ["the", "child", "be", "happi"]
+    assert plansum_tokens("brought bought thought") == \
+        ["bring", "buy", "think"]
+    assert plansum_tokens("frozen yogurt was eaten") == \
+        ["freeze", "yogurt", "was", "eat"]
+    assert plansum_tokens("mice teeth feet women") == \
+        ["mouse", "tooth", "foot", "woman"]
+    # table hit REPLACES stemming: 'taken' -> 'take' (porter would keep
+    # 'taken'); misses still stem ('taking' -> 'take' via porter)
+    assert plansum_tokens("taken taking") == ["take", "take"]
+    # len<=3 tokens never reach the lookup ('men', 'ate' stay verbatim)
+    assert plansum_tokens("men ate") == ["men", "ate"]
+    # cross-form pairs now score as matches, like py-rouge
+    hyp = plansum_tokens("the staff brought our food")
+    ref = plansum_tokens("staff brings the food")
+    # hyp: the staff bring our food; ref: staff bring the food
+    assert rouge_n_pair(hyp, ref, 1) == pytest.approx(
+        2 * (4 / 5) * (4 / 4) / ((4 / 5) + (4 / 4)))
+
+
+def test_wordnet_table_wellformed():
+    from multimodalsum_tpu.eval.wordnet_exc import WORDNET_EXCEPTIONS
+
+    assert len(WORDNET_EXCEPTIONS) > 250
+    for k, v in WORDNET_EXCEPTIONS.items():
+        assert k == k.lower() and len(k) > 3, k
+        assert v and v == v.lower(), (k, v)
+        # a base form must not itself remap (idempotence of the mapping)
+        assert v not in WORDNET_EXCEPTIONS, (k, v)
