@@ -58,6 +58,18 @@ def main(argv=None):
     p.add_argument("--tp", type=int, default=1,
                    help="tensor-parallel width (model mesh axis); uses "
                         "dp*tp devices")
+    p.add_argument("--scheduler", type=str, default="static",
+                   choices=["static", "continuous"],
+                   help="bulk decode scheduling: 'static' jits one "
+                        "while_loop over each batch (every batch waits for "
+                        "its slowest row); 'continuous' streams rows "
+                        "through the slot engine (decode/serving.py, "
+                        "token-identical) so early-stopped rows free their "
+                        "slot immediately — wins when lengths vary")
+    p.add_argument("--n_slots", type=int, default=None,
+                   help="continuous scheduler slots (default: batch_size)")
+    p.add_argument("--steps_per_tick", type=int, default=8,
+                   help="continuous scheduler decode steps per host sync")
     args = p.parse_args(argv)
     setup_environment(args)
     if args.pallas:
@@ -107,7 +119,9 @@ def main(argv=None):
                               kv_quant=args.kv_quant,
                               self_kv_quant=args.self_kv_quant,
                               cache_mode=args.cache_mode,
-                              mesh=mesh)
+                              mesh=mesh, scheduler=args.scheduler,
+                              n_slots=args.n_slots,
+                              steps_per_tick=args.steps_per_tick)
 
     if args.output:
         os.makedirs(os.path.dirname(args.output) or ".", exist_ok=True)

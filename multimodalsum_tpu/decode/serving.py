@@ -788,8 +788,14 @@ class ContinuousBatcher:
             slots = [self._free.popleft() for _ in range(kb)]
             try:
                 n_mod = len(self.modality_shapes)
-                hiddens = [np.stack([b[1][i] for b in batch])
-                           for i in range(n_mod)]
+                # device-resident requests (bulk eval hands the encoder's
+                # jitted outputs straight in) stack with jnp — np.stack
+                # would round-trip every request's states through host
+                # memory, which on a remote-device link costs seconds/req
+                hiddens = [
+                    (jnp.stack if isinstance(batch[0][1][i], jax.Array)
+                     else np.stack)([b[1][i] for b in batch])
+                    for i in range(n_mod)]
                 ckv = self._project(self.params, hiddens)  # leaves [kb, ...]
                 self._ensure_cross_kv_slabs(ckv)
                 keys = None
@@ -810,7 +816,8 @@ class ContinuousBatcher:
                     src_rows, src_len_rows = jnp.asarray(rows), jnp.asarray(lens)
                 self.state = self._insert(
                     self.state, jnp.asarray(slots, jnp.int32), ckv,
-                    tuple(jnp.asarray(np.stack([b[2][i] for b in batch]), bool)
+                    tuple((jnp.stack if isinstance(batch[0][2][i], jax.Array)
+                           else np.stack)([b[2][i] for b in batch]).astype(bool)
                           for i in range(n_mod)),
                     jnp.asarray([[float(b[3])] for b in batch], jnp.float32),
                     keys, src_rows, src_len_rows)

@@ -40,18 +40,36 @@ def generate_summaries(
     self_kv_quant: str | None = None,
     cache_mode: str | None = None,
     mesh=None,
+    scheduler: str = "static",
+    n_slots: int | None = None,
+    steps_per_tick: int = 8,
 ) -> List[str]:
     """``cache_mode=None`` resolves to "ancestry" on a single device (2.5x
     faster, token-identical — SCALING.md) but "reorder" under a mesh: the
     ancestry one-hot gather contracts over the full (batch-sharded) row
     axis, which SPMD can only lower with per-step cross-device KV movement,
-    while the reorder ``take`` stays shard-local."""
+    while the reorder ``take`` stays shard-local.
+
+    ``scheduler="continuous"`` replaces the static all-rows while_loop with
+    the slot-based continuous batcher (``decode/serving.ContinuousBatcher``,
+    token-identical outputs): finished rows free their slot immediately and
+    the next queued row refills it, so with ``early_stopping`` (the
+    reference eval contract, ``src/test.py:156-158``) the batch never waits
+    for its slowest row — the static path pays max(len) per batch where
+    this pays ~mean(len). ``n_slots`` defaults to ``batch_size``;
+    ``steps_per_tick`` amortises the per-tick host sync on remote links."""
+    if scheduler not in ("static", "continuous"):
+        raise ValueError(f"unknown scheduler {scheduler!r}")
+    if scheduler == "continuous" and mesh is not None:
+        raise ValueError("continuous eval scheduling is single-device for "
+                         "now (the slot engine owns its own device layout); "
+                         "drop --scheduler continuous or the mesh flags")
     if cache_mode is None:
         cache_mode = "reorder" if mesh is not None else "ancestry"
     field = dataset.field_tokens(tokenizer)
     bart = BartModel(model.config, multimodal=True, dtype=model.dtype)
 
-    def pipeline(params, batch_stats, reviews, reviews_mask, field_values, img, img_mask):
+    def encode_batch(params, batch_stats, reviews, reviews_mask, field_values, img, img_mask):
         vs = {"params": params, "batch_stats": batch_stats}
         b = reviews.shape[0]
         text_h = model.apply(vs, reviews, reviews_mask, method=MultimodalSum.encode_text)
@@ -78,10 +96,15 @@ def generate_summaries(
             img_m = img_m.reshape(b, *img_m.shape[2:])
         else:
             img_h, img_m = model.apply(vs, img, img_mask, method=MultimodalSum.encode_img)
+        return ([text_h, table_h, img_h],
+                [reviews_mask.astype(bool), table_m, img_m])
+
+    def pipeline(params, batch_stats, reviews, reviews_mask, field_values, img, img_mask):
+        hiddens, masks = encode_batch(params, batch_stats, reviews,
+                                      reviews_mask, field_values, img, img_mask)
+        b = reviews.shape[0]
         rating = jnp.zeros((b, 1), jnp.float32)  # zeros at eval (src/test.py:155)
-        res = generate(bart, params["bart"],
-                       [text_h, table_h, img_h],
-                       [reviews_mask.astype(bool), table_m, img_m],
+        res = generate(bart, params["bart"], hiddens, masks,
                        rating, gen, kv_quant=kv_quant,
                        self_kv_quant=self_kv_quant, cache_mode=cache_mode)
         if res.lengths.ndim == 1:  # greedy (num_beams == 1): [B, L] / [B]
@@ -142,6 +165,49 @@ def generate_summaries(
                 np.stack([r["img_mask"] for r in rows]),
             )
 
+    if scheduler == "continuous":
+        from multimodalsum_tpu.data.prefetch import host_prefetch
+        from multimodalsum_tpu.decode.serving import ContinuousBatcher
+
+        enc = jax.jit(encode_batch)
+        engine = None
+        results: dict = {}
+        next_id = 0
+        t_start = time.time()
+        for real, arrs in host_prefetch(host_batches()):
+            hiddens, masks = enc(params, batch_stats, *arrs)
+            if engine is None:
+                shapes = [tuple(h.shape[1:3]) for h in hiddens]
+                engine = ContinuousBatcher(
+                    bart, params["bart"], gen,
+                    n_slots=n_slots or batch_size,
+                    modality_shapes=shapes, kv_quant=kv_quant,
+                    steps_per_tick=steps_per_tick, cache_mode=cache_mode)
+            # split the encoded batch into device-resident per-row requests
+            # (serving stacks jax.Arrays with jnp — no host round-trip)
+            for r in range(real):
+                engine.submit(next_id, [h[r] for h in hiddens],
+                              [m[r] for m in masks])
+                next_id += 1
+            # advance decode while the next batch's host assembly runs in
+            # the prefetch thread; stop ticking as soon as a slot is free
+            # to take rows from the NEXT batch (ticks refill from the
+            # queue first, so a free slot implies the queue is empty)
+            while engine.pending:
+                st = engine.stats()
+                if st["queued"] == 0 and st["active"] < st["n_slots"]:
+                    break
+                for rid, tokens, _ in engine.tick():
+                    results[rid] = tokens
+        if engine is not None:
+            for rid, tokens in engine.run().items():
+                results[rid] = tokens
+        ticks = engine.stats()["ticks"] if engine else 0
+        log(f"continuous eval: {len(results)} rows, {ticks} ticks "
+            f"x{steps_per_tick} steps, {time.time() - t_start:.2f}s")
+        return [tokenizer.decode(results[i], skip_special_tokens=True)
+                for i in range(next_id)]
+
     # overlap host assembly AND H2D transfer with device compute: batches
     # build in a background thread (host_prefetch — PIL decode of b*10
     # images + tokenization would otherwise run while the device idles) and
@@ -183,11 +249,16 @@ def evaluate(
     cache_mode: str | None = None,
     mesh=None,
     log=print,
+    scheduler: str = "static",
+    n_slots: int | None = None,
+    steps_per_tick: int = 8,
 ) -> tuple[Dict[str, float], List[str]]:
     """Generate + score (reference ``src/test.py:218-236``); returns
     (metrics, generated summaries)."""
     preds = generate_summaries(model, params, batch_stats, dataset, tokenizer,
                                gen, batch_size, log=log, kv_quant=kv_quant,
                                self_kv_quant=self_kv_quant,
-                               cache_mode=cache_mode, mesh=mesh)
+                               cache_mode=cache_mode, mesh=mesh,
+                               scheduler=scheduler, n_slots=n_slots,
+                               steps_per_tick=steps_per_tick)
     return aggregate_multi_reference(preds, dataset.summaries, with_bert=with_bert), preds

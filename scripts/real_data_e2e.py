@@ -1,11 +1,18 @@
-"""End-to-end run on the REAL shipped reference data (VERDICT r1 #8).
+"""End-to-end run on the REAL shipped reference data (VERDICT r1 #8, r2 #8).
 
 Drives the full CLI pipeline — preprocess -> stage 0/1/2a/2b/3 -> cli.test —
-on the reference repo's own evaluation corpus
-(``/root/reference/data/yelp/test/summaries_0-200_cleaned.csv``: 200 Yelp
-businesses x 8 genuine reviews + 1 gold summary each), with a byte-level BPE
-tokenizer trained on that real text and the real ROUGE scorer against the
-real gold summaries.
+on the reference repo's own evaluation corpora:
+
+* yelp (default): ``/root/reference/data/yelp/test/summaries_0-200_cleaned.csv``
+  — 200 Yelp businesses x 8 genuine reviews + 1 gold summary each;
+* amazon (``--dataset amazon``): ``/root/reference/data/amazon/test/*.csv``
+  — 60 products x 8 genuine reviews + 3 gold summaries each across 4
+  categories, exercising ``AmazonTableEncoder`` (price/rating binarization,
+  per-token brand/name/category/description fields) and the 3-reference
+  ROUGE averaging of ``src/test.py:75-79`` end-to-end;
+
+with a byte-level BPE tokenizer trained on that real text and the real ROUGE
+scorer against the real gold summaries.
 
 The goal is NOT paper ROUGE (no trained bart-large weights exist here and
 the model is deliberately small) — it is proving the pipeline survives real
@@ -23,7 +30,7 @@ What is real vs synthesized:
   * business metadata and photos — NOT shipped in the reference repo, so
     schema-valid stand-ins are generated (same shapes as production).
 
-Usage:  python scripts/real_data_e2e.py [workdir]
+Usage:  python scripts/real_data_e2e.py [workdir] [--dataset yelp|amazon]
 """
 
 import json
@@ -123,6 +130,77 @@ def build_real_raw(root, rng):
         tar.add(pj, arcname="photos.json")
 
 
+AMAZON_CAT_TITLES = {
+    "cloth": "Clothing_Shoes_and_Jewelry",
+    "electronics": "Electronics",
+    "health_personal_care": "Health_and_Personal_Care",
+    "home_kitchen": "Home_and_Kitchen",
+}
+
+
+def build_real_raw_amazon(root, rng):
+    """Raw Amazon-format dumps carrying the REAL shipped reviews.
+
+    Real: review text, product ids, gold summaries (3 per product), category
+    assignment. Synthesized (not shipped): product metadata (price, brand,
+    title, categories, description) and the one ``<asin>.jpg`` stand-in photo
+    per product the amazon image modality expects."""
+    import gzip
+
+    base = f"{root}/amazon"
+    os.makedirs(f"{base}/raw", exist_ok=True)
+    os.makedirs(f"{base}/raw_others/photos", exist_ok=True)
+    os.makedirs(f"{base}/test", exist_ok=True)
+
+    src = "/root/reference/data/amazon/test"
+    for name in ("all", "dev", "test"):
+        pd.read_csv(f"{src}/{name}.csv", sep="\t").to_csv(
+            f"{base}/test/{name}.csv", sep="\t", index=False)
+
+    df = pd.read_csv(f"{src}/all.csv", sep="\t")
+    meta_rows: dict = {t: [] for t in AMAZON_CAT_TITLES.values()}
+    raw_fps = {}
+    for title in sorted(set(AMAZON_CAT_TITLES.values())):
+        raw_fps[title] = gzip.open(f"{base}/raw/{title}.json.gz", "wb")
+    for k, (_, row) in enumerate(df.iterrows()):
+        title = AMAZON_CAT_TITLES[row["cat"]]
+        asin = f"{row['prod_id']}_tr"  # dodge test-id exclusion (all.csv)
+        texts = [str(row[f"rev{i}"]) for i in range(1, 9)]
+        # 8 real + varied repeats: the 9-per-group sampling contract + the
+        # strict-below-percentile filter (same trick as the yelp leg). The
+        # amazon text-modality join dedups by TEXT (no review ids exist in
+        # the raw schema), so repeats carry a distinguishing suffix.
+        for i in range(2 + (k % 3)):
+            texts.append(texts[i] + f" Still my impression after try {i + 2}.")
+        for text in texts:
+            raw_fps[title].write((repr(dict(
+                asin=asin, reviewText=text,
+                overall=float(rng.integers(1, 6)))) + "\n").encode())
+        # metadata stand-ins for the train AND eval ids (meta.csv covers both)
+        for aid in (asin, str(row["prod_id"])):
+            meta_rows[title].append(dict(
+                asin=aid, title=f"Product {aid[:8]}", brand=f"Brand{k % 7}",
+                price=float(rng.integers(5, 200)),
+                categories=[[title.replace("_", " "), f"Sub{k % 5}"]],
+                description=f"<p>A <b>popular</b> {row['cat']} item.</p>"))
+    for fp in raw_fps.values():
+        fp.close()
+    for title, rows in meta_rows.items():
+        with open(f"{base}/raw_others/meta_{title}.json", "w") as f:
+            for rec in rows:
+                f.write(repr(rec) + "\n")
+
+    from PIL import Image
+
+    # one <asin>.jpg per product for MOST ids — varied presence like
+    # production (some products have no photo)
+    img = Image.fromarray((rng.random((60, 80, 3)) * 255).astype(np.uint8))
+    for k, (_, row) in enumerate(df.iterrows()):
+        for aid in (f"{row['prod_id']}_tr", str(row["prod_id"])):
+            if k % 5 != 4:
+                img.save(f"{base}/raw_others/photos/{aid}.jpg")
+
+
 def main():
     # platform pin lives here, NOT at import time — train_real_ckpt.py
     # imports build_real_raw and must keep the default (TPU) backend
@@ -130,37 +208,49 @@ def main():
 
     jax.config.update("jax_platforms", os.environ.get("MMS_DEMO_PLATFORM", "cpu"))
 
+    import argparse
     import glob
     import tempfile
 
-    work = sys.argv[1] if len(sys.argv) > 1 else tempfile.mkdtemp(prefix="mms_real_")
+    ap = argparse.ArgumentParser()
+    ap.add_argument("workdir", nargs="?", default=None)
+    ap.add_argument("--dataset", choices=["yelp", "amazon"], default="yelp")
+    args = ap.parse_args()
+    ds = args.dataset
+
+    work = args.workdir or tempfile.mkdtemp(prefix=f"mms_real_{ds}_")
     work = os.path.abspath(work)
     os.makedirs(work, exist_ok=True)
     os.chdir(work)
     rng = np.random.default_rng(0)
-    print(f"== workdir {work}", flush=True)
+    print(f"== workdir {work} dataset {ds}", flush=True)
 
     print("== raw dumps from the shipped reference corpus", flush=True)
-    build_real_raw(work, rng)
+    if ds == "yelp":
+        build_real_raw(work, rng)
+        raw = [f"{work}/yelp/raw/reviews.json"]
+    else:
+        build_real_raw_amazon(work, rng)
+        raw = sorted(glob.glob(f"{work}/amazon/raw/*.json.gz"))
 
     print("== preprocess (text DAG + multimodal)", flush=True)
     from multimodalsum_tpu.cli import preprocess
 
     # real reviews run 30-200+ words; keep them (the reference's 70-token
-    # cap is tuned for the full million-review dump, not this 2k subset)
-    preprocess.main(["text", "--dataset", "yelp", "--data_root", ".",
-                     "--raw", f"{work}/yelp/raw/reviews.json",
+    # cap is tuned for the full million-review dump, not this tiny subset)
+    preprocess.main(["text", "--dataset", ds, "--data_root", ".",
+                     "--raw", *raw,
                      "--min_revs", "9", "--min_rev_len", "5",
                      "--max_rev_len", "400", "--percentile", "100",
                      "--train_part", "0.85", "--val_part", "0.15"])
-    preprocess.main(["multimodal", "--dataset", "yelp", "--data_root", "."])
+    preprocess.main(["multimodal", "--dataset", ds, "--data_root", "."])
 
     print("== tokenizer: byte-level BPE trained on the real reviews", flush=True)
     from multimodalsum_tpu.data.tokenizer import train_bpe
     from multimodalsum_tpu.pipeline.textprep import read_group_csv
 
     corpus = []
-    for fp in glob.glob(f"{work}/yelp/5.text/*/*.csv"):
+    for fp in glob.glob(f"{work}/{ds}/5.text/*/*.csv"):
         corpus.extend(r["review_text"] for r in read_group_csv(fp))
     print(f"   corpus: {len(corpus)} real reviews", flush=True)
     train_bpe(corpus, 3000, f"{work}/tok")
@@ -172,7 +262,7 @@ def main():
                    decoder_ffn_dim=256, max_position_embeddings=512,
                    dropout=0.1), open(cfgp, "w"))
 
-    common = ["--dataset", "yelp", "--data_root", ".", "--ckpt_root", "ckpt",
+    common = ["--dataset", ds, "--data_root", ".", "--ckpt_root", "ckpt",
               "--tokenizer_dir", f"{work}/tok", "--model_config", cfgp,
               "--num_epochs", "1", "--batch_size", "4",
               # bounded smoke: stage 2a/2b expand to 9 items/group (the r2
@@ -190,9 +280,9 @@ def main():
     from multimodalsum_tpu.cli import img_pretrain, table_pretrain
 
     img_pretrain.main(common + ["--learning_rate", "1e-3", "--img_model", "tiny",
-                                "--bart_init", "ckpt/text_pretrained_yelp"])
+                                "--bart_init", f"ckpt/text_pretrained_{ds}"])
     table_pretrain.main(common + ["--learning_rate", "1e-3", "--img_model", "tiny",
-                                  "--bart_init", "ckpt/text_pretrained_yelp"])
+                                  "--bart_init", f"ckpt/text_pretrained_{ds}"])
 
     print("== stage 3: multimodal_train", flush=True)
     from multimodalsum_tpu.cli import multimodal_train
@@ -200,18 +290,18 @@ def main():
     multimodal_train.main(common + [
         "--learning_rate", "1e-4", "--img_model", "tiny",
         "--label_smoothing", "0.1",
-        "--bart_init", "ckpt/text_pretrained_yelp",
-        "--img_init", "ckpt/img_pretrained_yelp",
-        "--table_init", "ckpt/table_pretrained_yelp",
+        "--bart_init", f"ckpt/text_pretrained_{ds}",
+        "--img_init", f"ckpt/img_pretrained_{ds}",
+        "--table_init", f"ckpt/table_pretrained_{ds}",
     ])
 
     print("== eval: cli.test on the REAL gold set (real scorer)", flush=True)
     from multimodalsum_tpu.cli import test as test_cli
 
-    test_cli.main(["--dataset", "yelp", "--mode", "dev", "--data_root", ".",
+    test_cli.main(["--dataset", ds, "--mode", "dev", "--data_root", ".",
                    "--tokenizer_dir", f"{work}/tok", "--model_config", cfgp,
                    "--img_model", "tiny", "--batch_size", "4",
-                   "--multimodal_trained", "ckpt/multimodal_trained_yelp",
+                   "--multimodal_trained", f"ckpt/multimodal_trained_{ds}",
                    "--num_beams", "5", "--length_penalty", "2.0",
                    "--max_length", "64", "--min_length", "8",
                    "--output", f"{work}/generated_real.txt"])

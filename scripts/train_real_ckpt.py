@@ -35,7 +35,9 @@ SMOKE = bool(int(os.environ.get("SMOKE", "0")))
 EPOCHS = dict(stage1=2, stage2a=1, stage2b=1, stage3=2) if SMOKE else dict(
     stage1=180, stage2a=3, stage2b=3, stage3=70)
 SAVE_IV = dict(stage1=2, stage2a=1, stage2b=1, stage3=2) if SMOKE else dict(
-    stage1=30, stage2a=3, stage2b=3, stage3=14)
+    stage1=45, stage2a=3, stage2b=3, stage3=23)  # saves cost minutes over
+# the device tunnel (full bart-large state device->host); intermediates are
+# resume insurance only, so keep them sparse
 BATCH = 8          # the reference stage-3 global batch (README.md:139-140)
 VOCAB = 50265      # full bart-large head geometry; the corpus caps the BPE
                    # at fewer real merges, unused tail ids train toward -inf

@@ -142,3 +142,64 @@ def test_harness_data_parallel_eval(amazon_root):
     greedy = generate_summaries(model, params, batch_stats, ds, tok, gen1,
                                 batch_size=8, log=lambda *a: None)
     assert len(greedy) == len(ds) and all(isinstance(s, str) for s in greedy)
+
+
+def test_harness_continuous_scheduler_token_identical(amazon_root):
+    """scheduler='continuous' (slot engine bulk eval, VERDICT r2 #2) must
+    reproduce the static while_loop path's texts exactly — beam AND greedy,
+    including a batch_size that doesn't divide the row count, n_slots
+    smaller than the batch (queue+refill), and steps_per_tick > 1."""
+    import dataclasses
+
+    import jax
+
+    from multimodalsum_tpu.core.config import TINY_CONFIG, GenerationConfig
+    from multimodalsum_tpu.data.multimodal_data import EvalDataset
+    from multimodalsum_tpu.data.tokenizer import train_bpe
+    from multimodalsum_tpu.eval.harness import generate_summaries
+    from multimodalsum_tpu.models.multimodal import MultimodalSum, amazon_dummy_table
+
+    tok = train_bpe(["sturdy battery cheap love size great summary review text here"] * 50,
+                    300, os.path.join(amazon_root, "_tok_cont"))
+    cfg = dataclasses.replace(TINY_CONFIG, vocab_size=320,
+                              max_position_embeddings=160)
+    model = MultimodalSum(cfg, dataset="amazon", img_model="tiny")
+    fd, vd = amazon_dummy_table(1)
+    variables = model.init(jax.random.PRNGKey(0), fd, vd,
+                           method=MultimodalSum.init_all)
+    params, batch_stats = variables["params"], variables["batch_stats"]
+    ds = EvalDataset(amazon_root, "amazon", "test")
+
+    gen = GenerationConfig(num_beams=2, max_length=10, min_length=2,
+                           length_penalty=1.0, early_stopping=True)
+    ref = generate_summaries(model, params, batch_stats, ds, tok, gen,
+                             batch_size=2, log=lambda *a: None)
+    cont = generate_summaries(model, params, batch_stats, ds, tok, gen,
+                              batch_size=2, log=lambda *a: None,
+                              scheduler="continuous", n_slots=2,
+                              steps_per_tick=3)
+    assert cont == ref and len(cont) == len(ds)
+
+    # fewer slots than the submit wave: rows queue and refill freed slots
+    cont_small = generate_summaries(model, params, batch_stats, ds, tok, gen,
+                                    batch_size=3, log=lambda *a: None,
+                                    scheduler="continuous", n_slots=1)
+    assert cont_small == ref
+
+    # greedy path through the slot engine
+    gen1 = gen.replace(num_beams=1)
+    ref1 = generate_summaries(model, params, batch_stats, ds, tok, gen1,
+                              batch_size=2, log=lambda *a: None)
+    cont1 = generate_summaries(model, params, batch_stats, ds, tok, gen1,
+                               batch_size=2, log=lambda *a: None,
+                               scheduler="continuous")
+    assert cont1 == ref1
+
+    # a mesh + continuous is an explicit error
+    from multimodalsum_tpu.parallel.mesh import make_mesh
+
+    with pytest.raises(ValueError, match="single-device"):
+        generate_summaries(model, params, batch_stats, ds, tok, gen,
+                           batch_size=8, log=lambda *a: None,
+                           scheduler="continuous",
+                           mesh=make_mesh(data=len(jax.devices()), model=1))
