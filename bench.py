@@ -33,11 +33,21 @@ round-trips GPU->host every token, see SURVEY.md §3.4). The reference repo
 publishes no numbers (BASELINE.md), so this anchor is an engineering
 estimate, stated here for transparency.
 
+When an in-environment-trained bart-large checkpoint exists
+(``scripts/train_real_ckpt.py`` → ``_work/real_ckpt``), a **quality gate**
+additionally runs the REAL 100-group Yelp eval (gold ROUGE, agreement and
+id-ROUGE-L of each quantized config vs the exact output — on peaked logits)
+and PROMOTES the quantized throughput to the headline ``value`` iff its
+id-ROUGE-L vs exact is >= 95; otherwise the headline stays token-exact. The
+same phase A/Bs static-batch vs continuous-slot bulk decode on the real
+length distribution.
+
 Flags: ``--exact`` (skip the quantized config), ``--no-train`` (skip the
 training benchmark), ``--train-only`` (just the training step),
 ``--train_remat=true|false|<policy name>`` (rotation remat A/B),
 ``--batch=N --cache_mode=M --kv_quant=Q`` (bench one explicit config),
-``--pallas`` (entity-attention Pallas kernel A/B).
+``--pallas`` (entity-attention Pallas kernel A/B), ``--no-gate`` /
+``--gate-only`` / ``--gate_root=PATH`` (trained-checkpoint quality gate).
 """
 
 import json
@@ -341,6 +351,106 @@ def bench_train(remat=True):
                 mfu=round(mfu, 4), remat=remat)
 
 
+def quality_gate(work_root: str, timing_batch: int = 25):
+    """Trained-weights quantization quality gate + bulk-scheduler A/B.
+
+    Runs the REAL eval contract (reference ``src/test.py:222-236``) on the
+    in-environment-trained bart-large checkpoint
+    (``scripts/train_real_ckpt.py``): the 100-group Yelp test split, corpus
+    BPE tokenizer, beam 5 / lp 2.0 / early stopping. For each kv_quant
+    config it reports exact-output agreement, id-ROUGE-L vs the exact
+    output, and gold ROUGE — measured on PEAKED logits, where quantization
+    error shows real divergence instead of single-ULP coin flips (the
+    random-init numbers of rounds 1-2 were meaningless lower bounds).
+
+    GATE: the quantized throughput config is promoted to the bench headline
+    iff its id-ROUGE-L vs the exact path is >= 95 on trained weights.
+
+    Also A/Bs the static while_loop bulk decode against the continuous slot
+    scheduler on the same real length distribution (VERDICT r2 #2).
+    """
+    import types
+
+    ckpt = os.path.join(work_root, "ckpt", "multimodal_trained_yelp")
+    if not os.path.exists(os.path.join(ckpt, "meta.json")):
+        return {"skipped": f"no trained checkpoint at {ckpt}"}
+
+    from multimodalsum_tpu.ckpt.checkpoint import load_eval_params, read_meta
+    from multimodalsum_tpu.cli.common import load_tokenizer
+    from multimodalsum_tpu.core.config import GenerationConfig
+    from multimodalsum_tpu.data.multimodal_data import EvalDataset
+    from multimodalsum_tpu.eval.harness import generate_summaries
+    from multimodalsum_tpu.eval.metrics import aggregate_multi_reference
+    from multimodalsum_tpu.eval.rouge_impl import plansum_tokens, rouge_l_pair
+
+    st = shared_model_state()
+    model = st["model"]
+    tokenizer = load_tokenizer(types.SimpleNamespace(
+        tokenizer_dir=os.path.join(work_root, "tok")))
+    params, batch_stats = load_eval_params(ckpt, st["params"],
+                                           st["batch_stats"])
+    dataset = EvalDataset(work_root, "yelp", "test")
+    gen = GenerationConfig(num_beams=5, max_length=142, min_length=56,
+                           length_penalty=2.0, early_stopping=True,
+                           no_repeat_ngram_size=3)
+    silent = lambda *a, **k: None
+
+    def run(tag, timed=False, **kw):
+        preds = generate_summaries(model, params, batch_stats, dataset,
+                                   tokenizer, gen, batch_size=timing_batch,
+                                   log=silent, cache_mode="ancestry", **kw)
+        dt = None
+        if timed:  # second pass: compile + tokenizer/python excluded
+            t0 = time.time()
+            generate_summaries(model, params, batch_stats, dataset,
+                               tokenizer, gen, batch_size=timing_batch,
+                               log=silent, cache_mode="ancestry", **kw)
+            dt = time.time() - t0
+        gold = aggregate_multi_reference(preds, dataset.summaries)
+        return preds, gold, dt
+
+    out = {"ckpt": ckpt, "ckpt_step": read_meta(ckpt).get("step"),
+           "rows": len(dataset), "gate_criterion": "id_rougeL >= 95"}
+    t0 = time.time()
+    exact_preds, exact_gold, exact_dt = run("exact", timed=True)
+    out["exact"] = {k: round(v, 2) for k, v in exact_gold.items()}
+    out["exact"]["bulk_static_sps"] = round(len(dataset) / exact_dt, 3)
+    mean_toks = np.mean([len(tokenizer.encode(p)) for p in exact_preds])
+    out["exact"]["mean_len_tokens"] = round(float(mean_toks), 1)
+    print(f"# gate[exact]: goldRL {exact_gold['rougeL']:.2f}, "
+          f"static {len(dataset)/exact_dt:.2f} sum/s, "
+          f"mean len {mean_toks:.0f} ({time.time()-t0:.0f}s)", flush=True)
+
+    exact_tok = [plansum_tokens(p) for p in exact_preds]
+    for kvq in ("int8", "int4+int8", "int4"):
+        t0 = time.time()
+        preds, gold, _ = run(kvq, kv_quant=kvq)
+        agree = sum(p == e for p, e in zip(preds, exact_preds))
+        idrl = 100 * np.mean([rouge_l_pair(plansum_tokens(p), e)
+                              for p, e in zip(preds, exact_tok)])
+        out[kvq] = {
+            "agreement": round(agree / len(preds), 4),
+            "id_rougeL": round(float(idrl), 2),
+            "gold": {k: round(v, 2) for k, v in gold.items()},
+        }
+        print(f"# gate[{kvq}]: agreement {agree}/{len(preds)}, id-RL "
+              f"{idrl:.2f}, goldRL {gold['rougeL']:.2f} "
+              f"({time.time()-t0:.0f}s)", flush=True)
+
+    # bulk-scheduler A/B on the same real length distribution
+    t0 = time.time()
+    cont_preds, _, cont_dt = run("continuous", timed=True,
+                                 scheduler="continuous",
+                                 n_slots=timing_batch, steps_per_tick=8)
+    out["bulk_continuous_sps"] = round(len(dataset) / cont_dt, 3)
+    out["continuous_matches_static"] = cont_preds == exact_preds
+    print(f"# gate[continuous]: {len(dataset)/cont_dt:.2f} sum/s vs static "
+          f"{out['exact']['bulk_static_sps']} "
+          f"(identical={out['continuous_matches_static']}, "
+          f"{time.time()-t0:.0f}s)", flush=True)
+    return out
+
+
 def _require_live_backend(timeout_s: float = 180.0) -> None:
     """Fail loudly (clear message, nonzero exit) if JAX backend init hangs.
 
@@ -413,6 +523,14 @@ def main():
             train_remat = {"true": True, "false": False}.get(v.lower(), v)
     if "--train-only" in sys.argv:
         print(json.dumps({"train": bench_train(remat=train_remat)}))
+        return
+    if "--gate-only" in sys.argv:
+        root = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "_work", "real_ckpt")
+        for a in sys.argv:
+            if a.startswith("--gate_root="):
+                root = a.split("=", 1)[1]
+        print(json.dumps({"trained_gate": quality_gate(root)}))
         return
 
     from multimodalsum_tpu.core.config import BartConfig
@@ -500,6 +618,37 @@ def main():
               f"agreement {agree}/{n}, mean prefix match "
               f"{record['quant_prefix_agreement']:.2%}, id-ROUGE-L "
               f"{record['quant_rougeL_vs_exact']}", flush=True)
+
+    # trained-checkpoint quality gate (VERDICT r3 #1): decides whether the
+    # quantized throughput config may claim the headline
+    gate_root = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "_work", "real_ckpt")
+    for a in sys.argv:
+        if a.startswith("--gate_root="):
+            gate_root = a.split("=", 1)[1]
+    if "--no-gate" not in sys.argv:
+        try:
+            record["trained_gate"] = quality_gate(gate_root)
+        except Exception:
+            print("# quality gate failed:", flush=True)
+            traceback.print_exc()
+            record["trained_gate"] = {"skipped": "gate raised (see stderr)"}
+        gate = record["trained_gate"]
+        q = (cfg_quant or {}).get("kv_quant")
+        if quant is not None and isinstance(gate.get(q), dict):
+            if gate[q]["id_rougeL"] >= 95.0:
+                record["value"] = record["value_quantized"]
+                record["vs_baseline"] = round(
+                    quant["sps"] / A100_REFERENCE_SUMMARIES_PER_SEC, 3)
+                record["headline_config"] = "quantized (passed trained gate)"
+                print(f"# GATE PASSED: {q} id-RL {gate[q]['id_rougeL']} >= 95 "
+                      f"- quantized config promoted to headline", flush=True)
+            else:
+                record["headline_config"] = (
+                    f"exact ({q} failed trained gate: "
+                    f"id-RL {gate[q]['id_rougeL']} < 95)")
+                print(f"# GATE FAILED: {q} id-RL {gate[q]['id_rougeL']} < 95 "
+                      f"- headline stays token-exact", flush=True)
 
     if "--no-train" not in sys.argv:
         try:
