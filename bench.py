@@ -395,15 +395,16 @@ def quality_gate(work_root: str, timing_batch: int = 25):
                            no_repeat_ngram_size=3)
     silent = lambda *a, **k: None
 
-    def run(tag, timed=False, **kw):
+    def run(tag, timed=False, gen_override=None, **kw):
+        g = gen_override or gen
         preds = generate_summaries(model, params, batch_stats, dataset,
-                                   tokenizer, gen, batch_size=timing_batch,
+                                   tokenizer, g, batch_size=timing_batch,
                                    log=silent, cache_mode="ancestry", **kw)
         dt = None
         if timed:  # second pass: compile + tokenizer/python excluded
             t0 = time.time()
             generate_summaries(model, params, batch_stats, dataset,
-                               tokenizer, gen, batch_size=timing_batch,
+                               tokenizer, g, batch_size=timing_batch,
                                log=silent, cache_mode="ancestry", **kw)
             dt = time.time() - t0
         gold = aggregate_multi_reference(preds, dataset.summaries)
@@ -448,6 +449,26 @@ def quality_gate(work_root: str, timing_batch: int = 25):
           f"{out['exact']['bulk_static_sps']} "
           f"(identical={out['continuous_matches_static']}, "
           f"{time.time()-t0:.0f}s)", flush=True)
+
+    # speculative decoding where it matters (VERDICT r2 #4): greedy decode
+    # of the real reviews under TRAINED weights, prompt-lookup drafts from
+    # each row's own sources, classic vs spec_window=4 — token-identical by
+    # construction, so the ONLY question is measured acceptance/speed
+    gen1 = gen.replace(num_beams=1)
+    spec = {}
+    for w, tag in ((1, "classic"), (4, "spec_w4")):
+        preds1, _, dt1 = run(f"greedy-{tag}", timed=True, scheduler="continuous",
+                             n_slots=timing_batch, steps_per_tick=8,
+                             spec_window=w, gen_override=gen1)
+        spec[tag] = {"sps": round(len(dataset) / dt1, 3)}
+        if w == 1:
+            greedy_classic = preds1
+        else:
+            spec["identical_to_classic"] = preds1 == greedy_classic
+            spec["speedup"] = round(spec["spec_w4"]["sps"]
+                                    / spec["classic"]["sps"], 3)
+        print(f"# gate[greedy-{tag}]: {len(dataset)/dt1:.2f} sum/s", flush=True)
+    out["greedy_spec"] = spec
     return out
 
 

@@ -70,6 +70,12 @@ def main(argv=None):
                    help="continuous scheduler slots (default: batch_size)")
     p.add_argument("--steps_per_tick", type=int, default=8,
                    help="continuous scheduler decode steps per host sync")
+    p.add_argument("--spec_window", type=int, default=1,
+                   help="speculative decode window (continuous scheduler, "
+                        "num_beams=1 only): prompt-lookup drafts from each "
+                        "row's own reviews, verified exact")
+    p.add_argument("--spec_ngram", type=int, default=2,
+                   help="prompt-lookup match n-gram length")
     args = p.parse_args(argv)
     setup_environment(args)
     if args.pallas:
@@ -121,7 +127,9 @@ def main(argv=None):
                               cache_mode=args.cache_mode,
                               mesh=mesh, scheduler=args.scheduler,
                               n_slots=args.n_slots,
-                              steps_per_tick=args.steps_per_tick)
+                              steps_per_tick=args.steps_per_tick,
+                              spec_window=args.spec_window,
+                              spec_ngram=args.spec_ngram)
 
     if args.output:
         os.makedirs(os.path.dirname(args.output) or ".", exist_ok=True)

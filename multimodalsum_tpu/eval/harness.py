@@ -43,12 +43,19 @@ def generate_summaries(
     scheduler: str = "static",
     n_slots: int | None = None,
     steps_per_tick: int = 8,
+    spec_window: int = 1,
+    spec_ngram: int = 2,
 ) -> List[str]:
     """``cache_mode=None`` resolves to "ancestry" on a single device (2.5x
     faster, token-identical — SCALING.md) but "reorder" under a mesh: the
     ancestry one-hot gather contracts over the full (batch-sharded) row
     axis, which SPMD can only lower with per-step cross-device KV movement,
     while the reorder ``take`` stays shard-local.
+
+    ``spec_window > 1`` (continuous + greedy only) decodes with prompt-lookup
+    speculative verification: each row's own review tokens feed the draft
+    lookup (summaries quote their sources heavily), committed prefixes are
+    verified-exact so outputs stay token-identical.
 
     ``scheduler="continuous"`` replaces the static all-rows while_loop with
     the slot-based continuous batcher (``decode/serving.ContinuousBatcher``,
@@ -64,6 +71,9 @@ def generate_summaries(
         raise ValueError("continuous eval scheduling is single-device for "
                          "now (the slot engine owns its own device layout); "
                          "drop --scheduler continuous or the mesh flags")
+    if spec_window > 1 and scheduler != "continuous":
+        raise ValueError("spec_window > 1 requires scheduler='continuous' "
+                         "(the static while_loop has no draft path)")
     if cache_mode is None:
         cache_mode = "reorder" if mesh is not None else "ancestry"
     field = dataset.field_tokens(tokenizer)
@@ -182,12 +192,20 @@ def generate_summaries(
                     bart, params["bart"], gen,
                     n_slots=n_slots or batch_size,
                     modality_shapes=shapes, kv_quant=kv_quant,
-                    steps_per_tick=steps_per_tick, cache_mode=cache_mode)
+                    steps_per_tick=steps_per_tick, cache_mode=cache_mode,
+                    spec_window=spec_window, spec_ngram=spec_ngram,
+                    spec_src_max=(int(np.prod(arrs[0].shape[1:]))
+                                  if spec_window > 1 else None))
             # split the encoded batch into device-resident per-row requests
             # (serving stacks jax.Arrays with jnp — no host round-trip)
             for r in range(real):
+                src = None
+                if spec_window > 1:
+                    # the row's own (unpadded) review tokens drive the
+                    # prompt-lookup draft
+                    src = arrs[0][r][arrs[1][r].astype(bool)]
                 engine.submit(next_id, [h[r] for h in hiddens],
-                              [m[r] for m in masks])
+                              [m[r] for m in masks], source_tokens=src)
                 next_id += 1
             # advance decode while the next batch's host assembly runs in
             # the prefetch thread; stop ticking as soon as a slot is free
@@ -252,6 +270,8 @@ def evaluate(
     scheduler: str = "static",
     n_slots: int | None = None,
     steps_per_tick: int = 8,
+    spec_window: int = 1,
+    spec_ngram: int = 2,
 ) -> tuple[Dict[str, float], List[str]]:
     """Generate + score (reference ``src/test.py:218-236``); returns
     (metrics, generated summaries)."""
@@ -260,5 +280,6 @@ def evaluate(
                                self_kv_quant=self_kv_quant,
                                cache_mode=cache_mode, mesh=mesh,
                                scheduler=scheduler, n_slots=n_slots,
-                               steps_per_tick=steps_per_tick)
+                               steps_per_tick=steps_per_tick,
+                               spec_window=spec_window, spec_ngram=spec_ngram)
     return aggregate_multi_reference(preds, dataset.summaries, with_bert=with_bert), preds

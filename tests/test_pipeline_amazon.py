@@ -203,3 +203,41 @@ def test_harness_continuous_scheduler_token_identical(amazon_root):
                            batch_size=8, log=lambda *a: None,
                            scheduler="continuous",
                            mesh=make_mesh(data=len(jax.devices()), model=1))
+
+
+def test_harness_spec_window_token_identical(amazon_root):
+    """spec_window>1 bulk greedy eval (prompt-lookup drafts from each row's
+    own reviews, verified-exact) must reproduce classic greedy texts."""
+    import dataclasses
+
+    import jax
+
+    from multimodalsum_tpu.core.config import TINY_CONFIG, GenerationConfig
+    from multimodalsum_tpu.data.multimodal_data import EvalDataset
+    from multimodalsum_tpu.data.tokenizer import train_bpe
+    from multimodalsum_tpu.eval.harness import generate_summaries
+    from multimodalsum_tpu.models.multimodal import MultimodalSum, amazon_dummy_table
+
+    tok = train_bpe(["sturdy battery cheap love size great summary review text here"] * 50,
+                    300, os.path.join(amazon_root, "_tok_spec"))
+    cfg = dataclasses.replace(TINY_CONFIG, vocab_size=320,
+                              max_position_embeddings=160)
+    model = MultimodalSum(cfg, dataset="amazon", img_model="tiny")
+    fd, vd = amazon_dummy_table(1)
+    variables = model.init(jax.random.PRNGKey(0), fd, vd,
+                           method=MultimodalSum.init_all)
+    params, batch_stats = variables["params"], variables["batch_stats"]
+    ds = EvalDataset(amazon_root, "amazon", "test")
+    gen = GenerationConfig(num_beams=1, max_length=12, min_length=2,
+                           length_penalty=1.0, early_stopping=False)
+
+    ref = generate_summaries(model, params, batch_stats, ds, tok, gen,
+                             batch_size=2, log=lambda *a: None)
+    spec = generate_summaries(model, params, batch_stats, ds, tok, gen,
+                              batch_size=2, log=lambda *a: None,
+                              scheduler="continuous", spec_window=3)
+    assert spec == ref
+
+    with pytest.raises(ValueError, match="continuous"):
+        generate_summaries(model, params, batch_stats, ds, tok, gen,
+                           batch_size=2, log=lambda *a: None, spec_window=3)
