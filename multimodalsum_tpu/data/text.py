@@ -143,17 +143,11 @@ class TextBatches:
         self.seed = seed
         self.shard_index = shard_index
         self.shard_count = shard_count
-        # tokenisation worker processes (the reference's DataLoader
-        # num_workers=4, src/train_utils.py:45); 0 = inline
+        # tokenisation workers (the reference's DataLoader num_workers=4,
+        # src/train_utils.py:45); 0 = inline
         self.workers = workers
         self._pool = None
         if workers > 0:
-            # fork EAGERLY, before training dispatch spins up more runtime
-            # threads (fork in a heavily multithreaded process risks
-            # inheriting held locks). Workers receive TEXTS over the pipe,
-            # never dataframe indices, so the parent's per-epoch resampling
-            # is always visible (a fork snapshot of the store would pin
-            # epoch-0's samples forever).
             self._get_pool()
 
     def _tokenize_group(self, i: int):
@@ -163,14 +157,18 @@ class TextBatches:
 
     def _get_pool(self):
         if self._pool is None:
-            import multiprocessing as mp
+            # THREAD pool, deliberately not processes: a fork() Pool inside
+            # a JAX process deadlocks — the forked child inherits a lock
+            # held by one of the runtime's background threads and a later
+            # pool.map never returns (observed wedging a real bart-large
+            # run at epoch 12; CPython itself warns on fork-after-threads).
+            # Threads parallelise fine here: the native BPE core is a
+            # ctypes foreign call, which releases the GIL for the duration.
+            from multiprocessing.dummy import Pool
 
-            # fork inherits the store/tokenizer (incl. the unpicklable native
-            # BPE handle) via the module-global set just before forking; the
-            # mapped function is module-level so only ints cross the pipe
             global _ACTIVE_BATCHES
             _ACTIVE_BATCHES = self
-            self._pool = mp.get_context("fork").Pool(self.workers)
+            self._pool = Pool(self.workers)
         return self._pool
 
     def epoch(self, epoch: int) -> Iterator[dict]:
@@ -188,8 +186,8 @@ class TextBatches:
         for start in range(0, limit, b):
             idxs = [int(i) for i in order[start:start + b]]
             if self.workers > 0:
-                # the PARENT reads the (freshly resampled) store; only the
-                # texts cross the pipe — see __init__
+                # the consumer thread reads the (freshly resampled) store;
+                # workers only tokenize
                 groups = [self.store.group(int(i)) for i in idxs]
                 toks = self._get_pool().map(_pool_tokenize,
                                             [g[1] for g in groups])

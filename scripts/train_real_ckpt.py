@@ -114,7 +114,10 @@ def main():
             "--num_epochs", str(EPOCHS["stage1"]),
             "--save_interval", str(SAVE_IV["stage1"]),
             "--learning_rate", "1e-4", "--warmup_ratio", "0.1",
-            "--workers", "2",
+            # NO --workers: the fork-pool wedged a long run at epoch 12
+            # (pool.map never returned; forked child inherited a lock from
+            # the multithreaded JAX parent). Inline tokenization costs ~ms
+            # against a ~0.3 s device step.
             "--metrics_log", f"{work}/metrics_stage1.jsonl"])
 
     # ---- stage 2a/2b: img + table pretraining (frozen text decoder pivot) --
