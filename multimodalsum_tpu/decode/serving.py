@@ -50,6 +50,7 @@ no second set of weights — the drafter is a vectorized n-gram match.
 
 from __future__ import annotations
 
+import time
 from collections import deque
 from typing import Any, Dict, List, NamedTuple, Optional, Sequence, Tuple
 
@@ -176,8 +177,14 @@ class ContinuousBatcher:
         self.kv_quant = kv_quant
         # decode steps per host round-trip: >1 amortises the device->host
         # completion poll (large on slow links) at the cost of slots idling
-        # up to steps_per_tick-1 tokens after finishing before refill
-        self.steps_per_tick = int(steps_per_tick)
+        # up to steps_per_tick-1 tokens after finishing before refill.
+        # "auto": start at 1, measure the sync RTT and the on-device step
+        # time over the first few live ticks, then pick the smallest k that
+        # caps the RTT at ~10% of a tick (bounded so finished slots never
+        # idle more than ~max_length/8 steps) and recompile the step once.
+        self._auto_spt = steps_per_tick == "auto"
+        self._tick_times: list = []
+        self.steps_per_tick = 1 if self._auto_spt else int(steps_per_tick)
         assert self.steps_per_tick >= 1
         # upper bound on the power-of-two fill-chunk size. The DEFAULT is 1
         # (one projection+insert per request): measured on chip, per-request
@@ -482,23 +489,8 @@ class ContinuousBatcher:
             return state._replace(tokens=tokens, cur_len=new_len, active=active,
                                   lengths=lengths, cache=cache), just_finished
 
-        one_step = step_spec if W > 1 else step
-        k = self.steps_per_tick
-
-        def multi_step(state: _SlotState, params):
-            if k == 1:
-                return one_step(state, params)
-
-            def body(_, carry):
-                st, fin = carry
-                st, just = one_step(st, params)
-                return st, fin | just
-
-            S = state.tokens.shape[0]
-            return jax.lax.fori_loop(
-                0, k, body, (state, jnp.zeros((S,), bool)))
-
-        self._step = jax.jit(multi_step, donate_argnums=0)
+        self._one_step = step_spec if W > 1 else step
+        self._rebuild_multi_step()
 
         def insert(state: _SlotState, slots, ckv, masks, rating, keys,
                    src_rows=None, src_len_rows=None):
@@ -666,22 +658,8 @@ class ContinuousBatcher:
                 hyp_tokens=hyp_tokens, hyp_lens=hyp_lens, num_hyps=num_hyps,
                 cache=cache, anc=anc), just_finished
 
-        k = self.steps_per_tick
-
-        def multi_step(state: _BeamSlotState, params):
-            if k == 1:
-                return beam_step(state, params)
-
-            def body(_, carry):
-                st, fin = carry
-                st, just = beam_step(st, params)
-                return st, fin | just
-
-            S = state.cur_len.shape[0]
-            return jax.lax.fori_loop(
-                0, k, body, (state, jnp.zeros((S,), bool)))
-
-        self._step = jax.jit(multi_step, donate_argnums=0)
+        self._one_step = beam_step
+        self._rebuild_multi_step()
 
         def insert(state: _BeamSlotState, slots, ckv, masks, rating, keys,
                    src_rows=None, src_len_rows=None):
@@ -834,11 +812,56 @@ class ContinuousBatcher:
             for slot, b in zip(slots, batch):
                 self._slot_req[slot] = b[0]
 
+    def _rebuild_multi_step(self):
+        """(Re)jit the per-tick step as ``steps_per_tick`` chained decode
+        steps — split out so steps_per_tick='auto' can switch k after
+        measuring, recompiling ONLY the step (insert/project keep their
+        compiled programs)."""
+        one_step, k = self._one_step, self.steps_per_tick
+
+        def multi_step(state, params):
+            if k == 1:
+                return one_step(state, params)
+
+            def body(_, carry):
+                st, fin = carry
+                st, just = one_step(st, params)
+                return st, fin | just
+
+            S = state.cur_len.shape[0]
+            return jax.lax.fori_loop(
+                0, k, body, (state, jnp.zeros((S,), bool)))
+
+        self._step = jax.jit(multi_step, donate_argnums=0)
+
+    def _autotune_spt(self):
+        """Pick steps_per_tick from measured tick RTT vs on-device step time
+        (runs once, after 3 live ticks at k=1; tick 1 is skipped — it pays
+        the compile). Model: tick wall time = step + sync RTT; RTT measured
+        directly as a tiny device_get."""
+        t0 = time.perf_counter()
+        for _ in range(3):
+            np.asarray(self.state.cur_len[:1])
+        rtt = (time.perf_counter() - t0) / 3
+        step = max(np.median(self._tick_times) - rtt, 1e-4)
+        k = int(np.ceil(9 * rtt / step))  # RTT <= ~10% of a tick
+        cap = max(1, self.gen.max_length // 8)
+        self.steps_per_tick = int(np.clip(k, 1, cap))
+        self._auto_spt = False
+        if self.steps_per_tick > 1:
+            self._rebuild_multi_step()
+
     def tick(self) -> List[Tuple[Any, np.ndarray, int]]:
         """Advance every active slot one token. Returns completed requests
         as ``(request_id, tokens, length)``."""
+        if self._auto_spt and len(self._tick_times) >= 3:
+            self._autotune_spt()
+        t0 = time.perf_counter() if self._auto_spt and self._ticks else None
         jf = self._dispatch()
-        return self._collect(jf) if jf is not None else []
+        out = self._collect(jf) if jf is not None else []
+        if t0 is not None and jf is not None:
+            self._tick_times.append(time.perf_counter() - t0)
+        return out
 
     def _dispatch(self):
         """Fill + enqueue one device step; returns the (not yet synced)
@@ -948,6 +971,7 @@ class ContinuousBatcher:
         return dict(
             n_slots=self.n_slots,
             beams=self.beams,
+            steps_per_tick=self.steps_per_tick,
             active=len(self._slot_req),
             queued=len(self._queue),
             ticks=self._ticks,

@@ -60,7 +60,10 @@ def main():
                    help="beam slot cache (default: engine auto — ancestry "
                         "at num_beams>1, the measured 8.5x winner)")
     p.add_argument("--kv_quant", default=None, choices=["int8", "int4"])
-    p.add_argument("--steps_per_tick", type=int, default=8)
+    t_spt = lambda v: v if v == "auto" else int(v)
+    p.add_argument("--steps_per_tick", type=t_spt, default=8,
+                   help="decode steps per host sync; 'auto' measures the "
+                        "tick RTT vs on-device step time and sizes itself")
     p.add_argument("--spec_window", type=int, default=1)
     p.add_argument("--pool_devices", type=int, default=1)
     p.add_argument("--seed", type=int, default=0)

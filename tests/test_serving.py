@@ -596,8 +596,8 @@ def test_stats_and_swap_params(setup):
     eng = ContinuousBatcher(setup["model"], setup["params"], gen, n_slots=2,
                             modality_shapes=[(setup["e"], setup["s"])])
     s0 = eng.stats()
-    assert s0 == dict(n_slots=2, beams=1, active=0, queued=0, ticks=0,
-                      completed=0, tokens_out=0)
+    assert s0 == dict(n_slots=2, beams=1, steps_per_tick=1, active=0, queued=0,
+                      ticks=0, completed=0, tokens_out=0)
     for rid, h, m in setup["reqs"][:3]:
         eng.submit(rid, [h], [m])
     assert eng.stats()["queued"] == 3
@@ -844,3 +844,29 @@ def test_pool_stats_monotonic_across_failover(setup):
     after = pool.stats()
     assert after["completed"] == 4  # not reset by the drop
     assert after["tokens_out"] >= before["tokens_out"]
+
+
+def test_steps_per_tick_auto(setup):
+    """steps_per_tick='auto' measures tick RTT vs step time after 3 live
+    ticks, recompiles the step once, and stays token-identical."""
+    from multimodalsum_tpu.core.config import GenerationConfig
+    from multimodalsum_tpu.decode.serving import ContinuousBatcher
+
+    gen = GenerationConfig(num_beams=1, do_sample=False, max_length=16,
+                           min_length=2, length_penalty=1.0,
+                           early_stopping=False, no_repeat_ngram_size=2)
+    kw = dict(n_slots=2, modality_shapes=[(setup["e"], setup["s"])])
+    ref_eng = ContinuousBatcher(setup["model"], setup["params"], gen, **kw)
+    auto_eng = ContinuousBatcher(setup["model"], setup["params"], gen,
+                                 steps_per_tick="auto", **kw)
+    assert auto_eng.steps_per_tick == 1  # probes at 1 first
+    for rid, h, m in setup["reqs"]:
+        ref_eng.submit(rid, [h], [m])
+        auto_eng.submit(rid, [h], [m])
+    ref = ref_eng.run()
+    out = auto_eng.run()
+    for rid, _, _ in setup["reqs"]:
+        np.testing.assert_array_equal(out[rid], ref[rid], err_msg=rid)
+    st = auto_eng.stats()
+    assert not auto_eng._auto_spt  # tuning ran
+    assert 1 <= st["steps_per_tick"] <= max(1, gen.max_length // 8)
