@@ -63,6 +63,19 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# Persistent XLA compilation cache: verified working through the axon
+# tunnel (cross-process re-run of a 4.5 s compile hit in 0.26 s). This
+# host has ONE CPU core, so bart-large beam-decode compiles cost minutes;
+# caching makes repeat bench/gate invocations measure decode, not XLA.
+_CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "_work", "jax_cache")
+try:
+    os.makedirs(_CACHE_DIR, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass  # older jax or read-only fs: compile costs stay per-process
+
 A100_REFERENCE_SUMMARIES_PER_SEC = 2.0
 
 E, S, N_IMG = 8, 160, 10   # entities x tokens, images (src/test.py:56-60,121-124)
@@ -397,32 +410,54 @@ def quality_gate(work_root: str, timing_batch: int = 25):
 
     def run(tag, timed=False, gen_override=None, **kw):
         g = gen_override or gen
+        # steady-state sum/s measured INSIDE the single pass (compile
+        # excluded by the harness); a second timed call would re-trace the
+        # jitted closures and measure XLA recompilation, not decode
+        st_t = [] if timed else None
         preds = generate_summaries(model, params, batch_stats, dataset,
                                    tokenizer, g, batch_size=timing_batch,
-                                   log=silent, cache_mode="ancestry", **kw)
-        dt = None
-        if timed:  # second pass: compile + tokenizer/python excluded
-            t0 = time.time()
-            generate_summaries(model, params, batch_stats, dataset,
-                               tokenizer, g, batch_size=timing_batch,
-                               log=silent, cache_mode="ancestry", **kw)
-            dt = time.time() - t0
+                                   log=silent, cache_mode="ancestry",
+                                   steady_timing=st_t, **kw)
+        sps = None
+        if st_t:
+            rows, secs = st_t[0]
+            sps = rows / secs if secs > 0 else None
         gold = aggregate_multi_reference(preds, dataset.summaries)
-        return preds, gold, dt
+        return preds, gold, sps
 
     out = {"ckpt": ckpt, "ckpt_step": read_meta(ckpt).get("step"),
            "rows": len(dataset), "gate_criterion": "id_rougeL >= 95"}
+    # trivial extractive baseline the trained model must beat (learning
+    # evidence, VERDICT r2 #6): each group's FIRST review as the summary
+    lead = aggregate_multi_reference([r[0] for r in dataset.reviews],
+                                     dataset.summaries)
+    out["lead_review_baseline"] = {k: round(v, 2) for k, v in lead.items()}
     t0 = time.time()
-    exact_preds, exact_gold, exact_dt = run("exact", timed=True)
+    exact_preds, exact_gold, exact_sps = run("exact", timed=True)
     out["exact"] = {k: round(v, 2) for k, v in exact_gold.items()}
-    out["exact"]["bulk_static_sps"] = round(len(dataset) / exact_dt, 3)
+    out["beats_lead_baseline"] = exact_gold["rougeL"] > lead["rougeL"]
+    out["exact"]["bulk_static_sps"] = round(exact_sps, 3) if exact_sps else None
     mean_toks = np.mean([len(tokenizer.encode(p)) for p in exact_preds])
     out["exact"]["mean_len_tokens"] = round(float(mean_toks), 1)
     print(f"# gate[exact]: goldRL {exact_gold['rougeL']:.2f}, "
-          f"static {len(dataset)/exact_dt:.2f} sum/s, "
+          f"static {exact_sps or 0:.2f} sum/s steady, "
           f"mean len {mean_toks:.0f} ({time.time()-t0:.0f}s)", flush=True)
 
     exact_tok = [plansum_tokens(p) for p in exact_preds]
+
+    def seq_compare(preds, ref_preds):
+        """Quantified sequence agreement (a bare ``==`` bool can't separate
+        "1 near-tie flip in 100 rows" from "broken engine")."""
+        toks = [plansum_tokens(p) for p in preds]
+        rtoks = [plansum_tokens(p) for p in ref_preds]
+        idrl = 100 * float(np.mean([rouge_l_pair(a, b)
+                                    for a, b in zip(toks, rtoks)]))
+        pref = float(np.mean([prefix_match_fraction(b, a)
+                              for a, b in zip(toks, rtoks)]))
+        return {"identical_rows": sum(p == q for p, q in zip(preds, ref_preds)),
+                "rows": len(preds), "id_rougeL": round(idrl, 2),
+                "mean_prefix_match": round(pref, 4)}
+
     for kvq in ("int8", "int4+int8", "int4"):
         t0 = time.time()
         preds, gold, _ = run(kvq, kv_quant=kvq)
@@ -440,14 +475,16 @@ def quality_gate(work_root: str, timing_batch: int = 25):
 
     # bulk-scheduler A/B on the same real length distribution
     t0 = time.time()
-    cont_preds, _, cont_dt = run("continuous", timed=True,
-                                 scheduler="continuous",
-                                 n_slots=timing_batch, steps_per_tick=8)
-    out["bulk_continuous_sps"] = round(len(dataset) / cont_dt, 3)
-    out["continuous_matches_static"] = cont_preds == exact_preds
-    print(f"# gate[continuous]: {len(dataset)/cont_dt:.2f} sum/s vs static "
+    cont_preds, _, cont_sps = run("continuous", timed=True,
+                                  scheduler="continuous",
+                                  n_slots=timing_batch, steps_per_tick=8)
+    out["bulk_continuous_sps"] = round(cont_sps, 3) if cont_sps else None
+    out["continuous_vs_static"] = seq_compare(cont_preds, exact_preds)
+    print(f"# gate[continuous]: {cont_sps or 0:.2f} sum/s steady vs static "
           f"{out['exact']['bulk_static_sps']} "
-          f"(identical={out['continuous_matches_static']}, "
+          f"(identical {out['continuous_vs_static']['identical_rows']}/"
+          f"{out['continuous_vs_static']['rows']}, id-RL "
+          f"{out['continuous_vs_static']['id_rougeL']}, "
           f"{time.time()-t0:.0f}s)", flush=True)
 
     # speculative decoding where it matters (VERDICT r2 #4): greedy decode
@@ -457,17 +494,18 @@ def quality_gate(work_root: str, timing_batch: int = 25):
     gen1 = gen.replace(num_beams=1)
     spec = {}
     for w, tag in ((1, "classic"), (4, "spec_w4")):
-        preds1, _, dt1 = run(f"greedy-{tag}", timed=True, scheduler="continuous",
-                             n_slots=timing_batch, steps_per_tick=8,
-                             spec_window=w, gen_override=gen1)
-        spec[tag] = {"sps": round(len(dataset) / dt1, 3)}
+        preds1, _, sps1 = run(f"greedy-{tag}", timed=True, scheduler="continuous",
+                              n_slots=timing_batch, steps_per_tick=8,
+                              spec_window=w, gen_override=gen1)
+        spec[tag] = {"sps": round(sps1, 3) if sps1 else None}
         if w == 1:
             greedy_classic = preds1
         else:
-            spec["identical_to_classic"] = preds1 == greedy_classic
-            spec["speedup"] = round(spec["spec_w4"]["sps"]
-                                    / spec["classic"]["sps"], 3)
-        print(f"# gate[greedy-{tag}]: {len(dataset)/dt1:.2f} sum/s", flush=True)
+            spec["vs_classic"] = seq_compare(preds1, greedy_classic)
+            if spec["classic"]["sps"] and spec["spec_w4"]["sps"]:
+                spec["speedup"] = round(spec["spec_w4"]["sps"]
+                                        / spec["classic"]["sps"], 3)
+        print(f"# gate[greedy-{tag}]: {sps1 or 0:.2f} sum/s steady", flush=True)
     out["greedy_spec"] = spec
     return out
 

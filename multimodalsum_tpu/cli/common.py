@@ -71,6 +71,19 @@ def setup_environment(args) -> None:
     os.environ.setdefault("TRANSFORMERS_OFFLINE", "1")
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    # persistent XLA compile cache (verified working through the axon
+    # tunnel): repeat CLI invocations skip minutes of bart-large compile.
+    # JAX_COMPILATION_CACHE_DIR= (empty) disables.
+    cache = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache", "multimodalsum_jax"))
+    if cache:
+        try:
+            os.makedirs(cache, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", cache)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        except Exception:
+            pass  # older jax / read-only fs: compiles stay per-process
     if getattr(args, "multihost", False):
         # the repo's rendezvous wrapper (reference torch.distributed.launch
         # env-var analog, parallel/comm.py) — not jax.distributed directly,

@@ -45,6 +45,7 @@ def generate_summaries(
     steps_per_tick: int = 8,
     spec_window: int = 1,
     spec_ngram: int = 2,
+    steady_timing: list | None = None,
 ) -> List[str]:
     """``cache_mode=None`` resolves to "ancestry" on a single device (2.5x
     faster, token-identical — SCALING.md) but "reorder" under a mesh: the
@@ -56,6 +57,15 @@ def generate_summaries(
     speculative verification: each row's own review tokens feed the draft
     lookup (summaries quote their sources heavily), committed prefixes are
     verified-exact so outputs stay token-identical.
+
+    ``steady_timing``, if given a list, receives one ``(rows, seconds)``
+    tuple measuring steady-state throughput with compilation excluded:
+    the static path times every batch after the first (batch 1 carries the
+    jit compile), the continuous path times from the end of the first
+    engine tick (which carries the tick-fn compile) to drain. A fresh call
+    re-traces its jitted closures, so "run twice and time the second call"
+    measures XLA recompilation, not decode — this is the honest
+    alternative.
 
     ``scheduler="continuous"`` replaces the static all-rows while_loop with
     the slot-based continuous batcher (``decode/serving.ContinuousBatcher``,
@@ -184,6 +194,10 @@ def generate_summaries(
         results: dict = {}
         next_id = 0
         t_start = time.time()
+        # steady-state markers: the first tick carries the tick-fn compile
+        tick_count = 0
+        t_steady = None
+        rows_at_steady = 0
         for real, arrs in host_prefetch(host_batches()):
             hiddens, masks = enc(params, batch_stats, *arrs)
             if engine is None:
@@ -217,10 +231,17 @@ def generate_summaries(
                     break
                 for rid, tokens, _ in engine.tick():
                     results[rid] = tokens
+                tick_count += 1
+                if tick_count == 1:
+                    t_steady = time.time()
+                    rows_at_steady = len(results)
         if engine is not None:
             for rid, tokens in engine.run().items():
                 results[rid] = tokens
         ticks = engine.stats()["ticks"] if engine else 0
+        if steady_timing is not None and t_steady is not None:
+            steady_timing.append((len(results) - rows_at_steady,
+                                  time.time() - t_steady))
         log(f"continuous eval: {len(results)} rows, {ticks} ticks "
             f"x{steps_per_tick} steps, {time.time() - t_start:.2f}s")
         return [tokenizer.decode(results[i], skip_special_tokens=True)
@@ -241,6 +262,7 @@ def generate_summaries(
             reals.append(real)
             yield arrs
 
+    batch_secs = []
     for bi, dev_args in enumerate(
         prefetch_to_device(host_prefetch(arrays_only()), size=2, sharding=b_sh)
     ):
@@ -249,7 +271,10 @@ def generate_summaries(
         seqs = np.asarray(seqs)
         for r in range(reals[bi]):
             outputs.append(tokenizer.decode(seqs[r], skip_special_tokens=True))
-        log(f"eval batch {bi + 1}/{n_batches} ({time.time() - t0:.2f}s)")
+        batch_secs.append(time.time() - t0)
+        log(f"eval batch {bi + 1}/{n_batches} ({batch_secs[-1]:.2f}s)")
+    if steady_timing is not None and len(batch_secs) > 1:
+        steady_timing.append((sum(reals[1:]), sum(batch_secs[1:])))
     return outputs
 
 

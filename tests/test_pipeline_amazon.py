@@ -172,13 +172,21 @@ def test_harness_continuous_scheduler_token_identical(amazon_root):
 
     gen = GenerationConfig(num_beams=2, max_length=10, min_length=2,
                            length_penalty=1.0, early_stopping=True)
+    t_static = []
     ref = generate_summaries(model, params, batch_stats, ds, tok, gen,
-                             batch_size=2, log=lambda *a: None)
+                             batch_size=2, log=lambda *a: None,
+                             steady_timing=t_static)
+    # steady_timing: one (rows, secs) tuple, rows = everything after the
+    # compile-carrying first batch, secs > 0
+    assert len(t_static) == 1 and t_static[0][1] > 0
+    assert t_static[0][0] == len(ds) - 2
+    t_cont = []
     cont = generate_summaries(model, params, batch_stats, ds, tok, gen,
                               batch_size=2, log=lambda *a: None,
                               scheduler="continuous", n_slots=2,
-                              steps_per_tick=3)
+                              steps_per_tick=3, steady_timing=t_cont)
     assert cont == ref and len(cont) == len(ds)
+    assert len(t_cont) == 1 and t_cont[0][1] > 0 and 0 <= t_cont[0][0] <= len(ds)
 
     # fewer slots than the submit wave: rows queue and refill freed slots
     cont_small = generate_summaries(model, params, batch_stats, ds, tok, gen,
