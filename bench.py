@@ -37,10 +37,12 @@ When an in-environment-trained bart-large checkpoint exists
 (``scripts/train_real_ckpt.py`` → ``_work/real_ckpt``), a **quality gate**
 additionally runs the REAL 100-group Yelp eval (gold ROUGE, agreement and
 id-ROUGE-L of each quantized config vs the exact output — on peaked logits)
-and PROMOTES the quantized throughput to the headline ``value`` iff its
-id-ROUGE-L vs exact is >= 95; otherwise the headline stays token-exact. The
-same phase A/Bs static-batch vs continuous-slot bulk decode on the real
-length distribution.
+and PROMOTES to the headline ``value`` the FASTEST quantized tier whose
+id-ROUGE-L vs exact is >= 95 (both int8 and int4 are measured and judged
+independently — measured outcome: int4 19.2 sum/s fails at id-RL 80.9,
+int8 17.4 sum/s passes at 97.3 and takes the headline); otherwise the
+headline stays token-exact. The same phase A/Bs static-batch vs
+continuous-slot bulk decode on the real length distribution.
 
 Flags: ``--exact`` (skip the quantized config), ``--no-train`` (skip the
 training benchmark), ``--train-only`` (just the training step),
@@ -294,12 +296,15 @@ def bench_batch(inputs, b: int, cache_mode: str = "reorder",
                 mfu=mfu)
 
 
-def bench_train(remat=True):
+def bench_train(remat=True, grad_accum=1):
     """Stage-3 training step at production shapes (bart-large, x9 rotations,
     ResNet-101 over 10 images, AdamW, donation): s/step + tokens/s + MFU.
 
     ``remat``: True (full), False (none), or a jax.checkpoint_policies name
-    (``--train_remat=`` flag) — A/B lever for the rotation recompute."""
+    (``--train_remat=`` flag) — A/B lever for the rotation recompute.
+    ``grad_accum``: N accumulation microbatches of TRAIN_BATCH each (global
+    batch = 8*N — the stated 16 GB scale-out lever, measured not assumed;
+    ``--train_grad_accum=N``)."""
     from multimodalsum_tpu.core.config import BartConfig
     from multimodalsum_tpu.models.multimodal import MultimodalSum, yelp_dummy_table
     from multimodalsum_tpu.train.loop import TrainStateWithStats, make_train_step_with_stats
@@ -312,7 +317,7 @@ def bench_train(remat=True):
     st = shared_model_state()
     params, batch_stats = st["params"], st["batch_stats"]
     cfg = BartConfig()  # dropout active
-    b, t = TRAIN_BATCH, TRAIN_LEN
+    b, t = TRAIN_BATCH * grad_accum, TRAIN_LEN
     model = MultimodalSum(cfg, dataset="yelp", img_model="resnet101",
                           dtype=jnp.bfloat16)
     field, _ = yelp_dummy_table(1)
@@ -334,7 +339,9 @@ def bench_train(remat=True):
         return multimodal_train_loss(model, p, stats, dict(bt, field=field),
                                      label_smoothing=0.1, rng=r, remat=remat)
 
-    step = jax.jit(make_train_step_with_stats(loss_fn, tx), donate_argnums=0)
+    step = jax.jit(make_train_step_with_stats(loss_fn, tx,
+                                              grad_accum=grad_accum),
+                   donate_argnums=0)
     state = TrainStateWithStats.create(params, batch_stats, tx)
     state = jax.device_put(state)
     batch = jax.device_put(batch)
@@ -361,7 +368,7 @@ def bench_train(remat=True):
     return dict(s_per_step=round(dt, 4), batch=b,
                 groups_per_sec=round(b / dt, 3),
                 target_tokens_per_sec=round(tokens / dt, 1),
-                mfu=round(mfu, 4), remat=remat)
+                mfu=round(mfu, 4), remat=remat, grad_accum=grad_accum)
 
 
 def quality_gate(work_root: str, timing_batch: int = 25):
@@ -494,9 +501,11 @@ def quality_gate(work_root: str, timing_batch: int = 25):
     gen1 = gen.replace(num_beams=1)
     spec = {}
     for w, tag in ((1, "classic"), (4, "spec_w4")):
+        eng_stats: dict = {}
         preds1, _, sps1 = run(f"greedy-{tag}", timed=True, scheduler="continuous",
                               n_slots=timing_batch, steps_per_tick=8,
-                              spec_window=w, gen_override=gen1)
+                              spec_window=w, gen_override=gen1,
+                              stats_out=eng_stats)
         spec[tag] = {"sps": round(sps1, 3) if sps1 else None}
         if w == 1:
             greedy_classic = preds1
@@ -505,6 +514,15 @@ def quality_gate(work_root: str, timing_batch: int = 25):
             if spec["classic"]["sps"] and spec["spec_w4"]["sps"]:
                 spec["speedup"] = round(spec["spec_w4"]["sps"]
                                         / spec["classic"]["sps"], 3)
+            # measured prompt-lookup acceptance on TRAINED weights over the
+            # real reviews (VERDICT r2 #4) — replaces the random-init caveat
+            if eng_stats.get("spec"):
+                spec["acceptance"] = eng_stats["spec"]
+                print(f"# gate[spec acceptance]: "
+                      f"{eng_stats['spec']['tokens_per_window']:.2f} "
+                      f"tokens/window (draft acceptance "
+                      f"{eng_stats['spec']['draft_acceptance']:.1%})",
+                      flush=True)
         print(f"# gate[greedy-{tag}]: {sps1 or 0:.2f} sum/s steady", flush=True)
     out["greedy_spec"] = spec
     return out
@@ -543,7 +561,39 @@ def _require_live_backend(timeout_s: float = 180.0) -> None:
         sys.exit(3)
 
 
+def probe_native_int4_jit_boundary() -> bool:
+    """Regression probe (VERDICT r2 weak #6): serving keeps PACKED-BYTE int4
+    slot slabs because a ``jnp.int4`` array returned from one jit and fed to
+    another takes the experimental axon dev backend down. Runs in a
+    SUBPROCESS (the failure can be fatal to the process) BEFORE this process
+    claims the chip. The moment this reports True on a production backend,
+    set ``MMS_NATIVE_INT4_SLABS=1`` to flip serving slabs to the faster
+    native dtype (decode/serving.py wires the switch)."""
+    import subprocess
+
+    code = (
+        "import jax, jax.numpy as jnp\n"
+        "a = jax.jit(lambda x: x.astype(jnp.int4))("
+        "jnp.arange(8, dtype=jnp.int8))\n"
+        "b = jax.jit(lambda q: q.astype(jnp.bfloat16).sum())(a)\n"
+        "print('INT4_XJIT_OK', float(b))\n"
+    )
+    try:
+        r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                           text=True, timeout=180)
+        return r.returncode == 0 and "INT4_XJIT_OK" in r.stdout
+    except Exception:
+        return False
+
+
 def main():
+    # probe before claiming the chip (only one process can hold it)
+    int4_xjit_ok = (all(f not in sys.argv for f in
+                        ("--no-probe", "--train-only", "--gate-only"))
+                    and probe_native_int4_jit_boundary())
+    if int4_xjit_ok:
+        print("# NOTE: native jnp.int4 now survives jit boundaries on this "
+              "backend - set MMS_NATIVE_INT4_SLABS=1 for serving", flush=True)
     _require_live_backend()
     if "--pallas" in sys.argv:
         from multimodalsum_tpu.ops.attention import set_entity_attention_impl
@@ -558,10 +608,16 @@ def main():
                       (8, "reorder", None)]
     # int4 uses the native jnp.int4 dtype (XLA fuses the widening into the
     # dot operand load — measured 19.2 sum/s at b72 vs 17.4 for int8; the
-    # manual nibble-packed int4 loses, SCALING.md). Quality metrics vs the
-    # exact path ride along in the JSON either way.
-    attempts_quant = [(72, "ancestry", "int4"), (72, "ancestry", "int8"),
-                      (64, "ancestry", "int8"), (32, "ancestry", "int8")]
+    # manual nibble-packed int4 loses, SCALING.md). BOTH tiers are measured
+    # every run: the trained-weights gate decides per-tier which may claim
+    # the headline (int4 is faster but fails the gate on peaked logits —
+    # id-RL 80.9 — while int8 passes at 97.3), so the headline candidate is
+    # the fastest tier that PASSES, not the fastest tier outright.
+    attempts_quant = {
+        "int4": [(72, "ancestry", "int4")],
+        "int8": [(72, "ancestry", "int8"), (64, "ancestry", "int8"),
+                 (32, "ancestry", "int8")],
+    }
 
     cache_mode = kv_quant = batch = None
     for a in sys.argv:
@@ -576,12 +632,16 @@ def main():
     explicit = bool(batch or cache_mode or kv_quant)
 
     train_remat = True
+    train_ga = 1
     for a in sys.argv:
         if a.startswith("--train_remat="):
             v = a.split("=", 1)[1]
             train_remat = {"true": True, "false": False}.get(v.lower(), v)
+        elif a.startswith("--train_grad_accum="):
+            train_ga = int(a.split("=", 1)[1])
     if "--train-only" in sys.argv:
-        print(json.dumps({"train": bench_train(remat=train_remat)}))
+        print(json.dumps({"train": bench_train(remat=train_remat,
+                                       grad_accum=train_ga)}))
         return
     if "--gate-only" in sys.argv:
         root = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -613,7 +673,8 @@ def main():
         return None, None
 
     if explicit:
-        first = attempts_quant[0] if kv_quant not in (None, "none") else attempts_exact[0]
+        first = (attempts_quant.get(kv_quant, attempts_quant["int8"])[0]
+                 if kv_quant not in (None, "none") else attempts_exact[0])
         one = [(batch or first[0], cache_mode or first[1],
                 None if (kv_quant in (None, "none")) else kv_quant)]
         out, cfg_used = run_attempts(one, "explicit")
@@ -634,9 +695,14 @@ def main():
     if exact is None:
         raise SystemExit("bench failed at every exact config")
 
-    quant = cfg_quant = None
+    quants = {}  # kvq tier -> (out, cfg); every tier is a gate candidate
     if "--exact" not in sys.argv:
-        quant, cfg_quant = run_attempts(attempts_quant, "quant")
+        for kvq, ladder in attempts_quant.items():
+            out_q, cfg_q = run_attempts(ladder, f"quant-{kvq}")
+            if out_q is not None:
+                quants[kvq] = (out_q, cfg_q)
+    quant, cfg_quant = (max(quants.values(), key=lambda t: t[0]["sps"])
+                        if quants else (None, None))
 
     record = {
         "metric": "multimodal_beam5_summaries_per_sec_per_chip",
@@ -650,6 +716,10 @@ def main():
         "config_exact": cfg_exact,
         "decode_mfu": round(exact["mfu"], 4),
         "fallbacks": fallbacks,
+        # regression probe: flips to true when the backend supports native
+        # jnp.int4 across jit boundaries (then flip serving slabs via
+        # MMS_NATIVE_INT4_SLABS=1 — see decode/serving.py)
+        "native_int4_jit_boundary_ok": int4_xjit_ok,
     }
 
     if quant is not None:
@@ -672,6 +742,9 @@ def main():
             "quant_prefix_agreement": round(sum(prefix) / n, 4),
             "quant_rougeL_vs_exact": round(100 * sum(rl) / len(rl), 2),
             "quant_compared_rows": n,
+            "quant_tiers": {k: {"sps": round(o["sps"], 3),
+                                "batch": c["batch"]}
+                            for k, (o, c) in quants.items()},
         })
         print(f"# quant quality vs exact on {n} rows: "
               f"agreement {agree}/{n}, mean prefix match "
@@ -693,25 +766,42 @@ def main():
             traceback.print_exc()
             record["trained_gate"] = {"skipped": "gate raised (see stderr)"}
         gate = record["trained_gate"]
-        q = (cfg_quant or {}).get("kv_quant")
-        if quant is not None and isinstance(gate.get(q), dict):
-            if gate[q]["id_rougeL"] >= 95.0:
-                record["value"] = record["value_quantized"]
-                record["vs_baseline"] = round(
-                    quant["sps"] / A100_REFERENCE_SUMMARIES_PER_SEC, 3)
-                record["headline_config"] = "quantized (passed trained gate)"
-                print(f"# GATE PASSED: {q} id-RL {gate[q]['id_rougeL']} >= 95 "
-                      f"- quantized config promoted to headline", flush=True)
-            else:
-                record["headline_config"] = (
-                    f"exact ({q} failed trained gate: "
-                    f"id-RL {gate[q]['id_rougeL']} < 95)")
-                print(f"# GATE FAILED: {q} id-RL {gate[q]['id_rougeL']} < 95 "
-                      f"- headline stays token-exact", flush=True)
+        # per-tier verdicts: the headline goes to the FASTEST measured tier
+        # whose trained-weights id-ROUGE-L clears the gate — int4 being
+        # fastest but failing must not block a slower-but-passing int8
+        verdicts = {}
+        for kvq, (out_q, _) in quants.items():
+            g = gate.get(kvq)
+            if isinstance(g, dict):
+                ok = g["id_rougeL"] >= 95.0
+                verdicts[kvq] = {"sps": round(out_q["sps"], 3),
+                                 "id_rougeL": g["id_rougeL"], "passed": ok}
+                print(f"# gate verdict[{kvq}]: id-RL {g['id_rougeL']} "
+                      f"{'>=' if ok else '<'} 95 -> "
+                      f"{'eligible' if ok else 'demoted'} "
+                      f"({out_q['sps']:.2f} sum/s)", flush=True)
+        record["gate_verdicts"] = verdicts
+        passing = [(v["sps"], k) for k, v in verdicts.items() if v["passed"]]
+        if passing and max(passing)[0] > exact["sps"]:
+            sps_win, kvq_win = max(passing)
+            record["value"] = sps_win
+            record["vs_baseline"] = round(
+                sps_win / A100_REFERENCE_SUMMARIES_PER_SEC, 3)
+            record["headline_config"] = (
+                f"quantized {kvq_win} (passed trained gate, "
+                f"id-RL {verdicts[kvq_win]['id_rougeL']})")
+            print(f"# GATE PASSED: {kvq_win} promoted to headline "
+                  f"({sps_win} sum/s)", flush=True)
+        elif verdicts:
+            record["headline_config"] = (
+                "exact (no quantized tier both passed the gate and beat "
+                "the exact throughput)")
+            print("# GATE: headline stays token-exact", flush=True)
 
     if "--no-train" not in sys.argv:
         try:
-            record["train"] = bench_train(remat=train_remat)
+            record["train"] = bench_train(remat=train_remat,
+                                          grad_accum=train_ga)
         except Exception:
             print("# train bench failed:", flush=True)
             traceback.print_exc()

@@ -136,7 +136,7 @@ def main(argv=None):
 
     train_model(
         state,
-        make_train_step(loss_fn, tx),
+        make_train_step(loss_fn, tx, grad_accum=args.grad_accum),
         make_eval_step(lambda p, b, r: denoising_loss(model, p, b, rng=None)),
         # the BART-noise collator (sentence permute + span infill) is the
         # CPU-heavy part of this stage — build it one batch ahead

@@ -46,6 +46,11 @@ def base_parser(description: str) -> argparse.ArgumentParser:
                         "(ZeRO/FSDP-style; ~Nx less state memory per device, "
                         "one parameter all-gather per step; losses identical "
                         "to plain DP)")
+    p.add_argument("--grad_accum", type=int, default=1,
+                   help="accumulate gradients over N microbatches per "
+                        "optimizer step (the HF Trainer lever, reference "
+                        "trainer.py:680-739); --batch_size is the GLOBAL "
+                        "batch and must be divisible by N")
     p.add_argument("--save_interval", type=int, default=1,
                    help="save a checkpoint every N epochs (the final epoch "
                         "always saves; reference saves every epoch — raise "

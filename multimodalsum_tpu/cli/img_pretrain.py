@@ -139,7 +139,7 @@ def main(argv=None):
 
     train_model(
         state,
-        make_train_step_with_stats(loss_fn, tx),
+        make_train_step_with_stats(loss_fn, tx, grad_accum=args.grad_accum),
         eval_step,
         lambda e: prefetch_to_device(
             host_prefetch(

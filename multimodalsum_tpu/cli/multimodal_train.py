@@ -109,7 +109,7 @@ def main(argv=None):
                                 shard_index=si, shard_count=sc)
     train_model(
         state,
-        make_train_step_with_stats(loss_fn, tx),
+        make_train_step_with_stats(loss_fn, tx, grad_accum=args.grad_accum),
         eval_step,
         lambda e: prefetch_to_device(host_prefetch(batches(epoch=e, train=True)),
                                      sharding=b_shard),

@@ -112,7 +112,7 @@ def main(argv=None):
 
     train_model(
         state,
-        make_train_step(loss_fn, tx),
+        make_train_step(loss_fn, tx, grad_accum=args.grad_accum),
         make_eval_step(lambda p, b, r: loss_fn(p, b, None)),
         lambda e: prefetch_to_device(
             host_prefetch(

@@ -100,7 +100,7 @@ def main(argv=None):
 
     train_model(
         state,
-        make_train_step(loss_fn, tx),
+        make_train_step(loss_fn, tx, grad_accum=args.grad_accum),
         make_eval_step(eval_loss_fn),
         functools.partial(_epoch_iter, train_data, b_shard),
         lambda: prefetch_to_device(val_data.epoch(0), sharding=b_shard),

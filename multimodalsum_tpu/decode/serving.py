@@ -50,6 +50,7 @@ no second set of weights — the drafter is a vectorized n-gram match.
 
 from __future__ import annotations
 
+import os
 import time
 from collections import deque
 from typing import Any, Dict, List, NamedTuple, Optional, Sequence, Tuple
@@ -78,6 +79,9 @@ class _SlotState(NamedTuple):
     src: Any                 # [S, P] int32 source tokens (prompt-lookup
                              # speculative drafting), or None when disabled
     src_len: Any             # [S] int32 valid source lengths, or None
+    spec_committed: Any = None  # scalar int32: total tokens committed by
+                                # speculative windows (None unless W > 1)
+    spec_windows: Any = None    # scalar int32: active slot-window steps
 
 
 class _BeamSlotState(NamedTuple):
@@ -259,6 +263,10 @@ class ContinuousBatcher:
                      if self.spec_window > 1 else None),
                 src_len=(jnp.zeros((S,), jnp.int32)
                          if self.spec_window > 1 else None),
+                spec_committed=(jnp.int32(0) if self.spec_window > 1
+                                else None),
+                spec_windows=(jnp.int32(0) if self.spec_window > 1
+                              else None),
             )
         else:
             from multimodalsum_tpu.ops.ancestry_attention import init_ancestry
@@ -322,10 +330,18 @@ class ContinuousBatcher:
             if kv_quant is not None:
                 # int8/int4 slot slabs: halves/quarters serving HBM per slot
                 # (more concurrent slots per chip); scale-folded attention
-                # reads the int values directly, same as offline decode
+                # reads the int values directly, same as offline decode.
+                # MMS_NATIVE_INT4_SLABS=1 switches int4 slabs to the native
+                # jnp.int4 dtype (faster widening, token-identical) — off by
+                # default because slabs CROSS jit boundaries here and that
+                # crashes the experimental axon dev backend; bench.py probes
+                # the limitation every run (native_int4_jit_boundary_ok) so
+                # the flip is data-driven when a fixed backend lands.
                 from multimodalsum_tpu.ops.quantization import quantize_cross_kv
 
-                ckv = quantize_cross_kv(ckv, bits=int(kv_quant[3:]))
+                native4 = os.environ.get("MMS_NATIVE_INT4_SLABS") == "1"
+                ckv = quantize_cross_kv(ckv, bits=int(kv_quant[3:]),
+                                        native_int4=native4)
             return ckv
 
         self._project = jax.jit(project)
@@ -487,7 +503,16 @@ class ContinuousBatcher:
                     state.active.reshape((-1,) + (1,) * (new.ndim - 1)), new, old),
                 new_cache, state.cache)
             return state._replace(tokens=tokens, cur_len=new_len, active=active,
-                                  lengths=lengths, cache=cache), just_finished
+                                  lengths=lengths, cache=cache,
+                                  # acceptance telemetry: n_new is already 0
+                                  # for inactive slots; windows counts only
+                                  # slots that actually decoded this step
+                                  spec_committed=(state.spec_committed
+                                                  + jnp.sum(n_new)),
+                                  spec_windows=(state.spec_windows
+                                                + jnp.sum(state.active
+                                                          .astype(jnp.int32)))
+                                  ), just_finished
 
         self._one_step = step_spec if W > 1 else step
         self._rebuild_multi_step()
@@ -977,6 +1002,30 @@ class ContinuousBatcher:
             ticks=self._ticks,
             completed=self._completed,
             tokens_out=self._tokens_out,
+        )
+
+    def spec_stats(self) -> Optional[Dict[str, Any]]:
+        """Speculative-decoding acceptance, read from the device counters
+        (one tiny host transfer — unlike :meth:`stats`, this syncs).
+
+        ``tokens_per_window``: mean committed tokens per active slot window
+        (1..spec_window; 1.0 = drafts never help). ``draft_acceptance``:
+        fraction of DRAFTED tokens accepted, i.e.
+        (committed - windows) / (windows * (spec_window - 1)).
+        None when speculative decoding is disabled."""
+        if self.spec_window <= 1 or getattr(
+                self.state, "spec_committed", None) is None:
+            return None
+        committed = int(np.asarray(self.state.spec_committed))
+        windows = int(np.asarray(self.state.spec_windows))
+        return dict(
+            spec_window=self.spec_window,
+            committed_tokens=committed,
+            window_steps=windows,
+            tokens_per_window=round(committed / max(windows, 1), 4),
+            draft_acceptance=round(
+                (committed - windows)
+                / max(windows * (self.spec_window - 1), 1), 4),
         )
 
     def swap_params(self, params) -> None:

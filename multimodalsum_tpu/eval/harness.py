@@ -46,6 +46,7 @@ def generate_summaries(
     spec_window: int = 1,
     spec_ngram: int = 2,
     steady_timing: list | None = None,
+    stats_out: dict | None = None,
 ) -> List[str]:
     """``cache_mode=None`` resolves to "ancestry" on a single device (2.5x
     faster, token-identical — SCALING.md) but "reorder" under a mesh: the
@@ -66,6 +67,10 @@ def generate_summaries(
     re-traces its jitted closures, so "run twice and time the second call"
     measures XLA recompilation, not decode — this is the honest
     alternative.
+
+    ``stats_out``, if given a dict, receives the continuous engine's
+    counters at drain (ticks, tokens_out, ...) plus a ``"spec"`` entry with
+    the measured speculative acceptance when ``spec_window > 1``.
 
     ``scheduler="continuous"`` replaces the static all-rows while_loop with
     the slot-based continuous batcher (``decode/serving.ContinuousBatcher``,
@@ -239,6 +244,11 @@ def generate_summaries(
             for rid, tokens in engine.run().items():
                 results[rid] = tokens
         ticks = engine.stats()["ticks"] if engine else 0
+        if stats_out is not None and engine is not None:
+            stats_out.update(engine.stats())
+            spec = engine.spec_stats()
+            if spec is not None:
+                stats_out["spec"] = spec
         if steady_timing is not None and t_steady is not None:
             steady_timing.append((len(results) - rows_at_steady,
                                   time.time() - t_steady))

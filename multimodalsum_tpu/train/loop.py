@@ -101,18 +101,60 @@ class TrainStateWithStats(struct.PyTreeNode):
                    batch_stats=batch_stats)
 
 
-def make_train_step_with_stats(loss_fn: Callable, tx: optax.GradientTransformation):
+def make_train_step_with_stats(loss_fn: Callable, tx: optax.GradientTransformation,
+                               grad_accum: int = 1):
     """Like :func:`make_train_step` for losses returning
     ``(loss, new_batch_stats)`` — the img and multimodal stages, whose ResNet
-    BatchNorm updates running stats in training mode (torch semantics)."""
+    BatchNorm updates running stats in training mode (torch semantics).
+
+    ``grad_accum > 1`` accumulates gradients over that many microbatches
+    with ``lax.scan`` before one optimizer update; BatchNorm running stats
+    chain THROUGH the scan (microbatch i sees the stats updated by i-1),
+    matching torch accumulation where each forward updates running stats."""
 
     def train_step(state: TrainStateWithStats, batch, rng):
         step_rng = None if rng is None else jax.random.fold_in(rng, state.step)
 
-        def wrapped(params):
-            return loss_fn(params, state.batch_stats, batch, step_rng)
+        if grad_accum <= 1:
+            def wrapped(params):
+                return loss_fn(params, state.batch_stats, batch, step_rng)
 
-        (loss, new_stats), grads = jax.value_and_grad(wrapped, has_aux=True)(state.params)
+            (loss, new_stats), grads = jax.value_and_grad(
+                wrapped, has_aux=True)(state.params)
+        else:
+            lead = jax.tree.leaves(batch)[0].shape[0]
+            if lead % grad_accum:
+                raise ValueError(
+                    f"batch leading dim {lead} is not divisible by "
+                    f"grad_accum {grad_accum}")
+            micro = jax.tree.map(
+                lambda x: x.reshape(
+                    (grad_accum, x.shape[0] // grad_accum) + x.shape[1:]),
+                batch,
+            )
+
+            def body(carry, mb_and_i):
+                mb, i = mb_and_i
+                r = None if step_rng is None else jax.random.fold_in(step_rng, i)
+                total_loss, total_g, stats = carry
+
+                def wrapped(params):
+                    return loss_fn(params, stats, mb, r)
+
+                (loss_i, new_stats_i), g_i = jax.value_and_grad(
+                    wrapped, has_aux=True)(state.params)
+                return (total_loss + loss_i,
+                        jax.tree.map(jnp.add, total_g, g_i),
+                        new_stats_i), None
+
+            zero_g = jax.tree.map(jnp.zeros_like, state.params)
+            (loss, grads, new_stats), _ = jax.lax.scan(
+                body, (jnp.float32(0.0), zero_g, state.batch_stats),
+                (micro, jnp.arange(grad_accum)),
+            )
+            loss = loss / grad_accum
+            grads = jax.tree.map(lambda g: g / grad_accum, grads)
+
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         return (

@@ -77,6 +77,60 @@ def test_grad_accumulation_matches_full_batch():
     )
 
 
+def test_grad_accumulation_with_stats_matches_full_batch():
+    """Stats-variant (img/multimodal stages): accumulation matches the full
+    batch for the parameter update, and BatchNorm-style running stats chain
+    THROUGH the microbatch scan (each microbatch sees its predecessor's
+    stats — torch accumulation semantics)."""
+    import jax
+    import jax.numpy as jnp
+
+    from multimodalsum_tpu.train.loop import (TrainStateWithStats,
+                                              make_train_step_with_stats)
+    from multimodalsum_tpu.train.stages import enc_conditional_loss
+
+    cfg, model, params, tx = _tiny_setup()
+    rng = np.random.default_rng(0)
+    bsz = 8
+    hiddens = rng.normal(size=(bsz, 2, 6, cfg.d_model)).astype(np.float32)
+    batch = dict(h=hiddens, m=np.ones((bsz, 2, 6), bool),
+                 labels=rng.integers(3, cfg.vocab_size, (bsz, 7)))
+
+    def loss_fn(p, stats, b, r):
+        loss = enc_conditional_loss(model, p, b["h"], b["m"], b["labels"],
+                                    rng=None)
+        # stand-in for BN running stats: a call counter (proves chaining)
+        # and a batch statistic (proves each call sees ITS microbatch)
+        return loss, {"calls": stats["calls"] + 1,
+                      "mean_h": jnp.mean(b["h"])}
+
+    stats0 = {"calls": jnp.int32(0), "mean_h": jnp.float32(0.0)}
+    state = TrainStateWithStats.create(params, stats0, tx)
+    full_step = jax.jit(make_train_step_with_stats(loss_fn, tx, grad_accum=1))
+    accum_step = jax.jit(make_train_step_with_stats(loss_fn, tx, grad_accum=4))
+
+    s_full, loss_full = full_step(state, batch, jax.random.PRNGKey(0))
+    s_acc, loss_acc = accum_step(state, batch, jax.random.PRNGKey(0))
+
+    np.testing.assert_allclose(float(loss_acc), float(loss_full), rtol=1e-5)
+    import chex
+
+    chex.assert_trees_all_close(
+        jax.device_get(s_acc.params), jax.device_get(s_full.params),
+        rtol=2e-4, atol=1e-6,
+    )
+    assert int(s_acc.batch_stats["calls"]) == 4
+    assert int(s_full.batch_stats["calls"]) == 1
+    # the carried stat reflects the LAST microbatch, not the whole batch
+    np.testing.assert_allclose(float(s_acc.batch_stats["mean_h"]),
+                               float(np.mean(hiddens[6:])), rtol=1e-5)
+
+    # global batch not divisible by grad_accum must fail loudly
+    with pytest.raises(ValueError, match="divisible"):
+        make_train_step_with_stats(loss_fn, tx, grad_accum=3)(
+            state, batch, jax.random.PRNGKey(0))
+
+
 def test_latest_checkpoint_ignores_incomplete_and_stray(tmp_path):
     """Resume must skip partially-written checkpoints (no meta.json — the
     completeness marker written after the orbax tree) and not crash on
