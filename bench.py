@@ -371,7 +371,11 @@ def bench_train(remat=True, grad_accum=1):
                 mfu=round(mfu, 4), remat=remat, grad_accum=grad_accum)
 
 
-def quality_gate(work_root: str, timing_batch: int = 25):
+GATE_SECTIONS = ("quant", "sched", "spec", "valmin")
+
+
+def quality_gate(work_root: str, timing_batch: int = 25,
+                 sections=GATE_SECTIONS):
     """Trained-weights quantization quality gate + bulk-scheduler A/B.
 
     Runs the REAL eval contract (reference ``src/test.py:222-236``) on the
@@ -388,6 +392,14 @@ def quality_gate(work_root: str, timing_batch: int = 25):
 
     Also A/Bs the static while_loop bulk decode against the continuous slot
     scheduler on the same real length distribution (VERDICT r2 #2).
+
+    ``sections`` selects which parts run beyond the always-on exact pass:
+    ``quant`` (int8/int4 ladder), ``sched`` (static-vs-continuous A/B),
+    ``spec`` (greedy speculative decoding), ``valmin`` (gold-ROUGE of the
+    stage-3 validation-minimum checkpoint ``ckpt_valmin/`` when present —
+    the learning-evidence number; the overfit default ckpt deliberately
+    memorises its train split and is only the right basis for the
+    quantization comparison's peaked logits).
     """
     import types
 
@@ -415,13 +427,15 @@ def quality_gate(work_root: str, timing_batch: int = 25):
                            no_repeat_ngram_size=3)
     silent = lambda *a, **k: None
 
-    def run(tag, timed=False, gen_override=None, **kw):
+    def run(tag, timed=False, gen_override=None, params_override=None,
+            **kw):
         g = gen_override or gen
+        p, bs = params_override or (params, batch_stats)
         # steady-state sum/s measured INSIDE the single pass (compile
         # excluded by the harness); a second timed call would re-trace the
         # jitted closures and measure XLA recompilation, not decode
         st_t = [] if timed else None
-        preds = generate_summaries(model, params, batch_stats, dataset,
+        preds = generate_summaries(model, p, bs, dataset,
                                    tokenizer, g, batch_size=timing_batch,
                                    log=silent, cache_mode="ancestry",
                                    steady_timing=st_t, **kw)
@@ -465,7 +479,35 @@ def quality_gate(work_root: str, timing_batch: int = 25):
                 "rows": len(preds), "id_rougeL": round(idrl, 2),
                 "mean_prefix_match": round(pref, 4)}
 
-    for kvq in ("int8", "int4+int8", "int4"):
+    # honest-generalisation checkpoint (VERDICT r2 #6): the overfit ckpt
+    # above is the right basis for the quantization gate (peaked logits)
+    # but it memorises its train split — its gold ROUGE understates what
+    # the model learned (measured val loss 6.15 at epoch 70 vs the 5.37
+    # minimum at epoch 55). When the val-min stage-3 variant exists
+    # (scripts/train_real_ckpt.py STAGE3_EPOCHS=55
+    # STAGE3_CKPT_ROOT=ckpt_valmin), score ITS exact decode against gold
+    # and the lead-review extractive baseline: that pair is the learning
+    # evidence (reference metric contract src/test.py:222-236).
+    vm = os.path.join(work_root, "ckpt_valmin", "multimodal_trained_yelp")
+    if "valmin" in sections and os.path.exists(os.path.join(vm, "meta.json")):
+        t0 = time.time()
+        pv = load_eval_params(vm, st["params"], st["batch_stats"])
+        vm_preds, vm_gold, _ = run("valmin-exact", params_override=pv)
+        meta_vm = read_meta(vm)
+        out["valmin"] = {
+            "ckpt": vm, "ckpt_step": meta_vm.get("step"),
+            "val_loss": meta_vm.get("val_loss"),
+            "exact": {k: round(v, 2) for k, v in vm_gold.items()},
+            "beats_lead_baseline": vm_gold["rougeL"] > lead["rougeL"],
+            "vs_overfit": seq_compare(vm_preds, exact_preds),
+        }
+        print(f"# gate[valmin]: goldRL {vm_gold['rougeL']:.2f} vs lead "
+              f"baseline {lead['rougeL']:.2f} vs overfit "
+              f"{exact_gold['rougeL']:.2f} "
+              f"-> beats_baseline={out['valmin']['beats_lead_baseline']} "
+              f"({time.time()-t0:.0f}s)", flush=True)
+
+    for kvq in ("int8", "int4+int8", "int4") if "quant" in sections else ():
         t0 = time.time()
         preds, gold, _ = run(kvq, kv_quant=kvq)
         agree = sum(p == e for p, e in zip(preds, exact_preds))
@@ -481,18 +523,19 @@ def quality_gate(work_root: str, timing_batch: int = 25):
               f"({time.time()-t0:.0f}s)", flush=True)
 
     # bulk-scheduler A/B on the same real length distribution
-    t0 = time.time()
-    cont_preds, _, cont_sps = run("continuous", timed=True,
-                                  scheduler="continuous",
-                                  n_slots=timing_batch, steps_per_tick=8)
-    out["bulk_continuous_sps"] = round(cont_sps, 3) if cont_sps else None
-    out["continuous_vs_static"] = seq_compare(cont_preds, exact_preds)
-    print(f"# gate[continuous]: {cont_sps or 0:.2f} sum/s steady vs static "
-          f"{out['exact']['bulk_static_sps']} "
-          f"(identical {out['continuous_vs_static']['identical_rows']}/"
-          f"{out['continuous_vs_static']['rows']}, id-RL "
-          f"{out['continuous_vs_static']['id_rougeL']}, "
-          f"{time.time()-t0:.0f}s)", flush=True)
+    if "sched" in sections:
+        t0 = time.time()
+        cont_preds, _, cont_sps = run("continuous", timed=True,
+                                      scheduler="continuous",
+                                      n_slots=timing_batch, steps_per_tick=8)
+        out["bulk_continuous_sps"] = round(cont_sps, 3) if cont_sps else None
+        out["continuous_vs_static"] = seq_compare(cont_preds, exact_preds)
+        print(f"# gate[continuous]: {cont_sps or 0:.2f} sum/s steady vs static "
+              f"{out['exact']['bulk_static_sps']} "
+              f"(identical {out['continuous_vs_static']['identical_rows']}/"
+              f"{out['continuous_vs_static']['rows']}, id-RL "
+              f"{out['continuous_vs_static']['id_rougeL']}, "
+              f"{time.time()-t0:.0f}s)", flush=True)
 
     # speculative decoding where it matters (VERDICT r2 #4): greedy decode
     # of the real reviews under TRAINED weights, prompt-lookup drafts from
@@ -500,7 +543,7 @@ def quality_gate(work_root: str, timing_batch: int = 25):
     # construction, so the ONLY question is measured acceptance/speed
     gen1 = gen.replace(num_beams=1)
     spec = {}
-    for w, tag in ((1, "classic"), (4, "spec_w4")):
+    for w, tag in ((1, "classic"), (4, "spec_w4")) if "spec" in sections else ():
         eng_stats: dict = {}
         preds1, _, sps1 = run(f"greedy-{tag}", timed=True, scheduler="continuous",
                               n_slots=timing_batch, steps_per_tick=8,
@@ -524,7 +567,8 @@ def quality_gate(work_root: str, timing_batch: int = 25):
                       f"{eng_stats['spec']['draft_acceptance']:.1%})",
                       flush=True)
         print(f"# gate[greedy-{tag}]: {sps1 or 0:.2f} sum/s steady", flush=True)
-    out["greedy_spec"] = spec
+    if spec:
+        out["greedy_spec"] = spec
     return out
 
 
@@ -646,10 +690,15 @@ def main():
     if "--gate-only" in sys.argv:
         root = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "_work", "real_ckpt")
+        sections = GATE_SECTIONS
         for a in sys.argv:
             if a.startswith("--gate_root="):
                 root = a.split("=", 1)[1]
-        print(json.dumps({"trained_gate": quality_gate(root)}))
+            elif a.startswith("--gate_sections="):
+                # e.g. --gate_sections=valmin runs only exact + valmin
+                sections = tuple(a.split("=", 1)[1].split(","))
+        print(json.dumps({"trained_gate": quality_gate(root,
+                                                       sections=sections)}))
         return
 
     from multimodalsum_tpu.core.config import BartConfig
