@@ -804,12 +804,20 @@ def main():
     # quantized throughput config may claim the headline
     gate_root = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "_work", "real_ckpt")
+    # the default (driver) run keeps the gate bounded: quant decides the
+    # headline promotion, valmin is the learning evidence; the sched/spec
+    # sections are measurement-only and run via --gate-only/--gate_sections
+    # (their dated numbers live in SCALING.md and GATE_r{N}.json)
+    gate_sections = ("quant", "valmin")
     for a in sys.argv:
         if a.startswith("--gate_root="):
             gate_root = a.split("=", 1)[1]
+        elif a.startswith("--gate_sections="):
+            gate_sections = tuple(a.split("=", 1)[1].split(","))
     if "--no-gate" not in sys.argv:
         try:
-            record["trained_gate"] = quality_gate(gate_root)
+            record["trained_gate"] = quality_gate(gate_root,
+                                                  sections=gate_sections)
         except Exception:
             print("# quality gate failed:", flush=True)
             traceback.print_exc()
