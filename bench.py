@@ -371,7 +371,7 @@ def bench_train(remat=True, grad_accum=1):
                 mfu=round(mfu, 4), remat=remat, grad_accum=grad_accum)
 
 
-GATE_SECTIONS = ("quant", "sched", "spec", "valmin")
+GATE_SECTIONS = ("quant", "sched", "spec", "valmin", "randinit")
 
 
 def quality_gate(work_root: str, timing_batch: int = 25,
@@ -505,6 +505,21 @@ def quality_gate(work_root: str, timing_batch: int = 25,
               f"baseline {lead['rougeL']:.2f} vs overfit "
               f"{exact_gold['rougeL']:.2f} "
               f"-> beats_baseline={out['valmin']['beats_lead_baseline']} "
+              f"({time.time()-t0:.0f}s)", flush=True)
+
+    # learning-evidence floor: the SAME eval contract on the random-init
+    # params. The trained-vs-random gold-ROUGE delta is the direct
+    # demonstration that training moved the model (the lead-review
+    # extractive baseline is made of real human text, so a from-scratch
+    # model trained on 170 groups can trail it while still having learned
+    # a great deal).
+    if "randinit" in sections:
+        t0 = time.time()
+        _, ri_gold, _ = run("randinit",
+                            params_override=(st["params"], st["batch_stats"]))
+        out["randinit"] = {k: round(v, 2) for k, v in ri_gold.items()}
+        print(f"# gate[randinit]: goldRL {ri_gold['rougeL']:.2f} "
+              f"(untrained floor; trained exact {exact_gold['rougeL']:.2f}) "
               f"({time.time()-t0:.0f}s)", flush=True)
 
     for kvq in ("int8", "int4+int8", "int4") if "quant" in sections else ():

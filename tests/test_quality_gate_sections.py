@@ -118,8 +118,9 @@ def test_gate_full_sections_schema(tmp_path, monkeypatch):
     root = _fake_env(tmp_path, with_valmin=False)
     out, calls = _patched_gate(
         monkeypatch, root,
-        sections=("quant", "sched", "spec"), preds_by_tag={})
+        sections=("quant", "sched", "spec", "randinit"), preds_by_tag={})
     assert calls[0] == "exact"
+    assert {"rouge1", "rouge2", "rougeL"} <= set(out["randinit"])
     assert {"kvq=int8", "kvq=int4+int8", "kvq=int4",
             "sched=continuous"} <= set(calls)
     # spec runs classic (w=1 -> engine treats as non-spec) + spec_w4
