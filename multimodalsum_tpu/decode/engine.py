@@ -125,7 +125,8 @@ def generate(
         )
 
     cross_kv = model.apply({"params": params}, list(modality_hiddens), method=BartModel.init_decode)
-    if kv_quant in ("int8", "int4", "int8_kernel", "int8+int4", "int4+int8"):
+    if kv_quant in ("int8", "int4", "int8_kernel", "int8+int4", "int4+int8",
+                    "int8_r1", "int4_r1"):
         # shrink the dominant per-step HBM read of the decode loop (the
         # cross-attention K/V are read every step, written once): int8
         # halves it, int4 quarters it. "int8_kernel" additionally routes
@@ -133,17 +134,23 @@ def generate(
         # in kernel layout once, here).
         from multimodalsum_tpu.ops.quantization import quantize_cross_kv
 
+        rank1 = kv_quant.endswith("_r1")
+        base = kv_quant[:-3] if rank1 else kv_quant  # "int4_r1" -> "int4"
         if kv_quant == "int8_kernel":
             bits = 8
         elif "+" in kv_quant:  # mixed K/V precision, e.g. "int8+int4"
             kb, vb = kv_quant.split("+")
             bits = (int(kb[3:]), int(vb[3:]))
         else:
-            bits = int(kv_quant[3:])
+            bits = int(base[3:])
         cross_kv = quantize_cross_kv(
             cross_kv,
             bits=bits,
             kernel_layout=kv_quant == "int8_kernel",
+            # "_r1" = rank-1 channel×position scales: same int grid reads,
+            # finer effective precision (the per-position factor folds into
+            # the logits/probs, not the operand load)
+            rank1=rank1,
             # offline decode keeps the quantized slabs inside one jit, so
             # int4 can use the native dtype (XLA fuses the widening into the
             # dot operand load; measured ~1.6x faster cross-attention than
@@ -153,7 +160,7 @@ def generate(
         raise ValueError(
             f"unknown kv_quant {kv_quant!r} "
             "(supported: 'int8', 'int4', 'int8+int4', 'int4+int8', "
-            "'int8_kernel')")
+            "'int8_r1', 'int4_r1', 'int8_kernel')")
     masks = [None if m is None else m.astype(bool) for m in modality_masks]
 
     rows = eff_batch * K if K > 1 else eff_batch

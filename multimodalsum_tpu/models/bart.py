@@ -249,7 +249,8 @@ class EntityCrossAttention(nn.Module):
     def _attend(self, q, kv, mask, deterministic=True):
         from multimodalsum_tpu.ops.attention import entity_cross_attention_quantized
         from multimodalsum_tpu.ops.quantization import (QuantizedKV, QuantizedKV4,
-                                                         QuantizedKVKernel)
+                                                         QuantizedKVKernel,
+                                                         QuantizedKVR1)
 
         k, v = kv
         rate = self.config.attention_dropout
@@ -262,7 +263,7 @@ class EntityCrossAttention(nn.Module):
 
             ctx = decode_cross_attention_pallas_q8(
                 q, k.values, v.values, k.scale, v.scale, mask)
-        elif isinstance(k, (QuantizedKV, QuantizedKV4)):
+        elif isinstance(k, (QuantizedKV, QuantizedKV4, QuantizedKVR1)):
             # scale-folded path: the int8/int4 values feed the einsums
             # directly, the dequantised tensors never hit HBM
             ctx = entity_cross_attention_quantized(

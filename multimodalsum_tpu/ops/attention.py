@@ -260,7 +260,8 @@ def entity_cross_attention_quantized(
         axis for int4) and scale ``[b, e, 1, n, h]``.
       mask: bool ``[b, e, s]`` or None.
     """
-    from multimodalsum_tpu.ops.quantization import QuantizedKV4, unpack_int4_values
+    from multimodalsum_tpu.ops.quantization import (
+        QuantizedKV4, QuantizedKVR1, unpack_int4_values)
 
     k_int = (unpack_int4_values(kq.values) if isinstance(kq, QuantizedKV4)
              else kq.values)
@@ -268,15 +269,29 @@ def entity_cross_attention_quantized(
              else vq.values)
     dtype = q.dtype
 
+    def _pos_bents(pos_scale):
+        # [b, e, s, n, 1] f32 -> [b, e, n, 1, s] for a fused elementwise
+        # multiply on the "bents" logits/probs along the attended axis
+        return jnp.transpose(pos_scale[..., 0], (0, 1, 3, 2))[:, :, :, None, :]
+
     # fold the K scale into the query, per entity: [b, e, t, n, h]
     q_e = (q[:, None].astype(jnp.float32) * kq.scale).astype(dtype)
     logits = jnp.einsum("betnh,besnh->bents", q_e, k_int.astype(dtype),
                         precision=matmul_precision())
+    if isinstance(kq, QuantizedKVR1):
+        # rank-1 K: the per-position factor is constant along the contracted
+        # head dim, so it scales whole logit columns post-dot
+        logits = logits.astype(jnp.float32) * _pos_bents(kq.pos_scale)
     if mask is not None:
         logits = jnp.where(
             mask[:, :, None, None, :], logits, jnp.asarray(ENTITY_MASK_VALUE, logits.dtype)
         )
     probs = _attn_dropout(_softmax_f32(logits, dtype), dropout_rate, dropout_rng)
+    if isinstance(vq, QuantizedKVR1):
+        # rank-1 V: per-position factor folds into the probabilities
+        # (elementwise, fused); the context einsum still reads raw ints
+        probs = (probs.astype(jnp.float32)
+                 * _pos_bents(vq.pos_scale)).astype(dtype)
     ctx = jnp.einsum("bents,besnh->betnh", probs, v_int.astype(dtype),
                      precision=matmul_precision())
     # fold the V scale into the per-entity context ([b,e,1,n,h] broadcasts

@@ -83,6 +83,51 @@ def quantize_int4_native(x: jnp.ndarray, axis: int) -> QuantizedKV:
     return QuantizedKV(values=q.astype(jnp.int4), scale=scale)
 
 
+class QuantizedKVR1(NamedTuple):
+    """Symmetric int tensor with a RANK-1 scale decomposition: per-channel
+    scale × per-position scale (both kept broadcastable).
+
+    Plain per-channel scales (amax over the attended positions) waste the
+    int4 grid whenever one outlier position inflates a channel's range —
+    every other position's values collapse onto a few ints. Factoring the
+    scale as ``s_ch[..., 1, n, h] * s_pos[..., s, n, 1]`` re-equalises the
+    grid per position at zero extra HBM traffic: in attention, s_ch folds
+    into the query exactly like the per-channel path, and s_pos folds into
+    the (already-f32) pre-softmax logits / probabilities along the attended
+    axis — both fused elementwise ops, the einsums still read raw ints.
+    """
+
+    values: jnp.ndarray    # int8 or jnp.int4, same shape as the original
+    scale: jnp.ndarray     # f32 per-channel factor, position axis kept at 1
+    pos_scale: jnp.ndarray  # f32 per-position factor, channel axis kept at 1
+
+
+def quantize_rank1(x: jnp.ndarray, axis: int, *, bits: int = 4,
+                   native_int4: bool = True) -> QuantizedKVR1:
+    """Symmetric rank-1 (channel × position) quantisation along ``axis``.
+
+    Two-step decomposition: per-channel amax over positions equalises
+    channel ranges (same statistic the per-channel path uses), then the
+    per-position amax of the channel-normalised tensor sets each position's
+    grid. ``q = round(x / (s_ch * s_pos))`` clipped to the ``bits`` grid.
+
+    ``axis`` is the attended-position axis (reduced by the per-channel
+    scale); the per-position scale reduces over the LAST axis (head dim),
+    matching the ``[..., s, n, h]``-layout K/V this module handles.
+    """
+    qmax = {8: 127, 4: 7}[bits]
+    xf = x.astype(jnp.float32)
+    amax_ch = jnp.max(jnp.abs(xf), axis=axis, keepdims=True)
+    s_ch = jnp.maximum(amax_ch, 1e-8)          # normalise channels to ~[-1,1]
+    y = xf / s_ch
+    amax_pos = jnp.max(jnp.abs(y), axis=-1, keepdims=True)
+    s_pos = jnp.maximum(amax_pos, 1e-12) / qmax
+    q = jnp.clip(jnp.round(y / s_pos), -qmax, qmax)
+    dt = jnp.int4 if (bits == 4 and native_int4) else jnp.int8
+    return QuantizedKVR1(values=q.astype(dt), scale=s_ch,
+                         pos_scale=s_pos)
+
+
 def unpack_int4_values(packed: jnp.ndarray) -> jnp.ndarray:
     """Packed int4 bytes -> int8 values (inverse of the packing in
     :func:`quantize_int4`, without applying the scale)."""
@@ -110,6 +155,9 @@ def dequantize(q, dtype=jnp.bfloat16) -> jnp.ndarray:
     if isinstance(q, QuantizedKV4):
         vals = unpack_int4_values(q.values)
         return (vals.astype(jnp.float32) * q.scale).astype(dtype)
+    if isinstance(q, QuantizedKVR1):
+        return (q.values.astype(jnp.float32) * q.scale
+                * q.pos_scale).astype(dtype)
     return (q.values.astype(jnp.float32) * q.scale).astype(dtype)
 
 
@@ -123,7 +171,8 @@ def to_kernel_layout(q: QuantizedKV) -> QuantizedKVKernel:
 
 
 def quantize_cross_kv(cross_kv, *, seq_axis: int = 2, bits=8,
-                      kernel_layout: bool = False, native_int4: bool = False):
+                      kernel_layout: bool = False, native_int4: bool = False,
+                      rank1: bool = False):
     """Quantize a layers×modalities nested tuple of (k, v) pairs
     (each ``[b, e, s, n, h]``), reducing over the sequence axis.
 
@@ -134,7 +183,9 @@ def quantize_cross_kv(cross_kv, *, seq_axis: int = 2, bits=8,
     ``kernel_layout`` additionally re-arranges for the fused Pallas decode
     kernel (int8 only). ``native_int4`` uses the ``jnp.int4`` dtype instead
     of manual nibble packing (token-identical, faster on TPU; only safe when
-    the result never crosses a jit boundary — see quantize_int4_native)."""
+    the result never crosses a jit boundary — see quantize_int4_native).
+    ``rank1`` uses the channel×position scale decomposition
+    (:func:`quantize_rank1`) instead of plain per-channel scales."""
     k_bits, v_bits = bits if isinstance(bits, tuple) else (bits, bits)
     for b_ in (k_bits, v_bits):
         if b_ not in (8, 4):
@@ -142,10 +193,16 @@ def quantize_cross_kv(cross_kv, *, seq_axis: int = 2, bits=8,
     int4 = quantize_int4_native if native_int4 else quantize_int4
 
     def quant_for(b_):
+        if rank1:
+            return lambda x, axis: quantize_rank1(
+                x, axis, bits=b_,
+                native_int4=native_int4 and b_ == 4)
         return quantize_int8 if b_ == 8 else int4
 
     if kernel_layout and (k_bits != 8 or v_bits != 8):
         raise ValueError("kernel_layout requires bits=8")
+    if kernel_layout and rank1:
+        raise ValueError("kernel_layout does not support rank-1 scales")
     if kernel_layout and seq_axis != 2:
         # to_kernel_layout hardcodes the [b, e, s, n, h] layout (scale
         # reduced over axis 2); any other seq_axis would silently build a
