@@ -522,7 +522,8 @@ def quality_gate(work_root: str, timing_batch: int = 25,
               f"(untrained floor; trained exact {exact_gold['rougeL']:.2f}) "
               f"({time.time()-t0:.0f}s)", flush=True)
 
-    for kvq in ("int8", "int4+int8", "int4") if "quant" in sections else ():
+    for kvq in (("int8", "int4_r1", "int4+int8", "int4")
+                if "quant" in sections else ()):
         t0 = time.time()
         preds, gold, _ = run(kvq, kv_quant=kvq)
         agree = sum(p == e for p, e in zip(preds, exact_preds))
@@ -674,6 +675,9 @@ def main():
     # the fastest tier that PASSES, not the fastest tier outright.
     attempts_quant = {
         "int4": [(72, "ancestry", "int4")],
+        # rank-1 scales: same int4 reads, finer effective precision — the
+        # tier built to pass the trained-weights gate at ~int4 speed
+        "int4_r1": [(72, "ancestry", "int4_r1")],
         "int8": [(72, "ancestry", "int8"), (64, "ancestry", "int8"),
                  (32, "ancestry", "int8")],
     }

@@ -121,11 +121,11 @@ def test_gate_full_sections_schema(tmp_path, monkeypatch):
         sections=("quant", "sched", "spec", "randinit"), preds_by_tag={})
     assert calls[0] == "exact"
     assert {"rouge1", "rouge2", "rougeL"} <= set(out["randinit"])
-    assert {"kvq=int8", "kvq=int4+int8", "kvq=int4",
+    assert {"kvq=int8", "kvq=int4_r1", "kvq=int4+int8", "kvq=int4",
             "sched=continuous"} <= set(calls)
     # spec runs classic (w=1 -> engine treats as non-spec) + spec_w4
     assert any(c.endswith("+spec4") for c in calls)
-    for kvq in ("int8", "int4+int8", "int4"):
+    for kvq in ("int8", "int4_r1", "int4+int8", "int4"):
         assert {"agreement", "id_rougeL", "gold"} <= set(out[kvq])
     assert "continuous_vs_static" in out
     assert out["greedy_spec"]["speedup"] is not None
