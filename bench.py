@@ -374,8 +374,11 @@ def bench_train(remat=True, grad_accum=1):
 GATE_SECTIONS = ("quant", "sched", "spec", "valmin", "randinit")
 
 
+QUANT_TIERS = ("int8", "int4_r1", "int4+int8", "int4")
+
+
 def quality_gate(work_root: str, timing_batch: int = 25,
-                 sections=GATE_SECTIONS):
+                 sections=GATE_SECTIONS, quant_tiers=QUANT_TIERS):
     """Trained-weights quantization quality gate + bulk-scheduler A/B.
 
     Runs the REAL eval contract (reference ``src/test.py:222-236``) on the
@@ -522,8 +525,7 @@ def quality_gate(work_root: str, timing_batch: int = 25,
               f"(untrained floor; trained exact {exact_gold['rougeL']:.2f}) "
               f"({time.time()-t0:.0f}s)", flush=True)
 
-    for kvq in (("int8", "int4_r1", "int4+int8", "int4")
-                if "quant" in sections else ()):
+    for kvq in (quant_tiers if "quant" in sections else ()):
         t0 = time.time()
         try:
             preds, gold, _ = run(kvq, kv_quant=kvq)
@@ -715,14 +717,18 @@ def main():
         root = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "_work", "real_ckpt")
         sections = GATE_SECTIONS
+        tiers = QUANT_TIERS
         for a in sys.argv:
             if a.startswith("--gate_root="):
                 root = a.split("=", 1)[1]
             elif a.startswith("--gate_sections="):
                 # e.g. --gate_sections=valmin runs only exact + valmin
                 sections = tuple(a.split("=", 1)[1].split(","))
-        print(json.dumps({"trained_gate": quality_gate(root,
-                                                       sections=sections)}))
+            elif a.startswith("--gate_tiers="):
+                # e.g. --gate_tiers=int4_r1 measures one quant tier
+                tiers = tuple(a.split("=", 1)[1].split(","))
+        print(json.dumps({"trained_gate": quality_gate(
+            root, sections=sections, quant_tiers=tiers)}))
         return
 
     from multimodalsum_tpu.core.config import BartConfig
