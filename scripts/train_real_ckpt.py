@@ -43,9 +43,13 @@ SMOKE = bool(int(os.environ.get("SMOKE", "0")))
 EPOCHS = dict(stage1=2, stage2a=1, stage2b=1, stage3=2) if SMOKE else dict(
     stage1=180, stage2a=3, stage2b=3, stage3=70)
 SAVE_IV = dict(stage1=2, stage2a=1, stage2b=1, stage3=2) if SMOKE else dict(
-    stage1=45, stage2a=3, stage2b=3, stage3=23)  # saves cost minutes over
+    stage1=45, stage2a=3, stage2b=3, stage3=11)  # saves cost minutes over
 # the device tunnel (full bart-large state device->host); intermediates are
-# resume insurance only, so keep them sparse
+# resume insurance only, so keep them sparse. Stage 3 saves on an 11-epoch
+# grid so a save lands on the measured val minimum (epoch 55, val 5.37 vs
+# 6.15 at the overfit end) — the best-val save is snapshotted into
+# ckpt_valmin/ during the SAME run (see _snapshot_best_val below), which
+# replaces the separate STAGE3_EPOCHS=55 re-run when training from scratch
 
 # val-min variant (see module docstring): different stage-3 epoch budget
 # into a different ckpt root, one save at the end
@@ -56,6 +60,36 @@ STAGE3_CKPT_ROOT = os.environ.get("STAGE3_CKPT_ROOT", "ckpt")
 BATCH = 8          # the reference stage-3 global batch (README.md:139-140)
 VOCAB = 50265      # full bart-large head geometry; the corpus caps the BPE
                    # at fewer real merges, unused tail ids train toward -inf
+
+
+def make_snapshot_save(real_save, valmin_root: str = "ckpt_valmin"):
+    """Wrap a ``save_checkpoint``-shaped callable so the best-validation save
+    (lowest ``val_loss`` seen so far) is additionally copied into
+    ``valmin_root/<ckpt basename>``.
+
+    Stage 3 deliberately overfits past the val minimum (peaked logits for the
+    quantization gate); the copy preserves the honest learning-evidence
+    checkpoint that ``bench.py``'s gate "valmin" section scores, without a
+    separate STAGE3_EPOCHS=55 re-run. Installed by rebinding
+    ``cli.multimodal_train.save_checkpoint`` — the CLI's save hook resolves
+    that name from its module globals at call time."""
+    import shutil
+
+    best = {"vl": float("inf")}
+
+    def save_and_snapshot(ckpt_dir, st, **kw):
+        out = real_save(ckpt_dir, st, **kw)
+        vl = kw.get("val_loss")
+        if vl is not None and vl < best["vl"]:
+            best["vl"] = vl
+            dst = os.path.join(valmin_root, os.path.basename(ckpt_dir))
+            shutil.rmtree(dst, ignore_errors=True)
+            shutil.copytree(ckpt_dir, dst)
+            print(f"== snapshotted best-val save (epoch {kw.get('epoch', '?')},"
+                  f" val {vl:.4f}) -> {dst}", flush=True)
+        return out
+
+    return save_and_snapshot
 
 
 def stage_done(ckpt_dir: str, target_epochs: int) -> bool:
@@ -166,6 +200,12 @@ def main():
         print("== stage 3 already complete, skipping", flush=True)
     else:
         from multimodalsum_tpu.cli import multimodal_train
+
+        if STAGE3_CKPT_ROOT == "ckpt" and not SMOKE:
+            # Preserve the best-val save as ckpt_valmin/ while this run
+            # overfits past it (see make_snapshot_save)
+            multimodal_train.save_checkpoint = make_snapshot_save(
+                multimodal_train.save_checkpoint)
 
         # note: --ckpt_root only redirects the stage-3 OUTPUT; the
         # pretraining inits always come from the canonical ckpt/ tree
