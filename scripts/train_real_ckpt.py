@@ -76,6 +76,16 @@ def make_snapshot_save(real_save, valmin_root: str = "ckpt_valmin"):
     import shutil
 
     best = {"vl": float("inf")}
+    # seed from an existing snapshot so a crash+retry mid-stage-3 (the
+    # retry re-runs this script with a fresh `best`) can't overwrite a
+    # better earlier-attempt snapshot with a worse post-minimum save
+    for prev in glob.glob(os.path.join(valmin_root, "*", "meta.json")):
+        try:
+            vl_prev = json.load(open(prev)).get("val_loss")
+            if vl_prev is not None:
+                best["vl"] = min(best["vl"], float(vl_prev))
+        except (ValueError, TypeError):
+            pass
 
     def save_and_snapshot(ckpt_dir, st, **kw):
         out = real_save(ckpt_dir, st, **kw)
