@@ -43,13 +43,14 @@ SMOKE = bool(int(os.environ.get("SMOKE", "0")))
 EPOCHS = dict(stage1=2, stage2a=1, stage2b=1, stage3=2) if SMOKE else dict(
     stage1=180, stage2a=3, stage2b=3, stage3=70)
 SAVE_IV = dict(stage1=2, stage2a=1, stage2b=1, stage3=2) if SMOKE else dict(
-    stage1=45, stage2a=3, stage2b=3, stage3=11)  # saves cost minutes over
+    stage1=45, stage2a=3, stage2b=3, stage3=55)  # saves cost ~5 min EACH over
 # the device tunnel (full bart-large state device->host); intermediates are
-# resume insurance only, so keep them sparse. Stage 3 saves on an 11-epoch
-# grid so a save lands on the measured val minimum (epoch 55, val 5.37 vs
-# 6.15 at the overfit end) — the best-val save is snapshotted into
-# ckpt_valmin/ during the SAME run (see _snapshot_best_val below), which
-# replaces the separate STAGE3_EPOCHS=55 re-run when training from scratch
+# resume insurance only, so keep them sparse. Stage 3 saves exactly twice —
+# at epoch 55 (the measured val minimum: 5.37 vs 6.15 at the overfit end;
+# stage losses reproduce run-to-run, same data order + init seeds) and at
+# the epoch-70 end — the best-val save is snapshotted into ckpt_valmin/
+# during the SAME run (make_snapshot_save below), which replaces the
+# separate STAGE3_EPOCHS=55 re-run when training from scratch
 
 # val-min variant (see module docstring): different stage-3 epoch budget
 # into a different ckpt root, one save at the end
