@@ -121,6 +121,17 @@ def main():
     os.chdir(work)
     print(f"== workdir {work} (smoke={SMOKE})", flush=True)
 
+    # a committed pack (scripts/ckpt_pack.py) seeds any stages a previous
+    # session finished before the gitignored _work/ tree was cleaned —
+    # complete on-disk checkpoints always win over the pack
+    if not SMOKE:
+        from scripts.ckpt_pack import DEFAULT_PACK, unpack
+
+        if os.path.isdir(DEFAULT_PACK):
+            seeded = unpack(DEFAULT_PACK, work)
+            if seeded:
+                print(f"== seeded from assets pack: {seeded}", flush=True)
+
     import numpy as np
 
     # ---- data: identical construction to scripts/real_data_e2e.py ---------
