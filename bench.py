@@ -747,6 +747,7 @@ def main():
             elif a.startswith("--gate_tiers="):
                 # e.g. --gate_tiers=int4_r1 measures one quant tier
                 tiers = tuple(a.split("=", 1)[1].split(","))
+        restore_gate_ckpt(root)
         print(json.dumps({"trained_gate": quality_gate(
             root, sections=sections, quant_tiers=tiers)}))
         return

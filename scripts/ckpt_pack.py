@@ -50,15 +50,21 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 DEFAULT_WORK = os.path.join(REPO, "_work", "real_ckpt")
 DEFAULT_PACK = os.path.join(REPO, "assets", "real_ckpt_pack")
 
-# checkpoint dirs worth persisting, relative to the work root. The stage-1/2
+# checkpoint dirs worth persisting, relative to the work root, with the
+# minimum meta epoch that marks the stage COMPLETE (train_real_ckpt.py
+# EPOCHS; meta records the last epoch index, hence -1). The stage-1/2
 # entries exist so an interrupted FUTURE retrain can skip ~40 min of
 # pretraining; the stage-3 pair is what the quality gate actually loads.
+# Mid-stage intermediate saves are never packed: the pack drops opt_state,
+# and a seeded retrain must not try to mid-stage-resume from one (the
+# stage CLIs restore the FULL TrainState for resume). The valmin snapshot
+# is final by construction (saved once, never resumed from).
 CKPT_DIRS = (
-    "ckpt/text_pretrained_yelp",
-    "ckpt/img_pretrained_yelp",
-    "ckpt/table_pretrained_yelp",
-    "ckpt/multimodal_trained_yelp",
-    "ckpt_valmin/multimodal_trained_yelp",
+    ("ckpt/text_pretrained_yelp", 179),
+    ("ckpt/img_pretrained_yelp", 2),
+    ("ckpt/table_pretrained_yelp", 2),
+    ("ckpt/multimodal_trained_yelp", 69),
+    ("ckpt_valmin/multimodal_trained_yelp", 0),
 )
 
 # workdir content packed verbatim (everything the gate reads besides params)
@@ -157,16 +163,22 @@ def unpack_ckpt(npz_path: str, ckpt_dir: str) -> None:
         json.dump(meta, f, indent=2)
 
 
-def _complete(ckpt_dir: str) -> bool:
-    return os.path.exists(os.path.join(ckpt_dir, "meta.json"))
+def _complete(ckpt_dir: str, min_epoch: int = 0) -> bool:
+    meta = os.path.join(ckpt_dir, "meta.json")
+    if not os.path.exists(meta):
+        return False
+    try:
+        return int(json.load(open(meta)).get("epoch", -1)) >= min_epoch
+    except (ValueError, TypeError):
+        return False
 
 
 def pack(work_root: str = DEFAULT_WORK, pack_dir: str = DEFAULT_PACK) -> list:
     os.makedirs(pack_dir, exist_ok=True)
     packed = []
-    for rel in CKPT_DIRS:
+    for rel, min_epoch in CKPT_DIRS:
         src = os.path.join(work_root, rel)
-        if not _complete(src):
+        if not _complete(src, min_epoch):
             continue
         out = os.path.join(pack_dir, rel.replace("/", "__") + ".npz")
         # skip when the pack already matches this save (same step + epoch)
@@ -207,7 +219,7 @@ def unpack(pack_dir: str = DEFAULT_PACK, work_root: str = DEFAULT_WORK) -> list:
         with tarfile.open(tar_path) as tar:
             tar.extractall(work_root, filter="data")
         restored.append("workdir")
-    for rel in CKPT_DIRS:
+    for rel, _min_epoch in CKPT_DIRS:
         npz = os.path.join(pack_dir, rel.replace("/", "__") + ".npz")
         dst = os.path.join(work_root, rel)
         if not os.path.exists(npz) or _complete(dst):

@@ -137,7 +137,24 @@ def test_workroot_pack_skips_incomplete_and_preserves_newer(tmp_path):
 def test_ckpt_dirs_cover_gate_and_stages():
     """bench.quality_gate reads ckpt/multimodal_trained_yelp and
     ckpt_valmin/…; train_real_ckpt skips stages via the pretraining dirs —
-    all of them must be in the packing list."""
-    assert "ckpt/multimodal_trained_yelp" in CKPT_DIRS
-    assert "ckpt_valmin/multimodal_trained_yelp" in CKPT_DIRS
-    assert "ckpt/text_pretrained_yelp" in CKPT_DIRS
+    all of them must be in the packing list, with completion thresholds
+    matching train_real_ckpt.EPOCHS (meta records the last epoch INDEX)."""
+    from scripts.train_real_ckpt import EPOCHS
+
+    dirs = dict(CKPT_DIRS)
+    assert dirs["ckpt/multimodal_trained_yelp"] == EPOCHS["stage3"] - 1
+    assert dirs["ckpt/text_pretrained_yelp"] == EPOCHS["stage1"] - 1
+    assert dirs["ckpt/img_pretrained_yelp"] == EPOCHS["stage2a"] - 1
+    assert dirs["ckpt_valmin/multimodal_trained_yelp"] == 0
+
+
+def test_pack_skips_midstage_intermediate(tmp_path):
+    """An intermediate save (epoch below the stage's completion threshold)
+    must NOT be packed — the pack drops opt_state, so a seeded retrain
+    could not mid-stage-resume from it."""
+    work = tmp_path / "w"
+    mid = work / "ckpt" / "text_pretrained_yelp"
+    save_checkpoint(str(mid), _tiny_state(), save_option="text", epoch=44)
+    os.makedirs(work / "tok")
+    packed = pack(str(work), str(tmp_path / "p"))
+    assert all(rel != "ckpt/text_pretrained_yelp" for rel, _ in packed)
