@@ -60,7 +60,7 @@ DEFAULT_PACK = os.path.join(REPO, "assets", "real_ckpt_pack")
 # stage CLIs restore the FULL TrainState for resume). The valmin snapshot
 # is final by construction (saved once, never resumed from).
 CKPT_DIRS = (
-    ("ckpt/text_pretrained_yelp", 179),
+    ("ckpt/text_pretrained_yelp", 59),
     ("ckpt/img_pretrained_yelp", 2),
     ("ckpt/table_pretrained_yelp", 2),
     ("ckpt/multimodal_trained_yelp", 69),
