@@ -54,6 +54,13 @@ def main(argv=None):
                    help="disable dropout for the final fraction of steps "
                         "(reference trainer.py:419,524-527)")
     p.add_argument("--torch_init", type=str, default=None)
+    p.add_argument("--extra_datasets", type=str, nargs="*", default=(),
+                   help="additional prepped dataset trees under --data_root "
+                        "whose 5.text reviews join the denoising corpus "
+                        "(e.g. 'amazon' alongside yelp) — stage 0 is generic "
+                        "LM pretraining, so cross-domain review text only "
+                        "adds signal (the reference pretrains on its full "
+                        "million-review dump, README.md:130-133)")
     p.add_argument("--resume", type=str, default=None,
                    help="checkpoint dir to resume full training state from")
     p.set_defaults(num_epochs=3)  # stage-0 reference default (README:130-133)
@@ -73,9 +80,13 @@ def main(argv=None):
 
         params = bart_params_from_torch(torch.load(args.torch_init, map_location="cpu"), cfg)
 
-    corpus = load_review_corpus(args.data_root, args.dataset, tokenizer, args.block_size)
-    val_corpus = load_review_corpus(args.data_root, args.dataset, tokenizer,
-                                    args.block_size, mode="val")
+    corpus = np.concatenate(
+        [load_review_corpus(args.data_root, ds, tokenizer, args.block_size)
+         for ds in (args.dataset, *args.extra_datasets)])
+    val_corpus = np.concatenate(
+        [load_review_corpus(args.data_root, ds, tokenizer, args.block_size,
+                            mode="val")
+         for ds in (args.dataset, *args.extra_datasets)])
     noiser = BartNoiser(tokenizer, args.block_size, args.permute_ratio,
                         args.mask_ratio, args.dist_lambda, seed=args.seed)
 

@@ -158,10 +158,13 @@ def mesh_for_batch(batch_size: int):
     return make_mesh(data=per_host * nproc, model=1, devices=devices)
 
 
-def make_hooks(args, save):
+def make_hooks(args, save, on_val=None):
     """LoopHooks with the console line plus, when ``--metrics_log`` or
     ``--wandb_project`` is set, a JSON-lines/W&B record per logged step
-    (``core/observability.MetricLogger``).
+    AND one per-epoch ``val_loss`` record (the r3 valmin post-mortem:
+    per-epoch val loss was unobservable after the fact —
+    ``core/observability.MetricLogger``). ``on_val(state, epoch, val_loss)``
+    is chained into the loop's per-epoch validation hook on every process.
 
     Multi-host: console/metric files/W&B belong to process 0 only (the
     reference's world-master gating, ``Trainer.is_world_master`` around
@@ -185,10 +188,10 @@ def make_hooks(args, save):
             if (epoch + 1) % interval == 0 or (_n is not None and epoch >= _n - 1):
                 _inner(st, epoch, vl)
     if jax.process_index() != 0:
-        return LoopHooks(log=lambda m: None, save=save)
+        return LoopHooks(log=lambda m: None, save=save, on_val=on_val)
     if not (getattr(args, "metrics_log", None)
             or getattr(args, "wandb_project", None)):
-        return LoopHooks(save=save)
+        return LoopHooks(save=save, on_val=on_val)
     from multimodalsum_tpu.core.observability import MetricLogger
 
     console = LoopHooks().log
@@ -213,7 +216,13 @@ def make_hooks(args, save):
         ml.log(step, **{k: v for k, v in m.items()
                         if k not in ("step", "global_step")})
 
-    return LoopHooks(log=log, save=save)
+    def on_val_logged(state, epoch, vl):
+        # int(state.step) is a device sync, but validation just synced anyway
+        ml.log(int(state.step), epoch=epoch + 1, val_loss=float(vl))
+        if on_val is not None:
+            on_val(state, epoch, vl)
+
+    return LoopHooks(log=log, save=save, on_val=on_val_logged)
 
 
 def host_data_shard(n_examples: int, batch_size: int):

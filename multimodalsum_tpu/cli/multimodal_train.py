@@ -38,6 +38,14 @@ def main(argv=None):
                    help="checkpoint dir to resume full training state from")
     p.add_argument("--img_init", type=str, default=None)
     p.add_argument("--table_init", type=str, default=None)
+    p.add_argument("--valmin_dir", type=str, default=None,
+                   help="also write a params-only checkpoint of the epoch "
+                        "with the LOWEST validation loss into this root "
+                        "(tracked as a device-side bf16 copy each epoch, "
+                        "written once at stage end) — the honest "
+                        "learning-evidence checkpoint while the main run "
+                        "deliberately overfits (reference best-val gating, "
+                        "src/train_utils.py:82)")
     args = p.parse_args(argv)
     setup_environment(args)
 
@@ -101,8 +109,43 @@ def main(argv=None):
     save_args(args, ckpt_dir)
     mesh = mesh_for_batch(args.batch_size)
     b_shard = batch_sharding(mesh)
+
+    # --valmin_dir: track the true validation minimum as a device-side bf16
+    # copy (params + batch_stats, ~0.9 GB HBM — a host device_get per
+    # improvement would cost minutes over a remote device link), written out
+    # ONCE after the loop. Fixes the r3 failure where "best-val" could only
+    # pick among 3 sparse interval saves and degenerated to the final save.
+    import math as _math
+
+    best = {"vl": float("inf")}
+    on_val = None
+    if args.valmin_dir:
+        # crash+retry seeding: a fresh tracker must not overwrite a better
+        # snapshot an earlier attempt already wrote (its params live in the
+        # saved dir; we only re-save if a later epoch genuinely beats it)
+        try:
+            from multimodalsum_tpu.ckpt.checkpoint import read_meta
+
+            prev = read_meta(os.path.join(
+                args.valmin_dir, f"multimodal_trained_{args.dataset}"))
+            if prev.get("val_loss") is not None:
+                best["vl"] = float(prev["val_loss"])
+        except (OSError, ValueError, TypeError):
+            pass
+
+        snap_cast = jax.jit(lambda t: jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x, t))
+
+        def on_val(st, epoch, vl):
+            if _math.isfinite(vl) and vl < best["vl"]:
+                best.update(vl=vl, epoch=epoch, step=int(st.step),
+                            params=snap_cast(st.params),
+                            stats=snap_cast(st.batch_stats))
+
     hooks = make_hooks(args, save=lambda st, epoch, vl: save_checkpoint(
-        ckpt_dir, st, save_option="whole", epoch=epoch, val_loss=vl))
+        ckpt_dir, st, save_option="whole", epoch=epoch, val_loss=vl),
+        on_val=on_val)
 
     batches = functools.partial(multimodal_batches, store, tokenizer,
                                 args.batch_size, seed=args.seed,
@@ -128,6 +171,25 @@ def main(argv=None):
         hooks=hooks,
         start_epoch=start_epoch,
     )
+
+    if args.valmin_dir and "params" in best and jax.process_count() > 1:
+        # the snapshot leaves are globally-sharded arrays; a process-0-only
+        # orbax save would deadlock its collectives — not wired up yet
+        print("warning: --valmin_dir is single-controller only; skipping "
+              "the val-min save", flush=True)
+    elif args.valmin_dir and "params" in best:
+        from multimodalsum_tpu.train.loop import EvalSnapshot
+
+        vm_dir = os.path.join(args.valmin_dir,
+                              f"multimodal_trained_{args.dataset}")
+        snap = EvalSnapshot(step=jnp.int32(best["step"]),
+                            params=best["params"], batch_stats=best["stats"])
+        save_checkpoint(vm_dir, snap, save_option="whole",
+                        epoch=best["epoch"], val_loss=best["vl"],
+                        extra_meta={"params_only": True,
+                                    "snapshot_dtype": "bfloat16"})
+        print(f"== val-min snapshot saved: epoch {best['epoch']} "
+              f"val {best['vl']:.4f} -> {vm_dir}", flush=True)
 
 
 if __name__ == "__main__":

@@ -38,17 +38,24 @@ def _normalize(arr: np.ndarray) -> np.ndarray:
     return (arr.astype(np.float32) / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
 
 
-def center_crop_transform(img, size: int = 224) -> np.ndarray:
-    """Eval path: resize shorter side to ``size``, center crop (reference
-    ``test_img_transforms``)."""
+def center_crop_uint8(img, size: int = 224) -> np.ndarray:
+    """Eval resize/crop WITHOUT normalisation: uint8 HWC. Split out so the
+    eval harness can ship 4x-smaller uint8 tensors to the device and
+    normalise there — host->device bandwidth, not PIL, bounded the r3 gate
+    (the float32 image batch is ~6 MB/row; see eval/harness.py)."""
     w, h = img.size
     scale = size / min(w, h)
     img = img.resize((max(size, round(w * scale)), max(size, round(h * scale))),
                      Image.BILINEAR)
     w, h = img.size
     left, top = (w - size) // 2, (h - size) // 2
-    img = img.crop((left, top, left + size, top + size))
-    return _normalize(np.asarray(img))
+    return np.asarray(img.crop((left, top, left + size, top + size)))
+
+
+def center_crop_transform(img, size: int = 224) -> np.ndarray:
+    """Eval path: resize shorter side to ``size``, center crop (reference
+    ``test_img_transforms``)."""
+    return _normalize(center_crop_uint8(img, size))
 
 
 def _random_resized_crop(img, rng, size=224, scale=(0.08, 1.0), ratio=(3 / 4, 4 / 3)):
@@ -127,6 +134,25 @@ def stack_images(
         imgs.append(train_transform(pil, rng, size) if train else center_crop_transform(pil, size))
     n = len(imgs)
     out = np.zeros((max_imgs, size, size, 3), np.float32)
+    if n:
+        out[:n] = np.stack(imgs)
+    mask = np.zeros((max_imgs,), bool)
+    mask[:n] = True
+    return out, mask
+
+
+def stack_images_uint8(
+    paths: Sequence[str], max_imgs: int, *, size: int = 224,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Eval-path :func:`stack_images` variant emitting uint8 (pre-
+    normalisation) tensors — 4x less host->device traffic; normalise on
+    device with the same formula (``(x/255 - mean)/std``, then zero the
+    masked rows so padding matches the host path's exact 0.0)."""
+    imgs: List[np.ndarray] = []
+    for p in paths[:max_imgs]:
+        imgs.append(center_crop_uint8(load_image(p), size))
+    n = len(imgs)
+    out = np.zeros((max_imgs, size, size, 3), np.uint8)
     if n:
         out[:n] = np.stack(imgs)
     mask = np.zeros((max_imgs,), bool)

@@ -280,7 +280,10 @@ class EvalDataset:
         return (yelp_field_tokens(tokenizer, cols) if self.dataset == "yelp"
                 else amazon_field_tokens(tokenizer, cols))
 
-    def example(self, idx: int, tokenizer):
+    def example(self, idx: int, tokenizer, *, raw_uint8: bool = False):
+        """``raw_uint8=True`` returns images as pre-normalisation uint8 (4x
+        less host->device traffic); the consumer normalises on device —
+        ``eval/harness.py normalize_images``."""
         gid = self.group_ids[idx]
         ids, mask = tokenize_reviews(tokenizer, self.reviews[idx],
                                      self.MAX_LEN[self.dataset])
@@ -290,6 +293,12 @@ class EvalDataset:
         paths = [p for p in photo_paths(self.data_root, self.dataset,
                                         self.photos.get(gid, []))
                  if os.path.exists(p)]
-        img, img_mask = stack_images(paths, MAX_IMGS[self.dataset], train=False)
+        if raw_uint8:
+            from multimodalsum_tpu.data.images import stack_images_uint8
+
+            img, img_mask = stack_images_uint8(paths, MAX_IMGS[self.dataset])
+        else:
+            img, img_mask = stack_images(paths, MAX_IMGS[self.dataset],
+                                         train=False)
         return dict(group_id=gid, reviews=ids, reviews_mask=mask,
                     field_values=table, img=img, img_mask=img_mask)

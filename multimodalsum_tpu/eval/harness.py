@@ -19,12 +19,57 @@ import jax.numpy as jnp
 import numpy as np
 
 from multimodalsum_tpu.core.config import GenerationConfig
+from multimodalsum_tpu.data.images import IMAGENET_MEAN, IMAGENET_STD
 from multimodalsum_tpu.data.multimodal_data import EvalDataset
 from multimodalsum_tpu.data.tables import stack_features
 from multimodalsum_tpu.decode.engine import generate
 from multimodalsum_tpu.eval.metrics import aggregate_multi_reference
 from multimodalsum_tpu.models.bart import BartModel
 from multimodalsum_tpu.models.multimodal import MultimodalSum
+
+
+def normalize_images(img, img_mask):
+    """Device-side ImageNet normalisation for uint8-shipped eval images.
+
+    The host ships raw uint8 crops (4x smaller than float32 — host->device
+    bandwidth, not PIL, bounded the r3 gate at 0.289 sum/s on the remote
+    device link: the float32 image tensor is ~6 MB/row); the device applies
+    the identical ``(x/255 - mean)/std`` and zeroes masked rows so padding
+    matches the host path's exact 0.0 (reference normalisation constants,
+    ``src/data_utils.py:7-28``)."""
+    x = img.astype(jnp.float32) / 255.0
+    x = (x - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
+    return x * img_mask[:, :, None, None, None].astype(jnp.float32)
+
+
+def stage_eval_batches(dataset: EvalDataset, tokenizer, batch_size: int,
+                       to_device: bool = True):
+    """Assemble the full eval set ONCE as fixed-shape batches (uint8
+    images) and optionally pin them on device — ``bench.py``'s quality gate
+    runs ~7 full eval passes over the same fixed rows, so per-pass host
+    re-assembly + re-transfer is pure waste. Returns a list of
+    ``(real_rows, arrays)`` consumable via ``generate_summaries(...,
+    staged_batches=...)``. Device cost: ~150 MB uint8 for the 100-group
+    Yelp set."""
+    batches = []
+    n = len(dataset)
+    for start in range(0, n, batch_size):
+        idxs = list(range(start, min(start + batch_size, n)))
+        real = len(idxs)
+        while len(idxs) < batch_size:  # pad final batch to the jit shape
+            idxs.append(idxs[-1])
+        rows = [dataset.example(i, tokenizer, raw_uint8=True) for i in idxs]
+        arrs = (
+            np.stack([r["reviews"] for r in rows]),
+            np.stack([r["reviews_mask"] for r in rows]),
+            stack_features([r["field_values"] for r in rows]),
+            np.stack([r["img"] for r in rows]),
+            np.stack([r["img_mask"] for r in rows]),
+        )
+        if to_device:
+            arrs = jax.device_put(arrs)
+        batches.append((real, arrs))
+    return batches
 
 
 def generate_summaries(
@@ -47,6 +92,7 @@ def generate_summaries(
     spec_ngram: int = 2,
     steady_timing: list | None = None,
     stats_out: dict | None = None,
+    staged_batches: list | None = None,
 ) -> List[str]:
     """``cache_mode=None`` resolves to "ancestry" on a single device (2.5x
     faster, token-identical — SCALING.md) but "reorder" under a mesh: the
@@ -97,6 +143,9 @@ def generate_summaries(
     def encode_batch(params, batch_stats, reviews, reviews_mask, field_values, img, img_mask):
         vs = {"params": params, "batch_stats": batch_stats}
         b = reviews.shape[0]
+        if img.dtype == jnp.uint8:
+            # uint8-shipped images: normalise on device (see normalize_images)
+            img = normalize_images(img, img_mask)
         text_h = model.apply(vs, reviews, reviews_mask, method=MultimodalSum.encode_text)
         table_h, table_m = model.apply(vs, field, field_values,
                                        method=MultimodalSum.encode_table)
@@ -174,14 +223,18 @@ def generate_summaries(
 
     def host_batches():
         """Assemble + stack each batch on host (reference data_prefetcher's
-        worker side)."""
+        worker side); images ship as uint8, normalised on device."""
+        if staged_batches is not None:
+            yield from staged_batches
+            return
         for start in range(0, n, batch_size):
             idxs = list(range(start, min(start + batch_size, n)))
             real = len(idxs)
             # pad the final batch to the jit shape with repeats
             while len(idxs) < batch_size:
                 idxs.append(idxs[-1])
-            rows = [dataset.example(i, tokenizer) for i in idxs]
+            rows = [dataset.example(i, tokenizer, raw_uint8=True)
+                    for i in idxs]
             yield real, (
                 np.stack([r["reviews"] for r in rows]),
                 np.stack([r["reviews_mask"] for r in rows]),
@@ -265,17 +318,24 @@ def generate_summaries(
     # data_prefetcher, src/multimodal_train.py:196-343)
     from multimodalsum_tpu.data.prefetch import host_prefetch, prefetch_to_device
 
-    reals = []
+    if staged_batches is not None:
+        # batches already assembled + device-resident (stage_eval_batches):
+        # no prefetch pipeline needed
+        reals = [r for r, _ in staged_batches]
+        dev_iter = (a for _, a in staged_batches)
+    else:
+        reals = []
 
-    def arrays_only():
-        for real, arrs in host_batches():
-            reals.append(real)
-            yield arrs
+        def arrays_only():
+            for real, arrs in host_batches():
+                reals.append(real)
+                yield arrs
+
+        dev_iter = prefetch_to_device(host_prefetch(arrays_only()), size=2,
+                                      sharding=b_sh)
 
     batch_secs = []
-    for bi, dev_args in enumerate(
-        prefetch_to_device(host_prefetch(arrays_only()), size=2, sharding=b_sh)
-    ):
+    for bi, dev_args in enumerate(dev_iter):
         t0 = time.time()
         seqs, lengths = pipeline(params, batch_stats, *dev_args)
         seqs = np.asarray(seqs)

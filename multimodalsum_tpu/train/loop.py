@@ -199,6 +199,19 @@ def gather_state_to_host(state, mesh):
     return jax.tree.map(lambda x: np.asarray(x.addressable_data(0)), state)
 
 
+class EvalSnapshot(struct.PyTreeNode):
+    """Params-only checkpoint payload (no optimizer state) for
+    evaluation-grade saves — the stage-3 validation-minimum snapshot and
+    the durable packs. ``ckpt.save_checkpoint`` accepts it like a
+    TrainState; resume machinery must NOT treat such a save as resumable
+    (mark it via ``extra_meta={"params_only": True}``, which
+    ``scripts/train_real_ckpt.resume_args`` checks)."""
+
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any = None
+
+
 @dataclass
 class LoopHooks:
     """Host-side callbacks: logging and checkpointing."""
@@ -208,6 +221,12 @@ class LoopHooks:
         f"loss {m['loss']:.6f}"
     )
     save: Optional[Callable[[TrainState, int, float], None]] = None
+    #: called after EVERY epoch's validation with (state, epoch, val_loss) —
+    #: unlike ``save`` (interval-gated, host-gathered), this sees the live
+    #: device state each epoch, so callers can track the true val minimum
+    #: (e.g. keep a device-side best-params copy) and log per-epoch val loss
+    #: (reference per-epoch ``validate()``, ``src/train_utils.py:74-78``)
+    on_val: Optional[Callable[[Any, int, float], None]] = None
 
 
 def train_model(
@@ -353,6 +372,8 @@ def train_model(
             print(f"epoch {epoch + 1} valid loss {val_loss:.6f}")
 
         val_losses.append(val_loss)
+        if hooks.on_val is not None:
+            hooks.on_val(state, epoch, val_loss)
         # best-val gating over FINITE losses only: a NaN epoch (diverged
         # early, recovered later) would otherwise poison min() for the whole
         # run (nan comparisons are always False) and no checkpoint would

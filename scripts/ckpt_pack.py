@@ -60,10 +60,11 @@ DEFAULT_PACK = os.path.join(REPO, "assets", "real_ckpt_pack")
 # stage CLIs restore the FULL TrainState for resume). The valmin snapshot
 # is final by construction (saved once, never resumed from).
 CKPT_DIRS = (
+    ("ckpt/bart-review_yelp", 19),
     ("ckpt/text_pretrained_yelp", 59),
     ("ckpt/img_pretrained_yelp", 2),
     ("ckpt/table_pretrained_yelp", 2),
-    ("ckpt/multimodal_trained_yelp", 69),
+    ("ckpt/multimodal_trained_yelp", 199),
     ("ckpt_valmin/multimodal_trained_yelp", 0),
 )
 
@@ -159,8 +160,17 @@ def unpack_ckpt(npz_path: str, ckpt_dir: str) -> None:
             ckptr.save(os.path.join(ckpt_dir, "export_stats"), stats_sub,
                        force=True)
     ckptr.wait_until_finished()
-    with open(os.path.join(ckpt_dir, "meta.json"), "w") as f:
+    # "packed": resume machinery must not offer this dir for full-state
+    # resume (no opt_state in a pack — restore_checkpoint against a full
+    # TrainState template dies on the structure mismatch). Atomic write,
+    # mirroring ckpt.save_checkpoint: a kill mid-write must not leave a
+    # truncated meta that makes the dir look complete.
+    meta = dict(meta, packed=True)
+    meta_path = os.path.join(ckpt_dir, "meta.json")
+    tmp = meta_path + ".tmp"
+    with open(tmp, "w") as f:
         json.dump(meta, f, indent=2)
+    os.replace(tmp, meta_path)
 
 
 def _complete(ckpt_dir: str, min_epoch: int = 0) -> bool:
@@ -195,20 +205,38 @@ def pack(work_root: str = DEFAULT_WORK, pack_dir: str = DEFAULT_PACK) -> list:
         pack_ckpt(src, out)
         packed.append((rel, f"{os.path.getsize(out) / 1e6:.0f} MB"))
         print(f"packed {rel}: {packed[-1][1]}", flush=True)
-    # the non-checkpoint workdir (data + tokenizer + metrics), verbatim
+    # the non-checkpoint workdir (data + tokenizer + metrics), verbatim.
+    # gzip with mtime=0 for a DETERMINISTIC byte stream (the default embeds
+    # the current time in the gzip header, so even a byte-identical workdir
+    # produced a fresh ~16 MB git blob every pack), plus a hash compare so
+    # an unchanged tar never touches the committed file at all.
+    import gzip
+    import hashlib
+
     tar_path = os.path.join(pack_dir, "workdir.tar.gz")
-    with tarfile.open(tar_path + ".tmp", "w:gz") as tar:
-        for name in sorted(os.listdir(work_root)):
-            if name in DATA_TAR_EXCLUDE:
-                continue
-            tar.add(os.path.join(work_root, name), arcname=name)
-    os.replace(tar_path + ".tmp", tar_path)
-    packed.append(("workdir.tar.gz",
-                   f"{os.path.getsize(tar_path) / 1e6:.0f} MB"))
+    with gzip.GzipFile(tar_path + ".tmp", "wb", mtime=0) as gz:
+        with tarfile.open(fileobj=gz, mode="w") as tar:
+            for name in sorted(os.listdir(work_root)):
+                if name in DATA_TAR_EXCLUDE:
+                    continue
+                tar.add(os.path.join(work_root, name), arcname=name)
+
+    def _sha(path):
+        h = hashlib.sha256()
+        with open(path, "rb") as f:
+            for chunk in iter(lambda: f.read(1 << 20), b""):
+                h.update(chunk)
+        return h.hexdigest()
+
+    if os.path.exists(tar_path) and _sha(tar_path) == _sha(tar_path + ".tmp"):
+        os.remove(tar_path + ".tmp")
+        packed.append(("workdir.tar.gz", "unchanged"))
+    else:
+        os.replace(tar_path + ".tmp", tar_path)
+        packed.append(("workdir.tar.gz",
+                       f"{os.path.getsize(tar_path) / 1e6:.0f} MB"))
     print(f"packed workdir: {packed[-1][1]}", flush=True)
     return packed
-
-
 def unpack(pack_dir: str = DEFAULT_PACK, work_root: str = DEFAULT_WORK) -> list:
     """Restore a pack into ``work_root``; complete existing dirs are kept."""
     restored = []

@@ -95,11 +95,14 @@ def test_pack_unpack_submodule_export(tmp_path):
 
 
 def test_workroot_pack_skips_incomplete_and_preserves_newer(tmp_path):
+    from scripts.train_real_ckpt import EPOCHS
+
     work = tmp_path / "work"
     packd = tmp_path / "packd"
     # one complete checkpoint, one incomplete (no meta.json)
     s3 = work / "ckpt" / "multimodal_trained_yelp"
-    save_checkpoint(str(s3), _tiny_state(), save_option="whole", epoch=70)
+    save_checkpoint(str(s3), _tiny_state(), save_option="whole",
+                    epoch=EPOCHS["stage3"] - 1)
     incomplete = work / "ckpt" / "text_pretrained_yelp"
     os.makedirs(incomplete / "state")
     # non-checkpoint payload the gate needs
@@ -119,15 +122,15 @@ def test_workroot_pack_skips_incomplete_and_preserves_newer(tmp_path):
     assert "ckpt/multimodal_trained_yelp" in restored
     assert json.load(open(fresh / "tok" / "vocab.json")) == {"a": 1}
     assert read_meta(str(fresh / "ckpt" / "multimodal_trained_yelp"))[
-        "epoch"] == 70
+        "epoch"] == EPOCHS["stage3"] - 1
 
     # a NEWER complete checkpoint on disk must win over the pack
     newer = fresh / "ckpt" / "multimodal_trained_yelp"
     save_checkpoint(str(newer), _tiny_state(seed=9), save_option="whole",
-                    epoch=99)
+                    epoch=999)
     restored2 = unpack(str(packd), str(fresh))
     assert "ckpt/multimodal_trained_yelp" not in restored2
-    assert read_meta(str(newer))["epoch"] == 99
+    assert read_meta(str(newer))["epoch"] == 999
 
     # re-pack with an unchanged save: marked unchanged, not rewritten
     packed2 = pack(str(work), str(packd))

@@ -71,3 +71,29 @@ def test_comm_wrappers_on_mesh():
     np.testing.assert_allclose(np.asarray(mean)[0], x.mean(0), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(total)[0], x.sum(0), rtol=1e-6)
     np.testing.assert_allclose(np.asarray(gathered), x, rtol=1e-6)
+
+
+def test_uint8_device_normalize_matches_host(pil_image, tmp_path):
+    """The eval fast path ships uint8 crops and normalises on device
+    (eval/harness.normalize_images); result must match the host float path
+    (stack_images train=False) to float tolerance, with masked rows exactly
+    0.0 like the host zero-padding."""
+    import jax.numpy as jnp
+
+    from multimodalsum_tpu.data.images import stack_images, stack_images_uint8
+    from multimodalsum_tpu.eval.harness import normalize_images
+
+    p = str(tmp_path / "img.jpg")
+    pil_image.save(p)
+    host_img, host_mask = stack_images([p, p], 4, train=False)
+    u8_img, u8_mask = stack_images_uint8([p, p], 4)
+    np.testing.assert_array_equal(host_mask, u8_mask)
+    assert u8_img.dtype == np.uint8
+
+    dev = np.asarray(normalize_images(jnp.asarray(u8_img)[None],
+                                      jnp.asarray(u8_mask)[None]))[0]
+    np.testing.assert_allclose(dev, host_img, atol=2e-6)
+    # padding exactly zero (host writes literal zeros there)
+    np.testing.assert_array_equal(dev[2:], np.zeros_like(dev[2:]))
+
+

@@ -249,3 +249,47 @@ def test_harness_spec_window_token_identical(amazon_root):
     with pytest.raises(ValueError, match="continuous"):
         generate_summaries(model, params, batch_stats, ds, tok, gen,
                            batch_size=2, log=lambda *a: None, spec_window=3)
+
+
+def test_harness_staged_equals_streamed(amazon_root):
+    """generate_summaries(staged_batches=...) — the gate's device-pinned
+    reuse path — must produce exactly the streamed path's summaries, for
+    both schedulers."""
+    import dataclasses
+
+    import jax
+
+    from multimodalsum_tpu.core.config import TINY_CONFIG, GenerationConfig
+    from multimodalsum_tpu.data.multimodal_data import EvalDataset
+    from multimodalsum_tpu.data.tokenizer import train_bpe
+    from multimodalsum_tpu.eval.harness import (
+        generate_summaries, stage_eval_batches,
+    )
+    from multimodalsum_tpu.models.multimodal import MultimodalSum, amazon_dummy_table
+
+    tok = train_bpe(["sturdy battery cheap love size great summary review text here"] * 50,
+                    300, os.path.join(amazon_root, "_tok_staged"))
+    cfg = dataclasses.replace(TINY_CONFIG, vocab_size=320,
+                              max_position_embeddings=160)
+    model = MultimodalSum(cfg, dataset="amazon", img_model="tiny")
+    fd, vd = amazon_dummy_table(1)
+    variables = model.init(jax.random.PRNGKey(0), fd, vd,
+                           method=MultimodalSum.init_all)
+    params, batch_stats = variables["params"], variables["batch_stats"]
+    gen = GenerationConfig(num_beams=2, max_length=8, min_length=2,
+                           length_penalty=1.0, early_stopping=True)
+    ds = EvalDataset(amazon_root, "amazon", "test")
+
+    streamed = generate_summaries(model, params, batch_stats, ds, tok, gen,
+                                  batch_size=2, log=lambda *a: None)
+    staged = stage_eval_batches(ds, tok, 2)
+    got = generate_summaries(model, params, batch_stats, ds, tok, gen,
+                             batch_size=2, log=lambda *a: None,
+                             staged_batches=staged)
+    assert got == streamed and len(got) == len(ds)
+
+    cont = generate_summaries(model, params, batch_stats, ds, tok, gen,
+                              batch_size=2, log=lambda *a: None,
+                              scheduler="continuous", n_slots=2,
+                              staged_batches=staged)
+    assert cont == streamed

@@ -84,6 +84,8 @@ def _patched_gate(monkeypatch, root, sections, preds_by_tag):
         return preds_by_tag.get(tag, ["pred one", "pred two", "pred thr"])
 
     monkeypatch.setattr(harness, "generate_summaries", fake_generate)
+    # device staging needs a real dataset/tokenizer/chip; the fakes carry none
+    monkeypatch.setattr(harness, "stage_eval_batches", lambda *a, **k: [])
     out = bench.quality_gate(root, timing_batch=3, sections=sections)
     return out, calls
 
