@@ -484,7 +484,17 @@ def quality_gate(work_root: str, timing_batch: int = 25,
         return preds, gold, sps
 
     out = {"ckpt": ckpt, "ckpt_step": read_meta(ckpt).get("step"),
-           "rows": len(dataset), "gate_criterion": "id_rougeL >= 95"}
+           "rows": len(dataset),
+           # r4 re-grounding (VERDICT r3 weak #4): promotion is a QUALITY
+           # claim, so the primary criterion is gold-ROUGE — the tier must
+           # cost <= 0.5 gold RL vs the exact path AND the model itself must
+           # clear the learning floor (beats the lead-review extractive
+           # baseline; quality deltas measured on a model that loses to a
+           # trivial baseline are noise). id-ROUGE-L vs exact stays recorded
+           # as the token-fidelity diagnostic.
+           "gate_criterion": "beats_lead_baseline and "
+                             "gold_rougeL >= exact_gold_rougeL - 0.5 "
+                             "(id_rougeL recorded as diagnostic)"}
     # trivial extractive baseline the trained model must beat (learning
     # evidence, VERDICT r2 #6): each group's FIRST review as the summary
     lead = aggregate_multi_reference([r[0] for r in dataset.reviews],
@@ -890,17 +900,28 @@ def main():
             record["trained_gate"] = {"skipped": "gate raised (see stderr)"}
         gate = record["trained_gate"]
         # per-tier verdicts: the headline goes to the FASTEST measured tier
-        # whose trained-weights id-ROUGE-L clears the gate — int4 being
-        # fastest but failing must not block a slower-but-passing int8
+        # that clears the gate — int4 being fastest but failing must not
+        # block a slower-but-passing int8. Criterion (r4, VERDICT r3 #5):
+        # the model beats the lead-review baseline (quality floor — without
+        # it gold deltas are noise) AND the tier costs <= 0.5 gold ROUGE-L
+        # vs the exact path; id-RL recorded as the token-fidelity diagnostic.
         verdicts = {}
+        exact_gold_rl = (gate.get("exact") or {}).get("rougeL")
+        floor_ok = bool(gate.get("beats_lead_baseline"))
         for kvq, (out_q, _) in quants.items():
             g = gate.get(kvq)
             if isinstance(g, dict) and "id_rougeL" in g:
-                ok = g["id_rougeL"] >= 95.0
+                tier_gold = (g.get("gold") or {}).get("rougeL")
+                delta = (round(tier_gold - exact_gold_rl, 2)
+                         if None not in (tier_gold, exact_gold_rl) else None)
+                ok = bool(floor_ok and delta is not None and delta >= -0.5)
                 verdicts[kvq] = {"sps": round(out_q["sps"], 3),
-                                 "id_rougeL": g["id_rougeL"], "passed": ok}
-                print(f"# gate verdict[{kvq}]: id-RL {g['id_rougeL']} "
-                      f"{'>=' if ok else '<'} 95 -> "
+                                 "id_rougeL": g["id_rougeL"],
+                                 "gold_rougeL_delta": delta,
+                                 "quality_floor": floor_ok, "passed": ok}
+                print(f"# gate verdict[{kvq}]: gold-RL delta {delta} "
+                      f"(floor {'ok' if floor_ok else 'MISSED'}, id-RL "
+                      f"{g['id_rougeL']}) -> "
                       f"{'eligible' if ok else 'demoted'} "
                       f"({out_q['sps']:.2f} sum/s)", flush=True)
         record["gate_verdicts"] = verdicts

@@ -192,7 +192,11 @@ def main():
                        decoder_attention_heads=2, encoder_ffn_dim=128,
                        decoder_ffn_dim=128, max_position_embeddings=512,
                        dropout=0.1), open(cfgp, "w"))
-        common += ["--max_steps_per_epoch", "3", "--model_config", cfgp]
+        common += ["--max_steps_per_epoch", "3", "--model_config", cfgp,
+                   # env JAX_PLATFORMS=cpu is NOT enough (the device plugin's
+                   # sitecustomize rewrites it at interpreter start): pin via
+                   # the CLI flag or the wiring check runs on the real chip
+                   "--platform", "cpu"]
     # resnet101 over 80 images/step is pointless on a CPU wiring check
     img_small = ["--img_model", "tiny"] if SMOKE else []
 

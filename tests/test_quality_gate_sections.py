@@ -132,6 +132,8 @@ def test_gate_full_sections_schema(tmp_path, monkeypatch):
     assert "continuous_vs_static" in out
     assert out["greedy_spec"]["speedup"] is not None
     assert out["greedy_spec"]["acceptance"]["draft_acceptance"] == 0.5
-    # headline consumers read these
-    assert out["gate_criterion"] == "id_rougeL >= 95"
+    # headline consumers read these (r4 criterion: quality floor + gold
+    # delta primary, id-RL diagnostic)
+    assert "beats_lead_baseline" in out["gate_criterion"]
+    assert "gold_rougeL" in out["gate_criterion"]
     assert isinstance(out["beats_lead_baseline"], bool)
