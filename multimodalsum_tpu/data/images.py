@@ -110,15 +110,32 @@ _RGB2YIQ = np.asarray(
 _YIQ2RGB = np.linalg.inv(_RGB2YIQ).astype(np.float32)
 
 
-def train_transform(img, rng: np.random.Generator, size: int = 224) -> np.ndarray:
+def _train_augment(img, rng: np.random.Generator, size: int = 224) -> np.ndarray:
+    """Crop/rotate/flip/jitter → float32 HWC in [0,1] (pre-normalisation)."""
     img = _random_resized_crop(img, rng, size)
     angle = rng.uniform(-5, 5)
     img = img.rotate(angle, Image.NEAREST)
     if rng.random() < 0.5:
         img = img.transpose(Image.FLIP_LEFT_RIGHT)
     arr = np.asarray(img).astype(np.float32) / 255.0
-    arr = _color_jitter(arr, rng)
-    return ((arr - IMAGENET_MEAN) / IMAGENET_STD).astype(np.float32)
+    return _color_jitter(arr, rng)
+
+
+def train_transform(img, rng: np.random.Generator, size: int = 224) -> np.ndarray:
+    return ((_train_augment(img, rng, size) - IMAGENET_MEAN)
+            / IMAGENET_STD).astype(np.float32)
+
+
+def train_transform_uint8(img, rng: np.random.Generator, size: int = 224) -> np.ndarray:
+    """Augment, then RE-QUANTISE to uint8 (pre-normalisation). Every byte
+    shipped host->device leaks host RAM on the remote-device tunnel
+    (measured 1:1, size-proportional — a 200-epoch stage-3 run was
+    OOM-killed at 130 GB RSS by its float32 image batches), so train images
+    ship as uint8 and are normalised on device. The crop/jitter sub-level
+    precision lost to rounding is ±1/510 on values the augmentation just
+    randomised — noise on noise."""
+    arr = _train_augment(img, rng, size)
+    return np.clip(np.rint(arr * 255.0), 0, 255).astype(np.uint8)
 
 
 def stack_images(
@@ -142,15 +159,20 @@ def stack_images(
 
 
 def stack_images_uint8(
-    paths: Sequence[str], max_imgs: int, *, size: int = 224,
+    paths: Sequence[str], max_imgs: int, *,
+    train: bool = False, rng: Optional[np.random.Generator] = None, size: int = 224,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Eval-path :func:`stack_images` variant emitting uint8 (pre-
-    normalisation) tensors — 4x less host->device traffic; normalise on
-    device with the same formula (``(x/255 - mean)/std``, then zero the
-    masked rows so padding matches the host path's exact 0.0)."""
+    """:func:`stack_images` variant emitting uint8 (pre-normalisation)
+    tensors — 4x less host->device traffic; normalise on device with the
+    same formula (``(x/255 - mean)/std``, then zero the masked rows so
+    padding matches the host path's exact 0.0). ``train=True`` applies the
+    full augmentation chain before re-quantising
+    (:func:`train_transform_uint8`)."""
     imgs: List[np.ndarray] = []
     for p in paths[:max_imgs]:
-        imgs.append(center_crop_uint8(load_image(p), size))
+        pil = load_image(p)
+        imgs.append(train_transform_uint8(pil, rng, size) if train
+                    else center_crop_uint8(pil, size))
     n = len(imgs)
     out = np.zeros((max_imgs, size, size, 3), np.uint8)
     if n:

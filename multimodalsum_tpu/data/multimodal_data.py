@@ -23,7 +23,9 @@ from typing import Dict, Iterator, List, Optional
 import numpy as np
 import pandas as pd
 
-from multimodalsum_tpu.data.images import photo_paths, stack_images
+from multimodalsum_tpu.data.images import (
+    photo_paths, stack_images, stack_images_uint8,
+)
 from multimodalsum_tpu.data.tables import (
     amazon_field_tokens,
     amazon_table_features,
@@ -84,8 +86,8 @@ def table_features_for(tokenizer, dataset: str, meta_row, columns) -> dict:
     return amazon_table_features(tokenizer, meta_row)
 
 
-#: cached zero image tensors for skip_images examples, keyed by MAX_IMGS
-_ZERO_IMGS: Dict[int, tuple] = {}
+#: cached zero image tensors for skip_images examples, keyed by (MAX_IMGS, dtype)
+_ZERO_IMGS: Dict[tuple, tuple] = {}
 
 
 class MultimodalStore:
@@ -139,10 +141,13 @@ class MultimodalStore:
 
     def example(self, idx: int, tokenizer, *, max_length: int = 130,
                 train: bool = False, rng: Optional[np.random.Generator] = None,
-                skip_images: bool = False):
+                skip_images: bool = False, raw_uint8: bool = True):
         """``skip_images`` avoids photo IO/decode entirely (zero images +
         empty mask) for consumers that never read the image modality, e.g.
-        the table-pretrain stage."""
+        the table-pretrain stage. ``raw_uint8`` (the default) ships images
+        as pre-normalisation uint8 — ``MultimodalSum.encode_img``
+        normalises on device; 4x less H2D traffic, and the remote-device
+        tunnel leaks host RAM per byte transferred (ops/images.py)."""
         gid, texts, rates = self.text.group(idx)
         ids, mask = tokenize_reviews(tokenizer, texts, max_length)
 
@@ -155,18 +160,21 @@ class MultimodalStore:
             # (10, 224, 224, 3) float32 per example is ~6 MB of throwaway
             # allocation in the table-pretrain hot loop
             n = MAX_IMGS[self.dataset]
-            if n not in _ZERO_IMGS:
-                z = np.zeros((n, 224, 224, 3), np.float32)
+            key = (n, "u8" if raw_uint8 else "f32")
+            if key not in _ZERO_IMGS:
+                z = np.zeros((n, 224, 224, 3),
+                             np.uint8 if raw_uint8 else np.float32)
                 z.setflags(write=False)
                 zm = np.zeros((n,), bool)
                 zm.setflags(write=False)
-                _ZERO_IMGS[n] = (z, zm)
-            img, img_mask = _ZERO_IMGS[n]
+                _ZERO_IMGS[key] = (z, zm)
+            img, img_mask = _ZERO_IMGS[key]
         else:
             paths = photo_paths(self.data_root, self.dataset, self.photos.get(gid, []))
             paths = [p for p in paths if os.path.exists(p)]
-            img, img_mask = stack_images(paths, MAX_IMGS[self.dataset],
-                                         train=train, rng=rng)
+            stack = stack_images_uint8 if raw_uint8 else stack_images
+            img, img_mask = stack(paths, MAX_IMGS[self.dataset],
+                                  train=train, rng=rng)
         return dict(group_id=gid, reviews=ids, reviews_mask=mask,
                     reviews_rating=np.asarray(rates, np.float32),
                     field_values=table, img=img, img_mask=img_mask)

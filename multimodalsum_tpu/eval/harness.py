@@ -19,7 +19,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from multimodalsum_tpu.core.config import GenerationConfig
-from multimodalsum_tpu.data.images import IMAGENET_MEAN, IMAGENET_STD
 from multimodalsum_tpu.data.multimodal_data import EvalDataset
 from multimodalsum_tpu.data.tables import stack_features
 from multimodalsum_tpu.decode.engine import generate
@@ -29,17 +28,11 @@ from multimodalsum_tpu.models.multimodal import MultimodalSum
 
 
 def normalize_images(img, img_mask):
-    """Device-side ImageNet normalisation for uint8-shipped eval images.
+    """Device-side ImageNet normalisation for uint8-shipped eval images
+    (shared device-side formula: :mod:`multimodalsum_tpu.ops.images`)."""
+    from multimodalsum_tpu.ops.images import normalize_uint8_images
 
-    The host ships raw uint8 crops (4x smaller than float32 — host->device
-    bandwidth, not PIL, bounded the r3 gate at 0.289 sum/s on the remote
-    device link: the float32 image tensor is ~6 MB/row); the device applies
-    the identical ``(x/255 - mean)/std`` and zeroes masked rows so padding
-    matches the host path's exact 0.0 (reference normalisation constants,
-    ``src/data_utils.py:7-28``)."""
-    x = img.astype(jnp.float32) / 255.0
-    x = (x - jnp.asarray(IMAGENET_MEAN)) / jnp.asarray(IMAGENET_STD)
-    return x * img_mask[:, :, None, None, None].astype(jnp.float32)
+    return normalize_uint8_images(img, img_mask)
 
 
 def stage_eval_batches(dataset: EvalDataset, tokenizer, batch_size: int,

@@ -64,7 +64,13 @@ class MultimodalSum(nn.Module):
 
     def encode_img(self, img, img_mask, train: bool = False):
         """img [b, max_imgs, H, W, 3] NHWC -> (hiddens [b, max_imgs, pix, d],
-        mask [b, max_imgs, pix]) (reference ``:188-192``)."""
+        mask [b, max_imgs, pix]) (reference ``:188-192``). uint8 input is
+        normalised on device (4x less H2D traffic — and the remote-device
+        tunnel leaks host RAM per byte transferred, see ops/images.py)."""
+        if img.dtype == jnp.uint8:
+            from multimodalsum_tpu.ops.images import normalize_uint8_images
+
+            img = normalize_uint8_images(img, img_mask)
         b, n = img.shape[:2]
         h = self.img_encoder(img.reshape((b * n,) + img.shape[2:]), train=train)
         h = h.reshape(b, n, h.shape[1], h.shape[2])

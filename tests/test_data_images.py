@@ -97,3 +97,34 @@ def test_uint8_device_normalize_matches_host(pil_image, tmp_path):
     np.testing.assert_array_equal(dev[2:], np.zeros_like(dev[2:]))
 
 
+
+
+def test_uint8_train_path_matches_float_within_quantization(pil_image, tmp_path):
+    """The TRAIN loader default ships augmented uint8 crops (host RAM leaks
+    per H2D byte on the remote-device tunnel — see ops/images.py) which
+    ``MultimodalSum.encode_img`` normalises on device. Same augmentation
+    seed through both paths must agree to uint8 quantization tolerance
+    (±0.5/255 pre-normalisation, /std post), masked rows exactly 0.0."""
+    import jax.numpy as jnp
+
+    from multimodalsum_tpu.data.images import (
+        IMAGENET_STD, stack_images, stack_images_uint8,
+    )
+    from multimodalsum_tpu.ops.images import normalize_uint8_images
+
+    p = str(tmp_path / "img.jpg")
+    pil_image.save(p)
+    f_img, f_mask = stack_images([p, p], 3, train=True,
+                                 rng=np.random.default_rng(7))
+    u_img, u_mask = stack_images_uint8([p, p], 3, train=True,
+                                       rng=np.random.default_rng(7))
+    np.testing.assert_array_equal(f_mask, u_mask)
+    assert u_img.dtype == np.uint8
+
+    dev = np.asarray(normalize_uint8_images(jnp.asarray(u_img)[None],
+                                            jnp.asarray(u_mask)[None]))[0]
+    # jitter output is clipped to [0,1] before re-quantisation, so the
+    # worst-case error is half a uint8 level scaled by 1/std
+    atol = 0.5 / 255.0 / float(IMAGENET_STD.min()) + 1e-5
+    np.testing.assert_allclose(dev[:2], f_img[:2], atol=atol)
+    np.testing.assert_array_equal(dev[2:], np.zeros_like(dev[2:]))
