@@ -203,7 +203,10 @@ def main(argv=None):
     from multimodalsum_tpu.data.tables import stack_features
 
     for i in range(len(dataset)):
-        row = dataset.example(i, tokenizer)
+        # uint8 ship + device normalise (encode_img): 4x less per-request
+        # H2D, and the remote-device tunnel leaks host RAM per byte
+        # transferred (ops/images.py) — matters most in a long-running server
+        row = dataset.example(i, tokenizer, raw_uint8=True)
         hiddens, masks = encode_one(
             row["reviews"][None], row["reviews_mask"][None],
             stack_features([row["field_values"]]),
