@@ -137,11 +137,38 @@ def main(argv=None):
             lambda x: x.astype(jnp.bfloat16)
             if jnp.issubdtype(x.dtype, jnp.floating) else x, t))
 
+        def write_valmin():
+            from multimodalsum_tpu.train.loop import EvalSnapshot
+
+            vm_dir = os.path.join(args.valmin_dir,
+                                  f"multimodal_trained_{args.dataset}")
+            snap = EvalSnapshot(step=jnp.int32(best["step"]),
+                                params=best["params"],
+                                batch_stats=best["stats"])
+            save_checkpoint(vm_dir, snap, save_option="whole",
+                            epoch=best["epoch"], val_loss=best["vl"],
+                            extra_meta={"params_only": True,
+                                        "snapshot_dtype": "bfloat16"})
+            best["dirty"] = False
+            print(f"== val-min snapshot saved: epoch {best['epoch']} "
+                  f"val {best['vl']:.4f} -> {vm_dir}", flush=True)
+
+        # crash-durability: a device-side-only minimum dies with the
+        # process (a wedged device link killed a 200-epoch run at epoch
+        # 141 with the epoch-34 minimum parked in device memory), so the
+        # tracked best is flushed to disk at most every VALMIN_FLUSH_IV
+        # epochs when it improved — rare after warmup, so the ~1-2 min
+        # params-only save amortises to noise
+        VALMIN_FLUSH_IV = 10
+
         def on_val(st, epoch, vl):
             if _math.isfinite(vl) and vl < best["vl"]:
                 best.update(vl=vl, epoch=epoch, step=int(st.step),
                             params=snap_cast(st.params),
-                            stats=snap_cast(st.batch_stats))
+                            stats=snap_cast(st.batch_stats), dirty=True)
+            if (best.get("dirty") and (epoch + 1) % VALMIN_FLUSH_IV == 0
+                    and jax.process_count() == 1):
+                write_valmin()
 
     hooks = make_hooks(args, save=lambda st, epoch, vl: save_checkpoint(
         ckpt_dir, st, save_option="whole", epoch=epoch, val_loss=vl),
@@ -177,19 +204,9 @@ def main(argv=None):
         # orbax save would deadlock its collectives — not wired up yet
         print("warning: --valmin_dir is single-controller only; skipping "
               "the val-min save", flush=True)
-    elif args.valmin_dir and "params" in best:
-        from multimodalsum_tpu.train.loop import EvalSnapshot
-
-        vm_dir = os.path.join(args.valmin_dir,
-                              f"multimodal_trained_{args.dataset}")
-        snap = EvalSnapshot(step=jnp.int32(best["step"]),
-                            params=best["params"], batch_stats=best["stats"])
-        save_checkpoint(vm_dir, snap, save_option="whole",
-                        epoch=best["epoch"], val_loss=best["vl"],
-                        extra_meta={"params_only": True,
-                                    "snapshot_dtype": "bfloat16"})
-        print(f"== val-min snapshot saved: epoch {best['epoch']} "
-              f"val {best['vl']:.4f} -> {vm_dir}", flush=True)
+    elif args.valmin_dir and best.get("dirty"):
+        # final flush of any improvement since the last periodic one
+        write_valmin()
 
 
 if __name__ == "__main__":

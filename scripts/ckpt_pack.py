@@ -64,7 +64,7 @@ CKPT_DIRS = (
     ("ckpt/text_pretrained_yelp", 59),
     ("ckpt/img_pretrained_yelp", 2),
     ("ckpt/table_pretrained_yelp", 2),
-    ("ckpt/multimodal_trained_yelp", 199),
+    ("ckpt/multimodal_trained_yelp", 119),
     ("ckpt_valmin/multimodal_trained_yelp", 0),
 )
 

@@ -55,9 +55,13 @@ SMOKE = bool(int(os.environ.get("SMOKE", "0")))
 # per-epoch val-min tracker. Stage 0 sees the ~1.6k-review joint yelp+amazon
 # corpus (~200 steps/epoch at batch 8).
 EPOCHS = dict(stage0=2, stage1=2, stage2a=1, stage2b=1, stage3=2) if SMOKE \
-    else dict(stage0=20, stage1=60, stage2a=3, stage2b=3, stage3=200)
+    else dict(stage0=20, stage1=60, stage2a=3, stage2b=3, stage3=120)
 SAVE_IV = dict(stage0=2, stage1=2, stage2a=1, stage2b=1, stage3=2) if SMOKE \
-    else dict(stage0=10, stage1=30, stage2a=3, stage2b=3, stage3=100)
+    else dict(stage0=10, stage1=30, stage2a=3, stage2b=3, stage3=60)
+# stage 3: 120 (was 200) — the measured val minimum lands by epoch ~35 and
+# train loss plateaus at ~1.436 by epoch ~120 (r4 runs), so the longer tail
+# bought no sharper overfit ckpt while doubling exposure to device-link
+# wedges (one 200-epoch run OOM-killed at 175, its rerun wedged at 141)
 # saves cost ~5 min EACH over the device tunnel (full bart-large state
 # device->host); intermediates are resume insurance only, so keep them
 # sparse. The val-min snapshot needs NO extra saves: it is tracked on
