@@ -377,6 +377,24 @@ GATE_SECTIONS = ("quant", "sched", "spec", "valmin", "randinit")
 QUANT_TIERS = ("int8", "int4_r1", "int4+int8", "int4")
 
 
+def resolve_quality_floor(gate: dict) -> tuple:
+    """(floor_ok, source_ckpt) for the quant-promotion quality floor.
+
+    The floor = the LEARNING-EVIDENCE checkpoint beats the lead-review
+    baseline. That is ckpt_valmin when its section ran (the checkpoint one
+    would ship — reference best-val gating, ``src/train_utils.py:82``): the
+    overfit final save exists to give the quant ladder peaked logits and
+    deliberately trades test gold score for train memorisation (r4: valmin
+    goldRL 16.03 vs overfit 13.05), so keying the floor on IT would demote
+    tiers for a property of the stress-test basis, not of the model or the
+    tier. Falls back to the exact (overfit) verdict when no valmin section
+    is present."""
+    vm_floor = (gate.get("valmin") or {}).get("beats_lead_baseline")
+    if vm_floor is not None:
+        return bool(vm_floor), "valmin"
+    return bool(gate.get("beats_lead_baseline")), "exact"
+
+
 def restore_gate_ckpt(work_root: str) -> None:
     """Materialise the trained checkpoint from the committed pack when the
     gitignored ``_work/`` tree was cleaned between sessions (the driver's
@@ -492,7 +510,8 @@ def quality_gate(work_root: str, timing_batch: int = 25,
            # baseline; quality deltas measured on a model that loses to a
            # trivial baseline are noise). id-ROUGE-L vs exact stays recorded
            # as the token-fidelity diagnostic.
-           "gate_criterion": "beats_lead_baseline and "
+           "gate_criterion": "learning floor (valmin beats_lead_baseline; "
+                             "exact's if no valmin section) and "
                              "gold_rougeL >= exact_gold_rougeL - 0.5 "
                              "(id_rougeL recorded as diagnostic)"}
     # trivial extractive baseline the trained model must beat (learning
@@ -907,7 +926,7 @@ def main():
         # vs the exact path; id-RL recorded as the token-fidelity diagnostic.
         verdicts = {}
         exact_gold_rl = (gate.get("exact") or {}).get("rougeL")
-        floor_ok = bool(gate.get("beats_lead_baseline"))
+        floor_ok, floor_src = resolve_quality_floor(gate)
         for kvq, (out_q, _) in quants.items():
             g = gate.get(kvq)
             if isinstance(g, dict) and "id_rougeL" in g:
@@ -918,7 +937,9 @@ def main():
                 verdicts[kvq] = {"sps": round(out_q["sps"], 3),
                                  "id_rougeL": g["id_rougeL"],
                                  "gold_rougeL_delta": delta,
-                                 "quality_floor": floor_ok, "passed": ok}
+                                 "quality_floor": floor_ok,
+                                 "quality_floor_ckpt": floor_src,
+                                 "passed": ok}
                 print(f"# gate verdict[{kvq}]: gold-RL delta {delta} "
                       f"(floor {'ok' if floor_ok else 'MISSED'}, id-RL "
                       f"{g['id_rougeL']}) -> "

@@ -49,3 +49,25 @@ def test_prefix_match_fraction():
     # divergence by truncation: shorter other sequence caps the match
     assert prefix_match_fraction([1, 2, 3, 4], [1, 2]) == 0.5
     assert prefix_match_fraction([], [1]) == 0.0
+
+
+def test_resolve_quality_floor_prefers_valmin():
+    """The quant-promotion floor keys on the learning-evidence checkpoint
+    (ckpt_valmin) when its section ran; the overfit exact verdict is only a
+    fallback (r4: valmin beats the lead baseline at goldRL 16.03 while the
+    overfit stress-test basis scores 13.05 — tiers must not be demoted for
+    the basis's deliberate overfit)."""
+    import bench
+
+    gate = {"beats_lead_baseline": False,
+            "valmin": {"beats_lead_baseline": True}}
+    assert bench.resolve_quality_floor(gate) == (True, "valmin")
+    # valmin section ran and FAILED the floor -> floor fails even if the
+    # (memorising) overfit ckpt somehow passed
+    gate = {"beats_lead_baseline": True,
+            "valmin": {"beats_lead_baseline": False}}
+    assert bench.resolve_quality_floor(gate) == (False, "valmin")
+    # no valmin section -> exact verdict decides
+    assert bench.resolve_quality_floor(
+        {"beats_lead_baseline": True}) == (True, "exact")
+    assert bench.resolve_quality_floor({}) == (False, "exact")
