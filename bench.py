@@ -464,6 +464,9 @@ def quality_gate(work_root: str, timing_batch: int = 25,
         tokenizer_dir=os.path.join(work_root, "tok")))
     params, batch_stats = load_eval_params(ckpt, st["params"],
                                            st["batch_stats"])
+    # one transfer for the ~7 eval passes (the harness's own device_put is
+    # then a no-op; load_eval_params returns host trees)
+    params, batch_stats = jax.device_put((params, batch_stats))
     dataset = EvalDataset(work_root, "yelp", "test")
     gen = GenerationConfig(num_beams=5, max_length=142, min_length=56,
                            length_penalty=2.0, early_stopping=True,
@@ -557,7 +560,8 @@ def quality_gate(work_root: str, timing_batch: int = 25,
     vm = os.path.join(work_root, "ckpt_valmin", "multimodal_trained_yelp")
     if "valmin" in sections and os.path.exists(os.path.join(vm, "meta.json")):
         t0 = time.time()
-        pv = load_eval_params(vm, st["params"], st["batch_stats"])
+        pv = jax.device_put(load_eval_params(vm, st["params"],
+                                             st["batch_stats"]))
         vm_preds, vm_gold, _ = run("valmin-exact", params_override=pv)
         meta_vm = read_meta(vm)
         out["valmin"] = {

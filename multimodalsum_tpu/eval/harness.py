@@ -208,6 +208,13 @@ def generate_summaries(
                            out_shardings=b_sh)
     else:
         b_sh = None
+        # pin weights on device ONCE: load_eval_params returns HOST trees,
+        # and jit re-transfers host ndarray arguments on EVERY call — ~1.6 GB
+        # of params per batch over the remote link was the r4 gate's real
+        # bulk-throughput ceiling (35 s/batch of 25, decode itself ~7 s).
+        # A no-op for already-device-resident inputs.
+        params = jax.device_put(params)
+        batch_stats = jax.device_put(batch_stats)
         pipeline = jax.jit(pipeline)
 
     outputs: List[str] = []
