@@ -629,8 +629,11 @@ def quality_gate(work_root: str, timing_batch: int = 25,
 
     # speculative decoding where it matters (VERDICT r2 #4): greedy decode
     # of the real reviews under TRAINED weights, prompt-lookup drafts from
-    # each row's own sources, classic vs spec_window=4 — token-identical by
-    # construction, so the ONLY question is measured acceptance/speed
+    # each row's own sources, classic vs spec_window=4. Verification is
+    # exact in exact arithmetic, but the k-token verify forward batches
+    # matmuls differently from the 1-token step, so bf16 rounding can flip
+    # near-argmax ties (measured r4: 84/100 identical, id-RL 93.2 — the
+    # same effect batch-size changes have on any bf16 decode)
     gen1 = gen.replace(num_beams=1)
     spec = {}
     for w, tag in ((1, "classic"), (4, "spec_w4")) if "spec" in sections else ():
