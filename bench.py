@@ -302,9 +302,10 @@ def bench_train(remat=True, grad_accum=1):
 
     ``remat``: True (full), False (none), or a jax.checkpoint_policies name
     (``--train_remat=`` flag) — A/B lever for the rotation recompute.
-    ``grad_accum``: N accumulation microbatches of TRAIN_BATCH each (global
-    batch = 8*N — the stated 16 GB scale-out lever, measured not assumed;
-    ``--train_grad_accum=N``)."""
+    ``grad_accum``: N accumulation microbatches of TRAIN_BATCH/N each at
+    fixed global batch 8 (``--train_grad_accum=N``) — prices the
+    accumulation mechanics; see the in-function note for why global-batch
+    scaling on ONE chip is out (FSDP/multi-chip owns it)."""
     from multimodalsum_tpu.core.config import BartConfig
     from multimodalsum_tpu.models.multimodal import MultimodalSum, yelp_dummy_table
     from multimodalsum_tpu.train.loop import TrainStateWithStats, make_train_step_with_stats
@@ -317,7 +318,13 @@ def bench_train(remat=True, grad_accum=1):
     st = shared_model_state()
     params, batch_stats = st["params"], st["batch_stats"]
     cfg = BartConfig()  # dropout active
-    b, t = TRAIN_BATCH * grad_accum, TRAIN_LEN
+    # accumulation is measured at FIXED global batch (micro = 8/N): the
+    # global-batch-16 form does not fit on one 16 GB v5e next to f32 AdamW
+    # state (measured RESOURCE_EXHAUSTED with f32 AND bf16 accumulators) —
+    # larger global batches are the FSDP/multi-chip path (parallel/), not a
+    # single-chip accumulation trick; this row prices the accumulation
+    # mechanics themselves (extra dispatches + accumulator traffic)
+    b, t = TRAIN_BATCH, TRAIN_LEN
     model = MultimodalSum(cfg, dataset="yelp", img_model="resnet101",
                           dtype=jnp.bfloat16)
     field, _ = yelp_dummy_table(1)
@@ -339,9 +346,22 @@ def bench_train(remat=True, grad_accum=1):
         return multimodal_train_loss(model, p, stats, dict(bt, field=field),
                                      label_smoothing=0.1, rng=r, remat=remat)
 
-    step = jax.jit(make_train_step_with_stats(loss_fn, tx,
-                                              grad_accum=grad_accum),
-                   donate_argnums=0)
+    if grad_accum > 1:
+        # host-driven accumulation: the scan-form accum step at FULL
+        # 12+12-layer geometry crashes the axon tunnel's remote-compile
+        # helper (HTTP 500 at any remat setting; the half-depth program
+        # compiles), so the bench measures the program-size-bounded
+        # alternative — k micro-grad dispatches + one apply
+        # (train/loop.make_host_accum_step, numerically equivalent)
+        from multimodalsum_tpu.train.loop import make_host_accum_step
+
+        # bf16 accumulator: the f32 one OOMs next to AdamW state on 16 GB
+        # (see make_host_accum_step docstring for the rounding tradeoff)
+        step = make_host_accum_step(loss_fn, tx, grad_accum,
+                                    accum_dtype=jnp.bfloat16)
+    else:
+        step = jax.jit(make_train_step_with_stats(loss_fn, tx),
+                       donate_argnums=0)
     state = TrainStateWithStats.create(params, batch_stats, tx)
     state = jax.device_put(state)
     batch = jax.device_put(batch)

@@ -188,3 +188,102 @@ def test_load_export_rejects_zero_restore(tmp_path):
     # submodule is expected) shares no keys -> hard error
     with pytest.raises(ValueError, match="ZERO leaves"):
         load_export(directory, {"completely": {"different": np.zeros(2)}})
+
+
+def test_host_accum_matches_scan_accum():
+    """Host-driven accumulation (k micro-grad jit calls + one apply —
+    train/loop.make_host_accum_step, the program-size-bounded form for
+    compile services that reject the full scan-accum program) matches the
+    lax.scan accumulation step exactly: same microbatch split, same rng
+    folding, same sequential stats chaining."""
+    import jax
+    import jax.numpy as jnp
+
+    from multimodalsum_tpu.train.loop import (
+        TrainStateWithStats, make_host_accum_step, make_train_step_with_stats,
+    )
+    from multimodalsum_tpu.train.stages import enc_conditional_loss
+
+    cfg, model, params, tx = _tiny_setup()
+    rng = np.random.default_rng(0)
+    bsz = 8
+    batch = dict(h=rng.normal(size=(bsz, 2, 6, cfg.d_model)).astype(np.float32),
+                 m=np.ones((bsz, 2, 6), bool),
+                 labels=rng.integers(3, cfg.vocab_size, (bsz, 7)))
+
+    def loss_fn(p, stats, b, r):
+        loss = enc_conditional_loss(model, p, b["h"], b["m"], b["labels"],
+                                    rng=None)
+        return loss, {"calls": stats["calls"] + 1, "mean_h": jnp.mean(b["h"])}
+
+    stats0 = {"calls": jnp.int32(0), "mean_h": jnp.float32(0.0)}
+    state = TrainStateWithStats.create(params, stats0, tx)
+    scan_step = jax.jit(make_train_step_with_stats(loss_fn, tx, grad_accum=4))
+    host_step = make_host_accum_step(loss_fn, tx, grad_accum=4)  # NOT jitted
+
+    s_scan, loss_scan = scan_step(state, batch, jax.random.PRNGKey(0))
+    state2 = TrainStateWithStats.create(params, stats0, tx)
+    s_host, loss_host = host_step(state2, batch, jax.random.PRNGKey(0))
+
+    np.testing.assert_allclose(float(loss_host), float(loss_scan), rtol=1e-6)
+    import chex
+
+    chex.assert_trees_all_close(
+        jax.device_get(s_host.params), jax.device_get(s_scan.params),
+        rtol=1e-5, atol=1e-7,
+    )
+    assert int(s_host.batch_stats["calls"]) == 4
+    np.testing.assert_allclose(float(s_host.batch_stats["mean_h"]),
+                               float(s_scan.batch_stats["mean_h"]), rtol=1e-6)
+    assert int(s_host.step) == int(s_scan.step) == 1
+
+    with pytest.raises(ValueError, match="divisible"):
+        make_host_accum_step(loss_fn, tx, grad_accum=3)(
+            TrainStateWithStats.create(params, stats0, tx), batch,
+            jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match=">= 2"):
+        make_host_accum_step(loss_fn, tx, grad_accum=1)
+
+
+def test_host_accum_bf16_accumulator_close_to_f32():
+    """The bf16 accumulator option (HBM relief at bart-large scale) must
+    track the exact f32 accumulation to bf16 rounding tolerance."""
+    import jax
+    import jax.numpy as jnp
+
+    from multimodalsum_tpu.train.loop import (
+        TrainStateWithStats, make_host_accum_step,
+    )
+    from multimodalsum_tpu.train.stages import enc_conditional_loss
+
+    cfg, model, params, tx = _tiny_setup()
+    rng = np.random.default_rng(0)
+    bsz = 8
+    batch = dict(h=rng.normal(size=(bsz, 2, 6, cfg.d_model)).astype(np.float32),
+                 m=np.ones((bsz, 2, 6), bool),
+                 labels=rng.integers(3, cfg.vocab_size, (bsz, 7)))
+
+    def loss_fn(p, stats, b, r):
+        return (enc_conditional_loss(model, p, b["h"], b["m"], b["labels"],
+                                     rng=None), stats)
+
+    # j_apply donates its state, so each run gets its own param copies
+    state = lambda: TrainStateWithStats.create(
+        jax.tree.map(jnp.array, params), {}, tx)
+    s32, l32 = make_host_accum_step(loss_fn, tx, 4)(
+        state(), batch, jax.random.PRNGKey(0))
+    s16, l16 = make_host_accum_step(loss_fn, tx, 4, accum_dtype=jnp.bfloat16)(
+        state(), batch, jax.random.PRNGKey(0))
+    np.testing.assert_allclose(float(l16), float(l32), rtol=1e-6)
+    # AdamW normalises by sqrt(v), so where the accumulated grad is ~0 a
+    # bf16 rounding flip moves that element by O(lr) in the opposite
+    # direction — element-exact comparison is the wrong contract. Instead:
+    # virtually all elements match tightly, and no element moves further
+    # than one full AdamW step (the sign-flip bound).
+    a = np.concatenate([x.ravel() for x in
+                        jax.tree.leaves(jax.device_get(s16.params))])
+    b = np.concatenate([x.ravel() for x in
+                        jax.tree.leaves(jax.device_get(s32.params))])
+    close = np.isclose(a, b, rtol=0.05, atol=2e-5)
+    assert close.mean() > 0.999, f"only {close.mean():.2%} close"
+    assert np.max(np.abs(a - b)) < 2.5e-3  # < 2x the AdamW step scale
