@@ -49,6 +49,8 @@ class _FakeDataset:
 
 
 def _patched_gate(monkeypatch, root, sections, preds_by_tag):
+    import jax
+
     import bench
     import multimodalsum_tpu.ckpt.checkpoint as ckpt_mod
     import multimodalsum_tpu.cli.common as cli_common
@@ -58,6 +60,11 @@ def _patched_gate(monkeypatch, root, sections, preds_by_tag):
     monkeypatch.setattr(bench, "shared_model_state",
                         lambda: {"model": object(), "params": {},
                                  "batch_stats": {}})
+    # the gate stages eval weights on device once per pass (bench.py
+    # device_put, the r4 1.6 GB-per-batch reshipping fix); the fake param
+    # trees carry path strings, which are not JAX types — stub the staging
+    # (tests lock the gate's CONTROL FLOW; on-chip behavior is GATE_r{N})
+    monkeypatch.setattr(jax, "device_put", lambda x, *a, **k: x)
     monkeypatch.setattr(ckpt_mod, "load_eval_params",
                         lambda d, p, bs: ({"ck": d}, {}))
     monkeypatch.setattr(cli_common, "load_tokenizer", lambda a: _FakeTok())
