@@ -268,6 +268,119 @@ def resume_state(resume_dir: str, state):
     return state, start_epoch
 
 
+def make_valmin_tracker(args, ckpt_name: str, *, snap_epochs=(),
+                        snap_root: Optional[str] = None):
+    """Track the epoch with the LOWEST validation loss as a device-side bf16
+    copy and write it once at stage end (reference best-val gating,
+    ``src/train_utils.py:82`` — but tracking the TRUE per-epoch minimum
+    instead of gating sparse interval saves). Shared by the stage CLIs via
+    ``--valmin_dir`` (stage 3 since r4; stage 1 since r5 so downstream
+    stages can initialise from the best-generalising text model rather than
+    the end-of-budget memorised one, VERDICT r4 #1d).
+
+    Returns ``(on_val, finalize)``: chain ``on_val`` into the loop hooks,
+    call ``finalize()`` after ``train_model`` returns. Both are None-safe
+    no-ops when ``args.valmin_dir`` is unset and ``snap_epochs`` is empty.
+
+    ``snap_epochs``/``snap_root``: additionally write a params-only snapshot
+    at each listed 0-indexed epoch into ``snap_root/<ckpt_name>_epoch{E}`` —
+    the capture pass for checkpoint averaging around a known val minimum
+    (``scripts/avg_ckpts.py``; runs are deterministic given a seed, so a
+    rerun lands the same trajectory and the window can be chosen post-hoc).
+
+    Single-controller only (multi-host snapshot leaves are globally sharded;
+    a process-0-only orbax save would deadlock its collectives).
+    """
+    import math
+
+    import jax.numpy as jnp
+
+    from multimodalsum_tpu.ckpt.checkpoint import read_meta, save_checkpoint
+    from multimodalsum_tpu.train.loop import EvalSnapshot
+
+    valmin_dir = getattr(args, "valmin_dir", None)
+    snap_epochs = set(snap_epochs or ())
+    if not valmin_dir and not snap_epochs:
+        return None, lambda: None
+    if jax.process_count() > 1:
+        print("warning: --valmin_dir/--save_epochs are single-controller "
+              "only; skipping val-min tracking", flush=True)
+        return None, lambda: None
+
+    best = {"vl": float("inf")}
+    if valmin_dir:
+        # crash+retry seeding: a fresh tracker must not overwrite a better
+        # snapshot an earlier attempt already wrote
+        try:
+            prev = read_meta(os.path.join(valmin_dir, ckpt_name))
+            if prev.get("val_loss") is not None:
+                best["vl"] = float(prev["val_loss"])
+        except (OSError, ValueError, TypeError):
+            pass
+
+    snap_cast = jax.jit(lambda t: jax.tree.map(
+        lambda x: x.astype(jnp.bfloat16)
+        if jnp.issubdtype(x.dtype, jnp.floating) else x, t))
+
+    def _snapshot(st):
+        return EvalSnapshot(
+            step=jnp.int32(int(st.step)), params=snap_cast(st.params),
+            batch_stats=(snap_cast(st.batch_stats)
+                         if getattr(st, "batch_stats", None) is not None
+                         else None))
+
+    def _to_f32_host(snap):
+        """Upcast the bf16 device snapshot to f32 on the host before the
+        orbax write: downstream stages may TRAIN from these dirs
+        (``--bart_init``), and a bf16-dtyped master-param tree would make
+        optimizer state/updates bf16 for those leaves. Values stay
+        bf16-quantised (the committed packs make the same tradeoff)."""
+        import numpy as np
+
+        return jax.tree.map(
+            lambda x: np.asarray(x).astype(np.float32)
+            if x is not None and jnp.issubdtype(x.dtype, jnp.floating) else x,
+            jax.device_get(snap))
+
+    def write_valmin():
+        vm_dir = os.path.join(valmin_dir, ckpt_name)
+        save_checkpoint(vm_dir, _to_f32_host(best["snap"]),
+                        save_option="whole",
+                        epoch=best["epoch"], val_loss=best["vl"],
+                        extra_meta={"params_only": True,
+                                    "snapshot_dtype": "bfloat16"})
+        best["dirty"] = False
+        print(f"== val-min snapshot saved: epoch {best['epoch']} "
+              f"val {best['vl']:.4f} -> {vm_dir}", flush=True)
+
+    # crash-durability: a device-side-only minimum dies with the process
+    # (a wedged device link killed a 200-epoch run at epoch 141 with the
+    # epoch-34 minimum parked in device memory), so the tracked best is
+    # flushed to disk at most every VALMIN_FLUSH_IV epochs when it improved
+    VALMIN_FLUSH_IV = 10
+
+    def on_val(st, epoch, vl):
+        if valmin_dir and math.isfinite(vl) and vl < best["vl"]:
+            best.update(vl=vl, epoch=epoch, snap=_snapshot(st), dirty=True)
+        if (best.get("dirty") and (epoch + 1) % VALMIN_FLUSH_IV == 0):
+            write_valmin()
+        if epoch in snap_epochs:
+            d = os.path.join(snap_root or valmin_dir or ".",
+                             f"{ckpt_name}_epoch{epoch}")
+            save_checkpoint(d, _to_f32_host(_snapshot(st)),
+                            save_option="whole",
+                            epoch=epoch, val_loss=vl,
+                            extra_meta={"params_only": True,
+                                        "snapshot_dtype": "bfloat16"})
+            print(f"== epoch snapshot saved: {d} (val {vl:.4f})", flush=True)
+
+    def finalize():
+        if best.get("dirty"):
+            write_valmin()
+
+    return on_val, finalize
+
+
 def save_args(args, ckpt_dir: str) -> None:
     """Snapshot CLI args beside the checkpoint (reference
     ``training_args.bin``, ``src/train_utils.py:13-16``). Process 0 only —

@@ -46,6 +46,18 @@ def main(argv=None):
                         "learning-evidence checkpoint while the main run "
                         "deliberately overfits (reference best-val gating, "
                         "src/train_utils.py:82)")
+    p.add_argument("--save_epochs", type=str, default=None,
+                   help="comma list of 0-indexed epochs at which to write a "
+                        "params-only snapshot into --snap_root (checkpoint-"
+                        "averaging capture around a known val minimum; runs "
+                        "are seed-deterministic so a rerun retraces the "
+                        "same trajectory — scripts/avg_ckpts.py)")
+    p.add_argument("--snap_root", type=str, default=None,
+                   help="root dir for --save_epochs snapshots")
+    p.add_argument("--run_epochs", type=int, default=None,
+                   help="stop training after this many epochs while keeping "
+                        "the LR-schedule horizon at --num_epochs (cheap "
+                        "deterministic re-trace of a prefix of a longer run)")
     args = p.parse_args(argv)
     setup_environment(args)
 
@@ -113,62 +125,16 @@ def main(argv=None):
     # --valmin_dir: track the true validation minimum as a device-side bf16
     # copy (params + batch_stats, ~0.9 GB HBM — a host device_get per
     # improvement would cost minutes over a remote device link), written out
-    # ONCE after the loop. Fixes the r3 failure where "best-val" could only
-    # pick among 3 sparse interval saves and degenerated to the final save.
-    import math as _math
+    # ONCE after the loop (cli.common.make_valmin_tracker; fixes the r3
+    # failure where "best-val" could only pick among 3 sparse interval
+    # saves and degenerated to the final save).
+    from multimodalsum_tpu.cli.common import make_valmin_tracker
 
-    best = {"vl": float("inf")}
-    on_val = None
-    if args.valmin_dir:
-        # crash+retry seeding: a fresh tracker must not overwrite a better
-        # snapshot an earlier attempt already wrote (its params live in the
-        # saved dir; we only re-save if a later epoch genuinely beats it)
-        try:
-            from multimodalsum_tpu.ckpt.checkpoint import read_meta
-
-            prev = read_meta(os.path.join(
-                args.valmin_dir, f"multimodal_trained_{args.dataset}"))
-            if prev.get("val_loss") is not None:
-                best["vl"] = float(prev["val_loss"])
-        except (OSError, ValueError, TypeError):
-            pass
-
-        snap_cast = jax.jit(lambda t: jax.tree.map(
-            lambda x: x.astype(jnp.bfloat16)
-            if jnp.issubdtype(x.dtype, jnp.floating) else x, t))
-
-        def write_valmin():
-            from multimodalsum_tpu.train.loop import EvalSnapshot
-
-            vm_dir = os.path.join(args.valmin_dir,
-                                  f"multimodal_trained_{args.dataset}")
-            snap = EvalSnapshot(step=jnp.int32(best["step"]),
-                                params=best["params"],
-                                batch_stats=best["stats"])
-            save_checkpoint(vm_dir, snap, save_option="whole",
-                            epoch=best["epoch"], val_loss=best["vl"],
-                            extra_meta={"params_only": True,
-                                        "snapshot_dtype": "bfloat16"})
-            best["dirty"] = False
-            print(f"== val-min snapshot saved: epoch {best['epoch']} "
-                  f"val {best['vl']:.4f} -> {vm_dir}", flush=True)
-
-        # crash-durability: a device-side-only minimum dies with the
-        # process (a wedged device link killed a 200-epoch run at epoch
-        # 141 with the epoch-34 minimum parked in device memory), so the
-        # tracked best is flushed to disk at most every VALMIN_FLUSH_IV
-        # epochs when it improved — rare after warmup, so the ~1-2 min
-        # params-only save amortises to noise
-        VALMIN_FLUSH_IV = 10
-
-        def on_val(st, epoch, vl):
-            if _math.isfinite(vl) and vl < best["vl"]:
-                best.update(vl=vl, epoch=epoch, step=int(st.step),
-                            params=snap_cast(st.params),
-                            stats=snap_cast(st.batch_stats), dirty=True)
-            if (best.get("dirty") and (epoch + 1) % VALMIN_FLUSH_IV == 0
-                    and jax.process_count() == 1):
-                write_valmin()
+    snap_epochs = ([int(e) for e in args.save_epochs.split(",")]
+                   if args.save_epochs else ())
+    on_val, valmin_finalize = make_valmin_tracker(
+        args, f"multimodal_trained_{args.dataset}",
+        snap_epochs=snap_epochs, snap_root=args.snap_root)
 
     hooks = make_hooks(args, save=lambda st, epoch, vl: save_checkpoint(
         ckpt_dir, st, save_option="whole", epoch=epoch, val_loss=vl),
@@ -188,7 +154,10 @@ def main(argv=None):
                                train=False, shuffle=False, drop_last=(sc > 1),
                                shard_index=si, shard_count=sc),
             sharding=b_shard),
-        num_epochs=args.num_epochs,
+        # --run_epochs stops early while the LR horizon (make_optimizer
+        # total_steps above) stays on the full --num_epochs schedule
+        num_epochs=(min(args.run_epochs, args.num_epochs)
+                    if args.run_epochs else args.num_epochs),
         rng=jax.random.PRNGKey(args.seed),
         fsdp=args.fsdp,
         max_steps_per_epoch=args.max_steps_per_epoch,
@@ -199,14 +168,7 @@ def main(argv=None):
         start_epoch=start_epoch,
     )
 
-    if args.valmin_dir and "params" in best and jax.process_count() > 1:
-        # the snapshot leaves are globally-sharded arrays; a process-0-only
-        # orbax save would deadlock its collectives — not wired up yet
-        print("warning: --valmin_dir is single-controller only; skipping "
-              "the val-min save", flush=True)
-    elif args.valmin_dir and best.get("dirty"):
-        # final flush of any improvement since the last periodic one
-        write_valmin()
+    valmin_finalize()
 
 
 if __name__ == "__main__":

@@ -38,6 +38,21 @@ def main(argv=None):
                    help="pytorch_model.bin to convert (e.g. facebook/bart-large dump)")
     p.add_argument("--resume", type=str, default=None,
                    help="checkpoint dir to resume full training state from")
+    p.add_argument("--extra_datasets", type=str, nargs="*", default=(),
+                   help="additional prepped dataset trees under --data_root "
+                        "whose 5.text groups join the leave-one-out corpus "
+                        "(e.g. 'amazon' alongside yelp) — text pretraining "
+                        "is dataset-agnostic, so cross-domain review groups "
+                        "add signal on a small corpus, and ONE joint stage-1 "
+                        "model can seed BOTH datasets' downstream stages "
+                        "(stage 0 already trains joint, cli/bart_review.py)")
+    p.add_argument("--valmin_dir", type=str, default=None,
+                   help="also write a params-only checkpoint of the epoch "
+                        "with the LOWEST validation loss into this root — "
+                        "downstream stages can then initialise from the "
+                        "best-generalising text model instead of the "
+                        "end-of-budget memorised one (the stage-1 epoch "
+                        "budget was sized by memorisation speed, not val)")
     args = p.parse_args(argv)
     setup_environment(args)
 
@@ -57,8 +72,13 @@ def main(argv=None):
     elif args.bart_init:
         params = load_export(args.bart_init, params)
 
-    train_store = ReviewGroupStore.from_dir(args.data_root, args.dataset, "train")
-    val_store = ReviewGroupStore.from_dir(args.data_root, args.dataset, "val")
+    if args.extra_datasets:
+        datasets = (args.dataset, *args.extra_datasets)
+        train_store = ReviewGroupStore.from_dirs(args.data_root, datasets, "train")
+        val_store = ReviewGroupStore.from_dirs(args.data_root, datasets, "val")
+    else:
+        train_store = ReviewGroupStore.from_dir(args.data_root, args.dataset, "train")
+        val_store = ReviewGroupStore.from_dir(args.data_root, args.dataset, "val")
     from multimodalsum_tpu.cli.common import host_data_shard
 
     si, sc, steps_per_epoch = host_data_shard(len(train_store), args.batch_size)
@@ -95,8 +115,13 @@ def main(argv=None):
     mesh = mesh_for_batch(args.batch_size)
     b_shard = batch_sharding(mesh)
 
+    from multimodalsum_tpu.cli.common import make_valmin_tracker
+
+    on_val, valmin_finalize = make_valmin_tracker(
+        args, f"text_pretrained_{args.dataset}")
     hooks = make_hooks(args, save=lambda st, epoch, vl: save_checkpoint(
-        ckpt_dir, st, save_option="whole", epoch=epoch, val_loss=vl))
+        ckpt_dir, st, save_option="whole", epoch=epoch, val_loss=vl),
+        on_val=on_val)
 
     train_model(
         state,
@@ -114,6 +139,7 @@ def main(argv=None):
         hooks=hooks,
         start_epoch=start_epoch,
     )
+    valmin_finalize()
 
 
 def _epoch_iter(data, sharding, epoch):

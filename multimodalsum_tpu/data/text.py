@@ -78,6 +78,24 @@ class ReviewGroupStore:
         pattern = os.path.join(data_root, dataset, "5.text", mode, "*.csv")
         return cls(read_review_csvs(pattern), mode=mode, **kw)
 
+    @classmethod
+    def from_dirs(cls, data_root: str, datasets, mode: str, **kw) -> "ReviewGroupStore":
+        """Joint corpus over several prepped dataset trees (stage-1
+        ``--extra_datasets``): group ids are prefixed with the dataset name
+        so a yelp business and an amazon product can never collide into one
+        group. Leave-one-out text pretraining is dataset-agnostic (reviews
+        in, held-out review out), so cross-domain text only adds signal on
+        a small corpus — same rationale as stage 0's joint denoising corpus
+        (reference pretrains on its full million-review dump,
+        ``README.md:130-133``)."""
+        frames = []
+        for ds in datasets:
+            f = read_review_csvs(os.path.join(data_root, ds, "5.text", mode, "*.csv"))
+            if len(f):
+                f = f.assign(group_id=ds + ":" + f.group_id.astype(str))
+            frames.append(f)
+        return cls(pd.concat(frames, ignore_index=True), mode=mode, **kw)
+
     def set_epoch(self) -> None:
         """Resample k reviews per group. Train: fresh randomness each epoch;
         val: per-group ``random_state=7`` — the reference reseeds *per group*

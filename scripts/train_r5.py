@@ -1,0 +1,308 @@
+"""Round-5 quality-push training chain (VERDICT r4 next-steps #1 and #4).
+
+Builds on the committed r4 pack (stage 0 joint denoising + data + tokenizer
+are reused) and retrains the downstream stages with the prescribed recipe
+changes, into SEPARATE checkpoint roots so the r4 artifacts stay intact
+until a measured gate comparison promotes the winner:
+
+* ``stage1``  — stage-1 text pretraining on the JOINT yelp+amazon corpus
+  (``--extra_datasets amazon``; stage 0 already trains joint) with val-min
+  tracking, so downstream stages can initialise from the best-generalising
+  text model instead of the end-of-budget memorised one.
+* ``stage2``  — yelp img/table pretraining from the stage-1 init.
+* ``stage3``  — yelp end-to-end multimodal training with val-min tracking;
+  ``--lr/--ls/--epochs/--seed/--root`` expose the stage-3 recipe knobs for
+  the sweep around the r4 defaults (lr 5e-5, ls 0.1, 120 epochs).
+* ``capture`` — deterministic re-trace of a stage-3 run that writes
+  params-only snapshots at the epochs around a measured val minimum
+  (``--epochs-list``), for ``scripts/avg_ckpts.py``.
+* ``amazon``  — amazon stage-2a/2b + stage-3 from the same joint stage-1
+  init (reference trains each dataset through the same chain,
+  ``README.md:119-141``; the joint stage-1 model legitimately serves both).
+
+Stage inits resolve to the val-min snapshot when one exists, else the final
+save. All phases run inside the canonical ``_work/real_ckpt`` tree so the
+gate's data/tokenizer contract is unchanged.
+
+Usage:
+  python scripts/train_r5.py stage1 [--epochs 60]
+  python scripts/train_r5.py stage3 --root ckpt_r5 --lr 5e-5 --ls 0.1 --epochs 120
+  python scripts/train_r5.py capture --root ckpt_r5 --epochs 120 \
+      --epochs-list 40,41,42,43,44 --run-epochs 45
+  python scripts/train_r5.py amazon --root ckpt_r5
+  SMOKE=1 python scripts/train_r5.py all      # CPU wiring check, tiny model
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from scripts.train_real_ckpt import resume_args, stage_done  # noqa: E402
+
+SMOKE = bool(int(os.environ.get("SMOKE", "0")))
+BATCH = 8
+VOCAB = 50265
+
+
+def ensure_data(work: str) -> None:
+    """Pack restore + yelp/amazon preprocessing, identical contract to
+    scripts/train_real_ckpt.py (which owns the full builders)."""
+    import numpy as np
+
+    if not SMOKE:
+        from scripts.ckpt_pack import DEFAULT_PACK, unpack
+
+        if os.path.isdir(DEFAULT_PACK):
+            seeded = unpack(DEFAULT_PACK, work)
+            if seeded:
+                print(f"== seeded from assets pack: {seeded}", flush=True)
+    if not os.path.exists(f"{work}/yelp/raw/reviews.json"):
+        from scripts.real_data_e2e import build_real_raw
+
+        build_real_raw(work, np.random.default_rng(0))
+    if not os.path.exists(f"{work}/yelp/meta.csv"):
+        from multimodalsum_tpu.cli import preprocess
+
+        preprocess.main(["text", "--dataset", "yelp", "--data_root", ".",
+                         "--raw", f"{work}/yelp/raw/reviews.json",
+                         "--min_revs", "9", "--min_rev_len", "5",
+                         "--max_rev_len", "400", "--percentile", "100",
+                         "--train_part", "0.85", "--val_part", "0.15"])
+        preprocess.main(["multimodal", "--dataset", "yelp", "--data_root", "."])
+    if not os.path.isdir(f"{work}/amazon/5.text/train"):
+        import glob
+
+        from scripts.real_data_e2e import build_real_raw_amazon
+
+        build_real_raw_amazon(work, np.random.default_rng(1))
+        from multimodalsum_tpu.cli import preprocess
+
+        raw = sorted(glob.glob(f"{work}/amazon/raw/*.json.gz"))
+        preprocess.main(["text", "--dataset", "amazon", "--data_root", ".",
+                         "--raw", *raw,
+                         "--min_revs", "9", "--min_rev_len", "5",
+                         "--max_rev_len", "400", "--percentile", "100",
+                         "--train_part", "0.85", "--val_part", "0.15"])
+        preprocess.main(["multimodal", "--dataset", "amazon",
+                         "--data_root", "."])
+    if not os.path.exists(f"{work}/tok/vocab.json"):
+        # keep the PACK tokenizer when present: stage 0's embeddings are
+        # tied to its ids. Fresh smoke trees train one on yelp text.
+        import glob
+
+        from multimodalsum_tpu.data.tokenizer import train_bpe
+        from multimodalsum_tpu.pipeline.textprep import read_group_csv
+
+        corpus = []
+        for fp in glob.glob(f"{work}/yelp/5.text/*/*.csv"):
+            corpus.extend(r["review_text"] for r in read_group_csv(fp))
+        train_bpe(corpus, VOCAB, f"{work}/tok")
+
+
+def pick_init(work: str, valmin_root: str, ckpt_root: str, name: str) -> str:
+    """Val-min snapshot when tracked, else the stage's final save."""
+    vm = os.path.join(work, valmin_root, name)
+    if os.path.exists(os.path.join(vm, "meta.json")):
+        return os.path.join(valmin_root, name)
+    return os.path.join(ckpt_root, name)
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("phase", choices=["stage1", "stage2", "stage3",
+                                      "capture", "amazon", "all"])
+    ap.add_argument("--work", default=None)
+    ap.add_argument("--root", default="ckpt_r5",
+                    help="checkpoint root for this chain's outputs")
+    ap.add_argument("--epochs", type=int, default=None)
+    ap.add_argument("--lr", type=float, default=5e-5)
+    ap.add_argument("--ls", type=float, default=0.1, help="label smoothing")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--epochs-list", default=None,
+                    help="capture: comma list of snapshot epochs")
+    ap.add_argument("--run-epochs", type=int, default=None,
+                    help="capture/stage3: stop after N epochs (LR horizon "
+                         "stays --epochs)")
+    args = ap.parse_args()
+
+    work = os.path.abspath(args.work or os.path.join(
+        os.path.dirname(__file__), "..", "_work", "real_ckpt"))
+    os.makedirs(work, exist_ok=True)
+    os.chdir(work)
+    print(f"== workdir {work} phase {args.phase} root {args.root} "
+          f"(smoke={SMOKE})", flush=True)
+    ensure_data(work)
+
+    root = args.root
+    vroot = root + "_valmin"
+    common = ["--data_root", ".", "--ckpt_root", root,
+              "--tokenizer_dir", f"{work}/tok", "--bf16",
+              "--batch_size", str(BATCH), "--max_grad_norm", "1.0",
+              "--seed", str(args.seed)]
+    img_small = []
+    if SMOKE:
+        cfgp = f"{work}/smoke_cfg.json"
+        json.dump(dict(vocab_size=VOCAB, d_model=64, encoder_layers=2,
+                       decoder_layers=2, encoder_attention_heads=2,
+                       decoder_attention_heads=2, encoder_ffn_dim=128,
+                       decoder_ffn_dim=128, max_position_embeddings=512,
+                       dropout=0.1), open(cfgp, "w"))
+        common += ["--max_steps_per_epoch", "3", "--model_config", cfgp,
+                   "--platform", "cpu"]
+        img_small = ["--img_model", "tiny"]
+
+    def run(stage, fn, argv):
+        t0 = time.time()
+        fn(argv)
+        print(f"== {stage} done in {time.time() - t0:.0f}s", flush=True)
+
+    phases = ([args.phase] if args.phase != "all"
+              else ["stage1", "stage2", "stage3", "amazon"])
+
+    if "stage1" in phases:
+        n = args.epochs if (args.phase == "stage1" and args.epochs) else \
+            (2 if SMOKE else 60)
+        if stage_done(f"{root}/text_pretrained_yelp", n):
+            print("== stage 1 (joint) already complete, skipping", flush=True)
+        else:
+            from multimodalsum_tpu.cli import text_pretrain
+
+            # stage-0 init comes from the pack-restored r4 joint denoising
+            # run; a fresh smoke tree has none (random init is fine for a
+            # wiring check, but a REAL run without it would waste the chain)
+            s0 = ["--bart_init", "ckpt/bart-review_yelp"]
+            if not os.path.isdir(f"{work}/ckpt/bart-review_yelp/export"):
+                assert SMOKE, "stage-0 checkpoint missing - run " \
+                              "scripts/train_real_ckpt.py (or restore the " \
+                              "pack) before the r5 chain"
+                s0 = []
+            run("stage 1 joint (text_pretrain)", text_pretrain.main, common
+                + ["--dataset", "yelp", "--extra_datasets", "amazon"]
+                + resume_args(f"{root}/text_pretrained_yelp") + s0 + [
+                "--num_epochs", str(n),
+                "--save_interval", str(2 if SMOKE else 30),
+                "--learning_rate", "1e-4", "--warmup_ratio", "0.1",
+                "--valmin_dir", vroot,
+                "--metrics_log", f"{work}/metrics_r5_stage1.jsonl"])
+
+    if "stage2" in phases:
+        n = 2 if SMOKE else 3
+        bart_init = pick_init(work, vroot, root, "text_pretrained_yelp")
+        for stage, cli_name, ck in (("2a", "img_pretrain", "img_pretrained_yelp"),
+                                    ("2b", "table_pretrain", "table_pretrained_yelp")):
+            if stage_done(f"{root}/{ck}", n):
+                print(f"== stage {stage} already complete, skipping", flush=True)
+                continue
+            import importlib
+
+            mod = importlib.import_module(f"multimodalsum_tpu.cli.{cli_name}")
+            run(f"stage {stage} ({cli_name})", mod.main, common
+                + ["--dataset", "yelp"]
+                + resume_args(f"{root}/{ck}") + img_small + [
+                "--num_epochs", str(n), "--save_interval", str(n),
+                "--learning_rate", "1e-4",
+                "--bart_init", bart_init,
+                "--metrics_log", f"{work}/metrics_r5_stage{stage}.jsonl"])
+
+    if "stage3" in phases:
+        n = args.epochs or (2 if SMOKE else 120)
+        if stage_done(f"{root}/multimodal_trained_yelp", n):
+            print("== stage 3 already complete, skipping", flush=True)
+        else:
+            from multimodalsum_tpu.cli import multimodal_train
+
+            extra = []
+            if args.run_epochs:
+                extra += ["--run_epochs", str(args.run_epochs)]
+            run("stage 3 (multimodal_train)", multimodal_train.main, common
+                + ["--dataset", "yelp"]
+                + resume_args(f"{root}/multimodal_trained_yelp")
+                + img_small + extra + [
+                "--num_epochs", str(n),
+                "--save_interval", str(2 if SMOKE else 60),
+                "--learning_rate", str(args.lr),
+                "--label_smoothing", str(args.ls),
+                "--valmin_dir", vroot,
+                "--bart_init", pick_init(work, vroot, root,
+                                         "text_pretrained_yelp"),
+                "--img_init", f"{root}/img_pretrained_yelp",
+                "--table_init", f"{root}/table_pretrained_yelp",
+                "--metrics_log", f"{work}/metrics_r5_stage3_{root}.jsonl"])
+
+    if args.phase == "capture":
+        # deterministic re-trace writing snapshots around the val minimum;
+        # same seed/lr/ls/epochs as the run being captured is the caller's
+        # responsibility (the LR horizon must match, hence --epochs here)
+        assert args.epochs_list and args.epochs, \
+            "capture needs --epochs-list and --epochs (the original horizon)"
+        from multimodalsum_tpu.cli import multimodal_train
+
+        run("stage 3 capture", multimodal_train.main, common
+            + ["--dataset", "yelp", "--ckpt_root", root + "_capture"]
+            + img_small + [
+            "--num_epochs", str(args.epochs),
+            "--run_epochs", str(args.run_epochs
+                                or max(int(e) for e in
+                                       args.epochs_list.split(",")) + 1),
+            "--save_interval", str(10 ** 6),  # no interval saves
+            "--learning_rate", str(args.lr),
+            "--label_smoothing", str(args.ls),
+            "--save_epochs", args.epochs_list,
+            "--snap_root", root + "_snaps",
+            "--bart_init", pick_init(work, vroot, root,
+                                     "text_pretrained_yelp"),
+            "--img_init", f"{root}/img_pretrained_yelp",
+            "--table_init", f"{root}/table_pretrained_yelp",
+            "--metrics_log", f"{work}/metrics_r5_capture.jsonl"])
+
+    if "amazon" in phases:
+        n2 = 2 if SMOKE else 3
+        n3 = args.epochs if (args.phase == "amazon" and args.epochs) else \
+            (2 if SMOKE else 120)
+        bart_init = pick_init(work, vroot, root, "text_pretrained_yelp")
+        for stage, cli_name, ck in (("2a", "img_pretrain", "img_pretrained_amazon"),
+                                    ("2b", "table_pretrain", "table_pretrained_amazon")):
+            if stage_done(f"{root}/{ck}", n2):
+                print(f"== amazon stage {stage} already complete, skipping",
+                      flush=True)
+                continue
+            import importlib
+
+            mod = importlib.import_module(f"multimodalsum_tpu.cli.{cli_name}")
+            run(f"amazon stage {stage}", mod.main, common
+                + ["--dataset", "amazon"]
+                + resume_args(f"{root}/{ck}") + img_small + [
+                "--num_epochs", str(n2), "--save_interval", str(n2),
+                "--learning_rate", "1e-4",
+                "--bart_init", bart_init,
+                "--metrics_log", f"{work}/metrics_r5_amz{stage}.jsonl"])
+        if stage_done(f"{root}/multimodal_trained_amazon", n3):
+            print("== amazon stage 3 already complete, skipping", flush=True)
+        else:
+            from multimodalsum_tpu.cli import multimodal_train
+
+            run("amazon stage 3", multimodal_train.main, common
+                + ["--dataset", "amazon"]
+                + resume_args(f"{root}/multimodal_trained_amazon")
+                + img_small + [
+                "--num_epochs", str(n3),
+                "--save_interval", str(2 if SMOKE else 60),
+                "--learning_rate", str(args.lr),
+                "--label_smoothing", str(args.ls),
+                "--valmin_dir", vroot,
+                "--bart_init", bart_init,
+                "--img_init", f"{root}/img_pretrained_amazon",
+                "--table_init", f"{root}/table_pretrained_amazon",
+                "--metrics_log", f"{work}/metrics_r5_amz3.jsonl"])
+
+    print("== phase(s) complete", flush=True)
+
+
+if __name__ == "__main__":
+    main()
