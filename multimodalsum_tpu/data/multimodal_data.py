@@ -288,8 +288,9 @@ class EvalDataset:
         return (yelp_field_tokens(tokenizer, cols) if self.dataset == "yelp"
                 else amazon_field_tokens(tokenizer, cols))
 
-    def example(self, idx: int, tokenizer, *, raw_uint8: bool = False):
-        """``raw_uint8=True`` returns images as pre-normalisation uint8 (4x
+    def example(self, idx: int, tokenizer, *, raw_uint8: bool = True):
+        """``raw_uint8`` (the default, matching ``MultimodalStore.example``)
+        returns images as pre-normalisation uint8 (4x
         less host->device traffic); the consumer normalises on device —
         ``eval/harness.py normalize_images``."""
         gid = self.group_ids[idx]

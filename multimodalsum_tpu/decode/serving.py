@@ -18,7 +18,9 @@ Design around the static-shape constraint of XLA:
   EOS ban, no-repeat-ngram, bad words) is the offline ``decode/logits.py``
   stack vmapped per slot with that slot's own ``cur_len``, so a slot's
   output is **token-identical to offline greedy generation** of the same
-  request (tested in ``tests/test_serving.py``);
+  request in matched arithmetic (tested on CPU/f32,
+  ``tests/test_serving.py``; in bf16 on chip, batching-order rounding can
+  flip near-argmax ties on a few rows — see the beam caveat below);
 * request insertion writes one slot's cross-attention K/V + masks via a
   jitted ``.at[slot].set`` update (donated, so slabs update in place).
 
@@ -31,8 +33,13 @@ worst-eviction hyp buffer, done rule) runs vmapped over slots with each
 slot's own ``cur_len``. A finished slot is finalized host-side at collect
 time with the same stable tie rules as the offline post-loop, so a
 request's summary is **token-identical to offline beam search** of the
-same inputs (tested in ``tests/test_serving.py``). Greedy beams only
-(``do_sample`` and speculative windows stay single-beam features).
+same inputs in matched arithmetic (tested exhaustively on CPU/f32,
+``tests/test_serving.py``). Measured caveat (GATE_r4, bf16 on chip): the
+slot-batched step orders matmul reductions differently from the offline
+batch step, and bf16 rounding then flips near-argmax ties on a few rows —
+95/100 rows identical vs offline static decode (id-ROUGE-L 95.75); the
+same effect any batch-size change has on a bf16 decode. Greedy beams
+only (``do_sample`` and speculative windows stay single-beam features).
 
 ``spec_window > 1`` enables **prompt-lookup speculative decoding** (greedy
 only): every engine step decodes a window of ``spec_window`` consecutive
@@ -41,11 +48,26 @@ source tokens at the first occurrence of the last ``spec_ngram`` generated
 tokens — and commits the verified prefix (the drafts that equal the
 post-processed argmax), plus the correction token. Decode cost per step is
 nearly flat in the window size (the step is HBM-bound on weights and
-cross-KV, which are read once per window regardless), so every accepted
-draft is an almost-free extra token. Output is token-identical to
-``spec_window == 1`` by construction; opinion summaries copy heavily from
-their source reviews, which is what makes the lookup hit. No draft model,
-no second set of weights — the drafter is a vectorized n-gram match.
+cross-KV, which are read once per window regardless). Committed output
+is verified, so it is token-identical to ``spec_window == 1`` in exact
+arithmetic (the k-token verify forward batches matmuls differently from
+the 1-token step, so bf16 tie-flips apply: 84/100 identical in GATE_r4).
+
+**Measured NEGATIVE for this model** (GATE_r4, trained weights, real
+reviews): draft acceptance 1.66%, 0.36 vs 4.03 sum/s classic — an 11x
+LOSS. The premise that an abstractive opinion summarizer copies its
+sources verbatim does not hold: the model abstracts, so source-only
+prompt-lookup almost never hits. The r5 extension (drafting from the
+model's OWN generated prefix, standard prompt-lookup practice) is
+provably inert under the reference eval config: with
+``no_repeat_ngram_size=3`` and ``spec_ngram=2`` every self-draft token
+reproduces an already-seen trigram and is banned by postprocessing
+before the verifier even sees it — so self-lookup activates only for
+ban-free configs (see ``self_lookup_ok`` in the engine). Keep
+``spec_window=1`` in production for this model family; the machinery
+remains correct (verified-exact) and useful where outputs do quote
+their prompts (extractive QA, editing/rewrite loops). SCALING.md
+"speculative decoding" has the full refutation.
 """
 
 from __future__ import annotations
@@ -183,11 +205,19 @@ class ContinuousBatcher:
         # completion poll (large on slow links) at the cost of slots idling
         # up to steps_per_tick-1 tokens after finishing before refill.
         # "auto": start at 1, measure the sync RTT and the on-device step
-        # time over the first few live ticks, then pick the smallest k that
-        # caps the RTT at ~10% of a tick (bounded so finished slots never
-        # idle more than ~max_length/8 steps) and recompile the step once.
+        # time from ticks at STEADY occupancy (>= 3/4 of the slots live —
+        # the r4 version calibrated from the 1-slot warmup fill and chose a
+        # k that lost to fixed-8 on bulk decode), then pick the smallest k
+        # that caps the RTT at ~10% of a tick (bounded so finished slots
+        # never idle more than ~max_length/8 steps). The k-step program is
+        # AOT-compiled on a background thread and swapped in between ticks,
+        # so the engine never stalls on a mid-run re-jit; until it lands
+        # (or at sub-steady occupancy, where big ticks only add slot idle
+        # and completion latency) the engine keeps the latency-optimal k=1.
         self._auto_spt = steps_per_tick == "auto"
         self._tick_times: list = []
+        self._steady_occupancy = max(1, (3 * n_slots) // 4)
+        self._step_pending = None
         self.steps_per_tick = 1 if self._auto_spt else int(steps_per_tick)
         assert self.steps_per_tick >= 1
         # upper bound on the power-of-two fill-chunk size. The DEFAULT is 1
@@ -419,21 +449,40 @@ class ContinuousBatcher:
 
         W, G = self.spec_window, self.spec_ngram
 
+        # self-lookup viability is DECIDABLE from the config: a self-draft
+        # continues a G-token match of the model's own output, so the copied
+        # token reproduces a (G+1)-gram seen earlier — when the no-repeat
+        # ban order n satisfies n-1 <= G, that token is ALWAYS banned by
+        # postprocessing (the verifier would reject every first draft) and
+        # a self match would only shadow a viable source draft. Under the
+        # reference eval config (n=3, G=2) self-lookup is therefore inert
+        # by construction; it activates for ban-free greedy serving (n=0)
+        # or when the ban order exceeds G+1.
+        n_ban = gen.no_repeat_ngram_size or 0
+        self_lookup_ok = n_ban == 0 or n_ban > G + 1
+
         def draft_lookup(state: _SlotState):
-            """Prompt-lookup drafts [S, W-1]: match the last G generated
-            tokens against each slot's source tokens and copy the W-1 tokens
-            that follow the first match. Rows without a usable match draft
-            pads, which the verifier rejects (degenerating to one committed
-            token, exactly classic decode)."""
+            """Prompt+generated-lookup drafts [S, W-1] (r5, VERDICT r4 #6a):
+            match the last G generated tokens against (a) the slot's OWN
+            generated prefix — most recent strictly-earlier occurrence,
+            when ``self_lookup_ok`` — and (b) the slot's source tokens —
+            first occurrence — and copy the W-1 tokens that follow,
+            preferring the self match. The r4 source-only drafter measured
+            1.66% acceptance on trained weights: an abstractive summarizer
+            almost never quotes its sources verbatim, but it does repeat
+            its own phrasing ("the food is great ... the service is
+            great"). Rows without a usable match draft pads, which the
+            verifier rejects (degenerating to one committed token, exactly
+            classic decode)."""
             S, P = state.src.shape
             key_idx = state.cur_len[:, None] - G + jnp.arange(G)[None, :]
             key = jnp.take_along_axis(
                 state.tokens, jnp.clip(key_idx, 0, L - 1), axis=1)   # [S, G]
+            # (b) source lookup: first occurrence inside the valid source
             n_win = P - G + 1
             win_idx = jnp.arange(n_win)[:, None] + jnp.arange(G)[None, :]
             src_win = state.src[:, win_idx]                          # [S, n_win, G]
             m = jnp.all(src_win == key[:, None, :], axis=-1)         # [S, n_win]
-            # the continuation must start inside the valid source
             m &= (jnp.arange(n_win)[None, :] + G) < state.src_len[:, None]
             has = jnp.any(m, axis=1) & (state.cur_len >= G)
             first = jnp.argmax(m, axis=1)                            # [S]
@@ -441,7 +490,26 @@ class ContinuousBatcher:
             drafts = jnp.take_along_axis(
                 state.src, jnp.clip(d_idx, 0, P - 1), axis=1)
             d_valid = has[:, None] & (d_idx < state.src_len[:, None])
-            return jnp.where(d_valid, drafts, pad).astype(jnp.int32)
+            src_drafts = jnp.where(d_valid, drafts, pad).astype(jnp.int32)
+            if not self_lookup_ok:
+                return src_drafts
+            # (a) self lookup over the generated buffer: windows end at
+            # most cur_len-2, so the key's own occurrence (ending at
+            # cur_len-1) can never match itself; most recent wins (the
+            # latest repetition is the best continuation predictor)
+            n2 = L - G + 1
+            win2 = jnp.arange(n2)[:, None] + jnp.arange(G)[None, :]
+            tok_win = state.tokens[:, win2]                          # [S, n2, G]
+            m2 = jnp.all(tok_win == key[:, None, :], axis=-1)        # [S, n2]
+            m2 &= (jnp.arange(n2)[None, :] + G) < state.cur_len[:, None]
+            has2 = jnp.any(m2, axis=1) & (state.cur_len >= G)
+            last2 = n2 - 1 - jnp.argmax(m2[:, ::-1], axis=1)         # [S]
+            d2_idx = last2[:, None] + G + jnp.arange(W - 1)[None, :]
+            drafts2 = jnp.take_along_axis(
+                state.tokens, jnp.clip(d2_idx, 0, L - 1), axis=1)
+            v2 = has2[:, None] & (d2_idx < state.cur_len[:, None])
+            self_drafts = jnp.where(v2, drafts2, pad).astype(jnp.int32)
+            return jnp.where(has2[:, None], self_drafts, src_drafts)
 
         def _window_write(buf, vals, start, row_valid):
             """Write vals [S, T] into buf [S, L] at per-row positions
@@ -837,11 +905,17 @@ class ContinuousBatcher:
             for slot, b in zip(slots, batch):
                 self._slot_req[slot] = b[0]
 
-    def _rebuild_multi_step(self):
+    def _rebuild_multi_step(self, background: bool = False):
         """(Re)jit the per-tick step as ``steps_per_tick`` chained decode
         steps — split out so steps_per_tick='auto' can switch k after
         measuring, recompiling ONLY the step (insert/project keep their
-        compiled programs)."""
+        compiled programs).
+
+        ``background=True``: AOT-compile the new program on a worker thread
+        and leave it in ``_step_pending``; ``_dispatch`` swaps it in between
+        ticks. The engine keeps serving on the current program meanwhile —
+        a foreground re-jit would stall every live slot for the full
+        compile (and the r4 bulk numbers measured exactly that stall)."""
         one_step, k = self._one_step, self.steps_per_tick
 
         def multi_step(state, params):
@@ -857,13 +931,35 @@ class ContinuousBatcher:
             return jax.lax.fori_loop(
                 0, k, body, (state, jnp.zeros((S,), bool)))
 
-        self._step = jax.jit(multi_step, donate_argnums=0)
+        jitted = jax.jit(multi_step, donate_argnums=0)
+        if not background:
+            self._step = jitted
+            return
+
+        abstract = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
+            (self.state, self.params))
+
+        def work():
+            try:
+                compiled = jitted.lower(*abstract).compile()
+                self._step_pending = compiled
+            except Exception as e:  # fall back to lazy compile on swap
+                print(f"serving: background compile of steps_per_tick="
+                      f"{k} failed ({e!r}); swapping the lazily-compiled "
+                      f"form (one tick pays the compile)", flush=True)
+                self._step_pending = jitted
+
+        import threading
+
+        threading.Thread(target=work, daemon=True).start()
 
     def _autotune_spt(self):
-        """Pick steps_per_tick from measured tick RTT vs on-device step time
-        (runs once, after 3 live ticks at k=1; tick 1 is skipped — it pays
-        the compile). Model: tick wall time = step + sync RTT; RTT measured
-        directly as a tiny device_get."""
+        """Pick steps_per_tick from tick RTT vs on-device step time measured
+        at STEADY occupancy (>= _steady_occupancy live slots; runs once).
+        Model: tick wall time = step + sync RTT; RTT measured directly as a
+        tiny device_get. The chosen k's program compiles in the background
+        (``_rebuild_multi_step(background=True)``) — no tick stalls."""
         t0 = time.perf_counter()
         for _ in range(3):
             np.asarray(self.state.cur_len[:1])
@@ -873,8 +969,11 @@ class ContinuousBatcher:
         cap = max(1, self.gen.max_length // 8)
         self.steps_per_tick = int(np.clip(k, 1, cap))
         self._auto_spt = False
+        print(f"serving: auto steps_per_tick -> {self.steps_per_tick} "
+              f"(rtt {rtt*1e3:.1f} ms, step {step*1e3:.1f} ms, "
+              f"{len(self._tick_times)} steady ticks)", flush=True)
         if self.steps_per_tick > 1:
-            self._rebuild_multi_step()
+            self._rebuild_multi_step(background=True)
 
     def tick(self) -> List[Tuple[Any, np.ndarray, int]]:
         """Advance every active slot one token. Returns completed requests
@@ -883,8 +982,13 @@ class ContinuousBatcher:
             self._autotune_spt()
         t0 = time.perf_counter() if self._auto_spt and self._ticks else None
         jf = self._dispatch()
+        occupancy = len(self._slot_req)
         out = self._collect(jf) if jf is not None else []
-        if t0 is not None and jf is not None:
+        if (t0 is not None and jf is not None
+                and occupancy >= self._steady_occupancy):
+            # only steady-occupancy ticks inform the tuner: warmup-fill
+            # ticks run underfull batches whose step time says nothing
+            # about the steady state the tuned k will run at
             self._tick_times.append(time.perf_counter() - t0)
         return out
 
@@ -893,6 +997,9 @@ class ContinuousBatcher:
         just-finished flags or None when idle. Split from :meth:`_collect`
         so :class:`EnginePool` can dispatch EVERY replica before paying any
         host round-trip — the per-tick sync then overlaps across devices."""
+        pending = self._step_pending
+        if pending is not None:
+            self._step, self._step_pending = pending, None
         self._fill_slots()
         if not self._slot_req:
             return None

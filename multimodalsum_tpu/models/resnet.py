@@ -96,6 +96,15 @@ class ResnetEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if not jnp.issubdtype(x.dtype, jnp.floating):
+            # uint8 images must go through MultimodalSum.encode_img, which
+            # normalises them on device (ImageNet mean/std) — a raw integer
+            # batch reaching the trunk means a caller bypassed that path
+            # and would silently train/eval on un-normalised pixels
+            raise TypeError(
+                f"ResnetEncoder expects normalised floating images, got "
+                f"{x.dtype}; route uint8 batches through "
+                f"MultimodalSum.encode_img")
         arch = ARCHS[self.model]
         layers: Sequence[int] = arch["layers"]
         groups, wf = arch["groups"], arch["width_factor"]

@@ -108,6 +108,53 @@ def kl_monotonic_annealing(warmup_steps: int):
     return schedule
 
 
+def scale_by_adam_dtyped(b1: float = 0.9, b2: float = 0.999,
+                         eps: float = 1e-6, moment_dtype=None):
+    """``optax.scale_by_adam`` with BOTH moments stored in ``moment_dtype``
+    (e.g. bf16) while every EMA/bias-correction/update computes in f32.
+
+    Memory lever (VERDICT r4 #5): f32 AdamW m+v for 406M params is ~3.2 GB —
+    on a 16 GB chip that is the difference between the cheap remat policies
+    compiling and RESOURCE_EXHAUSTED. bf16 halves it. Numerics: the mu EMA
+    adds (1-b1)=0.1 of the gradient per step, ~25x above bf16's ~0.4%
+    relative resolution — representable. The nu EMA adds only (1-b2)=0.001
+    of g² per step, BELOW bf16 resolution once nu is in steady state, so
+    bf16 nu is sticky-stale by construction; its role is a slow per-param
+    magnitude estimate under a sqrt (halving the relative error again), and
+    the measured loss trajectory stays within noise of f32 moments
+    (``tests/test_optim_moments.py``). ``moment_dtype=None`` returns stock
+    ``optax.scale_by_adam`` (exact behavioral no-op)."""
+    if moment_dtype is None:
+        return optax.scale_by_adam(b1=b1, b2=b2, eps=eps)
+    import jax.numpy as jnp
+
+    def init_fn(params):
+        zeros = lambda p: jnp.zeros_like(p, dtype=moment_dtype)
+        return optax.ScaleByAdamState(
+            count=jnp.zeros([], jnp.int32),
+            mu=jax.tree.map(zeros, params), nu=jax.tree.map(zeros, params))
+
+    def update_fn(updates, state, params=None):
+        del params
+        count = optax.safe_increment(state.count)
+        c = count.astype(jnp.float32)
+        bc1, bc2 = 1.0 - b1 ** c, 1.0 - b2 ** c
+        mu32 = jax.tree.map(
+            lambda g, m: b1 * m.astype(jnp.float32)
+            + (1 - b1) * g.astype(jnp.float32), updates, state.mu)
+        nu32 = jax.tree.map(
+            lambda g, v: b2 * v.astype(jnp.float32)
+            + (1 - b2) * jnp.square(g.astype(jnp.float32)), updates, state.nu)
+        out = jax.tree.map(
+            lambda m, v, g: ((m / bc1) / (jnp.sqrt(v / bc2) + eps)).astype(g.dtype),
+            mu32, nu32, updates)
+        cast = lambda t: jax.tree.map(lambda x: x.astype(moment_dtype), t)
+        return out, optax.ScaleByAdamState(count=count, mu=cast(mu32),
+                                           nu=cast(nu32))
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def make_optimizer(
     params,
     *,
@@ -119,26 +166,39 @@ def make_optimizer(
     max_grad_norm: float | None = None,
     trainable: Optional[Callable[[str], bool]] = None,
     adam_eps: float = 1e-6,
+    moment_dtype=None,
 ) -> optax.GradientTransformation:
     """Build the stage optimizer. Returns an ``optax.GradientTransformation``
     to be used with gradients of the *full* param tree; frozen leaves get
-    zero updates and carry no Adam state."""
+    zero updates and carry no Adam state. ``moment_dtype`` stores the Adam
+    moments in a narrower dtype (``scale_by_adam_dtyped``); None keeps the
+    stock f32 ``optax.adamw`` path."""
     warmup_steps = int(total_steps * warmup_ratio)
     schedule = linear_warmup_linear_decay(learning_rate, warmup_steps, total_steps)
 
     chain = []
     if max_grad_norm is not None:
         chain.append(optax.clip_by_global_norm(max_grad_norm))
-    chain.append(
-        optax.adamw(
-            schedule,
-            b1=0.9,
-            b2=0.999,
-            eps=adam_eps,
-            weight_decay=weight_decay,
-            mask=lambda p: decay_mask(p, no_decay),
+    if moment_dtype is None:
+        chain.append(
+            optax.adamw(
+                schedule,
+                b1=0.9,
+                b2=0.999,
+                eps=adam_eps,
+                weight_decay=weight_decay,
+                mask=lambda p: decay_mask(p, no_decay),
+            )
         )
-    )
+    else:
+        # the exact optax.adamw composition with the dtyped Adam core
+        chain += [
+            scale_by_adam_dtyped(b1=0.9, b2=0.999, eps=adam_eps,
+                                 moment_dtype=moment_dtype),
+            optax.add_decayed_weights(weight_decay,
+                                      mask=lambda p: decay_mask(p, no_decay)),
+            optax.scale_by_learning_rate(schedule),
+        ]
     inner = optax.chain(*chain)
 
     t_mask = trainable_mask(params, trainable)

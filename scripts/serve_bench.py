@@ -72,6 +72,15 @@ def main():
                         "the TPU plugin's sitecustomize rewrites the "
                         "JAX_PLATFORMS env var, so the env alone is not "
                         "enough)")
+    p.add_argument("--device_time_probe", type=int, default=0, metavar="N",
+                   help="instead of the load bench: fill every slot, then "
+                        "separate per-tick DEVICE time from host-link RTT "
+                        "by timing N vs 2N dispatched ticks with a single "
+                        "sync at the end (dispatch is async, so the "
+                        "difference quotient cancels the link cost). The "
+                        "serving latency numbers on a tunneled dev chip "
+                        "are link-dominated (~0.4 s RTT); this pins the "
+                        "engine's own cost separately (VERDICT r4 #8)")
     args = p.parse_args()
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
@@ -137,6 +146,53 @@ def main():
                source_tokens=src if args.spec_window > 1 else None)
     eng.run()
     print(f"# warmup (compile) {time.time()-t0:.1f}s", flush=True)
+
+    if args.device_time_probe:
+        if args.pool_devices != 1:
+            raise SystemExit("--device_time_probe is single-engine only")
+        # the probe never collects, so finished slots cannot refill — the
+        # whole 2 + N + 2N tick budget must fit inside one request's decode
+        # (otherwise the later window runs emptier, cheaper ticks and the
+        # difference quotient goes negative). Clamp N accordingly.
+        spt_now = eng.steps_per_tick if isinstance(eng.steps_per_tick, int) else 1
+        N = min(args.device_time_probe,
+                max(1, (args.max_length // spt_now - 3) // 3))
+        if N < args.device_time_probe:
+            print(f"# probe: N clamped {args.device_time_probe} -> {N} "
+                  f"(budget {args.max_length // spt_now} ticks at "
+                  f"steps_per_tick={spt_now}; use --steps_per_tick 1 for "
+                  f"finer windows)", flush=True)
+        # fill every slot (fresh requests)
+        for i in range(args.n_slots):
+            scale = 0.8 + 0.4 * rng.random()
+            eng.submit(f"p{i}", [h * scale for h in base], masks,
+                       source_tokens=src if args.spec_window > 1 else None)
+
+        def timed_ticks(k):
+            t0 = time.perf_counter()
+            for _ in range(k):
+                eng._dispatch()
+            np.asarray(eng.state.cur_len[:1])  # the only reliable barrier
+            return time.perf_counter() - t0
+
+        timed_ticks(2)  # steady-state warm (fills + first real steps)
+        t_n, t_2n = timed_ticks(N), timed_ticks(2 * N)
+        # T(k) = k*step_device + link; difference quotient cancels link
+        step_dev = (t_2n - t_n) / N
+        link = max(t_n - N * step_dev, 0.0)
+        spt = eng.steps_per_tick
+        out = {
+            "bench": "serving_device_time",
+            "config": {k: v for k, v in vars(args).items()},
+            "ticks_timed": [N, 2 * N],
+            "wall_per_tick_s": round(t_n / N, 4),
+            "device_per_tick_s": round(step_dev, 4),
+            "device_per_decode_step_s": round(step_dev / spt, 4),
+            "link_overhead_per_sync_s": round(link, 4),
+            "device_fraction": round(step_dev / (t_n / N), 4),
+        }
+        print(json.dumps(out), flush=True)
+        return
 
     lat, done_t, tokens_out = {}, {}, {}
     sub_t = {}

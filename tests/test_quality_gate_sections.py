@@ -58,8 +58,9 @@ def _patched_gate(monkeypatch, root, sections, preds_by_tag):
     import multimodalsum_tpu.eval.harness as harness
 
     monkeypatch.setattr(bench, "shared_model_state",
-                        lambda: {"model": object(), "params": {},
-                                 "batch_stats": {}})
+                        lambda dataset="yelp": {"model": object(),
+                                                "params": {},
+                                                "batch_stats": {}})
     # the gate stages eval weights on device once per pass (bench.py
     # device_put, the r4 1.6 GB-per-batch reshipping fix); the fake param
     # trees carry path strings, which are not JAX types — stub the staging
@@ -74,11 +75,14 @@ def _patched_gate(monkeypatch, root, sections, preds_by_tag):
 
     def fake_generate(model, params, batch_stats, dataset, tokenizer, gen,
                       **kw):
+        on_valmin = isinstance(params, dict) and params.get(
+            "ck", "").endswith("ckpt_valmin/multimodal_trained_yelp")
         tag = (f"kvq={kw.get('kv_quant')}" if kw.get("kv_quant")
                else f"sched={kw.get('scheduler')}"
                if kw.get("scheduler") else
-               "valmin" if params.get("ck", "").endswith(
-                   "ckpt_valmin/multimodal_trained_yelp") else "exact")
+               "valmin" if on_valmin else "exact")
+        if kw.get("kv_quant") and on_valmin:
+            tag += "@valmin"  # r5: quant tiers decode the val-min ckpt
         if kw.get("spec_window"):
             tag += f"+spec{kw['spec_window']}"
         calls.append(tag)
@@ -135,12 +139,43 @@ def test_gate_full_sections_schema(tmp_path, monkeypatch):
     # spec runs classic (w=1 -> engine treats as non-spec) + spec_w4
     assert any(c.endswith("+spec4") for c in calls)
     for kvq in ("int8", "int4_r1", "int4+int8", "int4"):
-        assert {"agreement", "id_rougeL", "gold"} <= set(out[kvq])
+        assert {"agreement", "id_rougeL", "gold", "gold_delta",
+                "basis"} <= set(out[kvq])
+        # no valmin section ran -> tiers fall back to the overfit basis
+        assert out[kvq]["basis"] == "overfit"
+    assert out["quant_basis"] == "overfit"
     assert "continuous_vs_static" in out
     assert out["greedy_spec"]["speedup"] is not None
     assert out["greedy_spec"]["acceptance"]["draft_acceptance"] == 0.5
-    # headline consumers read these (r4 criterion: quality floor + gold
-    # delta primary, id-RL diagnostic)
+    # headline consumers read these (r5 criterion: quality floor + gold
+    # delta on the quant basis primary, id-RL diagnostic)
     assert "beats_lead_baseline" in out["gate_criterion"]
     assert "gold_rougeL" in out["gate_criterion"]
+    assert out["criterion_version"] == "r5"
     assert isinstance(out["beats_lead_baseline"], bool)
+
+
+def test_gate_quant_decodes_valmin_basis(tmp_path, monkeypatch):
+    """r5 (VERDICT r4 #3): when the valmin section runs, every quant tier
+    decodes the VAL-MIN checkpoint and its gold_delta/id-RL are measured
+    against the valmin exact pass, not the overfit one."""
+    root = _fake_env(tmp_path, with_valmin=True)
+    out, calls = _patched_gate(
+        monkeypatch, root, sections=("valmin", "quant"),
+        preds_by_tag={"valmin": ["vm pred one", "vm pred two", "vm three"],
+                      "kvq=int8@valmin": ["vm pred one", "vm pred two",
+                                          "vm three"]})
+    assert calls[0] == "exact" and calls[1] == "valmin"
+    # every tier call carries the valmin params (fake tags them @valmin)
+    kvq_calls = [c for c in calls if c.startswith("kvq=")]
+    assert kvq_calls and all(c.endswith("@valmin") for c in kvq_calls)
+    assert out["quant_basis"] == "valmin"
+    assert out["quant_basis_gold_rougeL"] == out["valmin"]["exact"]["rougeL"]
+    # int8's fake output matches the valmin exact pass exactly -> full
+    # agreement and zero gold delta ON THE VALMIN BASIS
+    assert out["int8"]["basis"] == "valmin"
+    assert out["int8"]["agreement"] == 1.0
+    assert out["int8"]["gold_delta"] == 0.0
+    # a tier that returns the default (non-valmin) preds must NOT score
+    # full agreement against the valmin basis
+    assert out["int4"]["agreement"] < 1.0
