@@ -873,7 +873,11 @@ def main():
                 ds = a.split("=", 1)[1]
             elif a.startswith("--gate_batch="):
                 tb = int(a.split("=", 1)[1])
-        restore_gate_ckpt(root)
+        # --no-restore: score a CANDIDATE root (e.g. a symlinked view of a
+        # ckpt_r5 training run) without the committed pack re-materialising
+        # the shipped checkpoints into it
+        if "--no-restore" not in sys.argv:
+            restore_gate_ckpt(root)
         kw = {"timing_batch": tb} if tb else {}
         print(json.dumps({"trained_gate": quality_gate(
             root, sections=sections, quant_tiers=tiers, dataset=ds, **kw)}))
