@@ -20,9 +20,11 @@ until a measured gate comparison promotes the winner:
   init (reference trains each dataset through the same chain,
   ``README.md:119-141``; the joint stage-1 model legitimately serves both).
 
-Stage inits resolve to the val-min snapshot when one exists, else the final
-save. All phases run inside the canonical ``_work/real_ckpt`` tree so the
-gate's data/tokenizer contract is unchanged.
+Stage inits default to the FINAL stage-1 save (``--init-from valmin``
+selects the tracked val minimum instead — measured r5: the stage-1 val
+curve rises from epoch 1, so its "minimum" is nearly untrained; see
+``pick_init``). All phases run inside the canonical ``_work/real_ckpt``
+tree so the gate's data/tokenizer contract is unchanged.
 
 Usage:
   python scripts/train_r5.py stage1 [--epochs 60]
@@ -105,10 +107,16 @@ def ensure_data(work: str) -> None:
         train_bpe(corpus, VOCAB, f"{work}/tok")
 
 
-def pick_init(work: str, valmin_root: str, ckpt_root: str, name: str) -> str:
-    """Val-min snapshot when tracked, else the stage's final save."""
+def pick_init(work: str, valmin_root: str, ckpt_root: str, name: str,
+              prefer: str = "final") -> str:
+    """Stage-init resolution. Default is the FINAL save: the measured r5
+    stage-1 val curve rises from epoch 1 (15-step epochs memorise the tiny
+    corpus immediately), so the stage-1 "val minimum" is a nearly-untrained
+    model — a bad init for stages that build on task structure. The val-min
+    init stays available as an explicit sweep variant
+    (``--init-from valmin``)."""
     vm = os.path.join(work, valmin_root, name)
-    if os.path.exists(os.path.join(vm, "meta.json")):
+    if prefer == "valmin" and os.path.exists(os.path.join(vm, "meta.json")):
         return os.path.join(valmin_root, name)
     return os.path.join(ckpt_root, name)
 
@@ -129,6 +137,9 @@ def main():
     ap.add_argument("--run-epochs", type=int, default=None,
                     help="capture/stage3: stop after N epochs (LR horizon "
                          "stays --epochs)")
+    ap.add_argument("--init-from", default="final",
+                    choices=["final", "valmin"],
+                    help="which stage-1 save seeds stage 2/3 (see pick_init)")
     args = ap.parse_args()
 
     work = os.path.abspath(args.work or os.path.join(
@@ -193,7 +204,8 @@ def main():
 
     if "stage2" in phases:
         n = 2 if SMOKE else 3
-        bart_init = pick_init(work, vroot, root, "text_pretrained_yelp")
+        bart_init = pick_init(work, vroot, root, "text_pretrained_yelp",
+                              prefer=args.init_from)
         for stage, cli_name, ck in (("2a", "img_pretrain", "img_pretrained_yelp"),
                                     ("2b", "table_pretrain", "table_pretrained_yelp")):
             if stage_done(f"{root}/{ck}", n):
@@ -230,7 +242,8 @@ def main():
                 "--label_smoothing", str(args.ls),
                 "--valmin_dir", vroot,
                 "--bart_init", pick_init(work, vroot, root,
-                                         "text_pretrained_yelp"),
+                                         "text_pretrained_yelp",
+                                         prefer=args.init_from),
                 "--img_init", f"{root}/img_pretrained_yelp",
                 "--table_init", f"{root}/table_pretrained_yelp",
                 "--metrics_log", f"{work}/metrics_r5_stage3_{root}.jsonl"])
@@ -256,7 +269,8 @@ def main():
             "--save_epochs", args.epochs_list,
             "--snap_root", root + "_snaps",
             "--bart_init", pick_init(work, vroot, root,
-                                     "text_pretrained_yelp"),
+                                     "text_pretrained_yelp",
+                                     prefer=args.init_from),
             "--img_init", f"{root}/img_pretrained_yelp",
             "--table_init", f"{root}/table_pretrained_yelp",
             "--metrics_log", f"{work}/metrics_r5_capture.jsonl"])
@@ -265,7 +279,8 @@ def main():
         n2 = 2 if SMOKE else 3
         n3 = args.epochs if (args.phase == "amazon" and args.epochs) else \
             (2 if SMOKE else 120)
-        bart_init = pick_init(work, vroot, root, "text_pretrained_yelp")
+        bart_init = pick_init(work, vroot, root, "text_pretrained_yelp",
+                              prefer=args.init_from)
         for stage, cli_name, ck in (("2a", "img_pretrain", "img_pretrained_amazon"),
                                     ("2b", "table_pretrain", "table_pretrained_amazon")):
             if stage_done(f"{root}/{ck}", n2):
