@@ -66,6 +66,12 @@ CKPT_DIRS = (
     ("ckpt/table_pretrained_yelp", 2),
     ("ckpt/multimodal_trained_yelp", 119),
     ("ckpt_valmin/multimodal_trained_yelp", 0),
+    # amazon chain (r5, VERDICT r4 #4) — pack() skips dirs that are absent
+    # or incomplete, so these are inert until the amazon run lands
+    ("ckpt/img_pretrained_amazon", 2),
+    ("ckpt/table_pretrained_amazon", 2),
+    ("ckpt/multimodal_trained_amazon", 59),
+    ("ckpt_valmin/multimodal_trained_amazon", 0),
 )
 
 # workdir content packed verbatim (everything the gate reads besides params)
