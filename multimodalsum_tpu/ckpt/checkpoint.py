@@ -161,6 +161,22 @@ def _merge(template, restored, path="", stats=None):
             f"{getattr(template, 'shape', None)}")
     if stats is not None:
         stats["restored"] = stats.get("restored", 0) + 1
+    # the TEMPLATE owns the dtype contract: bf16-stored snapshots (val-min
+    # trackers, packs — half the device->host transfer and disk of f32)
+    # restore onto f32 master-param templates as f32, so training from them
+    # keeps f32 optimizer state and the model's own bf16 compute cast is
+    # unchanged (upcasting bf16 values is exact). Cast only float->float;
+    # int/bool leaves keep their stored dtype.
+    r_dt = getattr(restored, "dtype", None)
+    t_dt = getattr(template, "dtype", None)
+    import numpy as _np
+
+    def _is_float(dt):
+        return dt is not None and (_np.issubdtype(dt, _np.floating)
+                                   or str(dt) == "bfloat16")
+
+    if r_dt != t_dt and _is_float(r_dt) and _is_float(t_dt):
+        return restored.astype(t_dt)
     return restored
 
 

@@ -329,22 +329,14 @@ def make_valmin_tracker(args, ckpt_name: str, *, snap_epochs=(),
                          if getattr(st, "batch_stats", None) is not None
                          else None))
 
-    def _to_f32_host(snap):
-        """Upcast the bf16 device snapshot to f32 on the host before the
-        orbax write: downstream stages may TRAIN from these dirs
-        (``--bart_init``), and a bf16-dtyped master-param tree would make
-        optimizer state/updates bf16 for those leaves. Values stay
-        bf16-quantised (the committed packs make the same tradeoff)."""
-        import numpy as np
-
-        return jax.tree.map(
-            lambda x: np.asarray(x).astype(np.float32)
-            if x is not None and jnp.issubdtype(x.dtype, jnp.floating) else x,
-            jax.device_get(snap))
-
+    # snapshots are WRITTEN bf16 (half the device->host transfer + disk —
+    # the first measured f32 flush cost ~4 min over the device link, 2x the
+    # r4 bf16 one); the load path casts restored leaves to the consuming
+    # template's dtype (``ckpt._merge``), so training from these dirs still
+    # gets f32 master params
     def write_valmin():
         vm_dir = os.path.join(valmin_dir, ckpt_name)
-        save_checkpoint(vm_dir, _to_f32_host(best["snap"]),
+        save_checkpoint(vm_dir, best["snap"],
                         save_option="whole",
                         epoch=best["epoch"], val_loss=best["vl"],
                         extra_meta={"params_only": True,
@@ -367,7 +359,7 @@ def make_valmin_tracker(args, ckpt_name: str, *, snap_epochs=(),
         if epoch in snap_epochs:
             d = os.path.join(snap_root or valmin_dir or ".",
                              f"{ckpt_name}_epoch{epoch}")
-            save_checkpoint(d, _to_f32_host(_snapshot(st)),
+            save_checkpoint(d, _snapshot(st),
                             save_option="whole",
                             epoch=epoch, val_loss=vl,
                             extra_meta={"params_only": True,

@@ -190,6 +190,41 @@ def test_load_export_rejects_zero_restore(tmp_path):
         load_export(directory, {"completely": {"different": np.zeros(2)}})
 
 
+def test_load_export_casts_to_template_dtype(tmp_path):
+    """bf16-stored snapshots (val-min trackers, packs) must restore onto an
+    f32 template AS f32 — the template owns the dtype contract, so training
+    from a snapshot keeps f32 master params/optimizer state (r5; values
+    stay bf16-quantised, upcasting is exact). Integer leaves keep their
+    stored dtype."""
+    import jax
+    import jax.numpy as jnp
+
+    from multimodalsum_tpu.ckpt.checkpoint import load_export, save_checkpoint
+    from multimodalsum_tpu.train.loop import EvalSnapshot
+
+    params = {"w": np.arange(6, dtype=np.float32).reshape(2, 3) / 7,
+              "steps": np.array([3, 4], dtype=np.int32)}
+    snap = EvalSnapshot(
+        step=jnp.int32(5),
+        params=jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16)
+            if np.issubdtype(x.dtype, np.floating) else x, params))
+    d = str(tmp_path / "vm")
+    save_checkpoint(d, snap, save_option="whole", epoch=1,
+                    extra_meta={"params_only": True})
+
+    template = {"w": np.zeros((2, 3), np.float32),
+                "steps": np.zeros(2, np.int32)}
+    merged = load_export(d, template)
+    assert merged["w"].dtype == np.float32
+    assert merged["steps"].dtype == np.int32
+    # values are the bf16-quantised originals, exactly upcast
+    np.testing.assert_array_equal(
+        merged["w"], np.asarray(params["w"].astype(jnp.bfloat16),
+                                dtype=np.float32))
+    np.testing.assert_array_equal(merged["steps"], params["steps"])
+
+
 def test_host_accum_matches_scan_accum():
     """Host-driven accumulation (k micro-grad jit calls + one apply —
     train/loop.make_host_accum_step, the program-size-bounded form for
