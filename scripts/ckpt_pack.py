@@ -64,7 +64,10 @@ CKPT_DIRS = (
     ("ckpt/text_pretrained_yelp", 59),
     ("ckpt/img_pretrained_yelp", 2),
     ("ckpt/table_pretrained_yelp", 2),
-    ("ckpt/multimodal_trained_yelp", 119),
+    # r5: the yelp stage-3 run is cut at the epoch-60 interval save — the
+    # val minimum lands ~epoch 40 and the r4 run showed epochs 60-120 only
+    # sharpen the deliberately-overfit final (SCALING.md round 5)
+    ("ckpt/multimodal_trained_yelp", 59),
     ("ckpt_valmin/multimodal_trained_yelp", 0),
     # amazon chain (r5, VERDICT r4 #4) — pack() skips dirs that are absent
     # or incomplete, so these are inert until the amazon run lands
