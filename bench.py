@@ -464,7 +464,7 @@ def restore_gate_ckpt(work_root: str) -> None:
 
 def quality_gate(work_root: str, timing_batch: int = 25,
                  sections=GATE_SECTIONS, quant_tiers=QUANT_TIERS,
-                 dataset: str = "yelp"):
+                 dataset: str = "yelp", sched_spt=8):
     """Trained-weights quantization quality gate + bulk-scheduler A/B.
 
     Runs the REAL eval contract (reference ``src/test.py:222-236``) on the
@@ -683,8 +683,10 @@ def quality_gate(work_root: str, timing_batch: int = 25,
         t0 = time.time()
         cont_preds, _, cont_sps = run("continuous", timed=True,
                                       scheduler="continuous",
-                                      n_slots=timing_batch, steps_per_tick=8)
+                                      n_slots=timing_batch,
+                                      steps_per_tick=sched_spt)
         out["bulk_continuous_sps"] = round(cont_sps, 3) if cont_sps else None
+        out["bulk_continuous_spt"] = sched_spt
         out["continuous_vs_static"] = seq_compare(cont_preds, exact_preds)
         print(f"# gate[continuous]: {cont_sps or 0:.2f} sum/s steady vs static "
               f"{out['exact']['bulk_static_sps']} "
@@ -860,6 +862,7 @@ def main():
         tiers = QUANT_TIERS
         ds = "yelp"
         tb = None
+        kw_spt = None
         for a in sys.argv:
             if a.startswith("--gate_root="):
                 root = a.split("=", 1)[1]
@@ -873,12 +876,19 @@ def main():
                 ds = a.split("=", 1)[1]
             elif a.startswith("--gate_batch="):
                 tb = int(a.split("=", 1)[1])
+            elif a.startswith("--gate_spt="):
+                # sched-section steps_per_tick: an int or 'auto' (the r5
+                # steady-occupancy tuner A/B, VERDICT r4 #7)
+                v = a.split("=", 1)[1]
+                kw_spt = v if v == "auto" else int(v)
         # --no-restore: score a CANDIDATE root (e.g. a symlinked view of a
         # ckpt_r5 training run) without the committed pack re-materialising
         # the shipped checkpoints into it
         if "--no-restore" not in sys.argv:
             restore_gate_ckpt(root)
         kw = {"timing_batch": tb} if tb else {}
+        if kw_spt is not None:
+            kw["sched_spt"] = kw_spt
         print(json.dumps({"trained_gate": quality_gate(
             root, sections=sections, quant_tiers=tiers, dataset=ds, **kw)}))
         return
