@@ -960,14 +960,26 @@ class ContinuousBatcher:
         Model: tick wall time = step + sync RTT; RTT measured directly as a
         tiny device_get. The chosen k's program compiles in the background
         (``_rebuild_multi_step(background=True)``) — no tick stalls."""
+        # drain queued work UN-timed first: device_get blocks on all
+        # previously dispatched computation, so an undrained probe absorbs
+        # pending step time into "rtt" (measured r5: a 3.6 s "rtt" during a
+        # link-stall window floored the step estimate and clamped k to the
+        # cap)
+        np.asarray(self.state.cur_len[:1])
         t0 = time.perf_counter()
         for _ in range(3):
             np.asarray(self.state.cur_len[:1])
         rtt = (time.perf_counter() - t0) / 3
-        step = max(np.median(self._tick_times) - rtt, 1e-4)
-        k = int(np.ceil(9 * rtt / step))  # RTT <= ~10% of a tick
+        step = float(np.median(self._tick_times)) - rtt
         cap = max(1, self.gen.max_length // 8)
-        self.steps_per_tick = int(np.clip(k, 1, cap))
+        if step <= 0:
+            # contaminated samples (a link stall hit the probe or the tick
+            # window): the model is unusable — fall back to the shipped
+            # fixed default rather than the cap
+            self.steps_per_tick = min(8, cap)
+        else:
+            k = int(np.ceil(9 * rtt / step))  # RTT <= ~10% of a tick
+            self.steps_per_tick = int(np.clip(k, 1, cap))
         self._auto_spt = False
         print(f"serving: auto steps_per_tick -> {self.steps_per_tick} "
               f"(rtt {rtt*1e3:.1f} ms, step {step*1e3:.1f} ms, "
