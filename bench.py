@@ -678,22 +678,32 @@ def quality_gate(work_root: str, timing_batch: int = 25,
               f"{gold['rougeL']:.2f} (delta {out[kvq]['gold_delta']:+.2f}, "
               f"{time.time()-t0:.0f}s)", flush=True)
 
-    # bulk-scheduler A/B on the same real length distribution
+    # bulk-scheduler A/B on the same real length distribution. Guarded like
+    # the quant tiers: the slot engine allocates big per-slot slabs and can
+    # RESOURCE_EXHAUST when the gate runs inside a full-bench process whose
+    # b72 ladders already fragmented HBM (measured r5) — a failing section
+    # must record its error, not sink the sections already measured
     if "sched" in sections:
         t0 = time.time()
-        cont_preds, _, cont_sps = run("continuous", timed=True,
-                                      scheduler="continuous",
-                                      n_slots=timing_batch,
-                                      steps_per_tick=sched_spt)
-        out["bulk_continuous_sps"] = round(cont_sps, 3) if cont_sps else None
-        out["bulk_continuous_spt"] = sched_spt
-        out["continuous_vs_static"] = seq_compare(cont_preds, exact_preds)
-        print(f"# gate[continuous]: {cont_sps or 0:.2f} sum/s steady vs static "
-              f"{out['exact']['bulk_static_sps']} "
-              f"(identical {out['continuous_vs_static']['identical_rows']}/"
-              f"{out['continuous_vs_static']['rows']}, id-RL "
-              f"{out['continuous_vs_static']['id_rougeL']}, "
-              f"{time.time()-t0:.0f}s)", flush=True)
+        try:
+            cont_preds, _, cont_sps = run("continuous", timed=True,
+                                          scheduler="continuous",
+                                          n_slots=timing_batch,
+                                          steps_per_tick=sched_spt)
+            out["bulk_continuous_sps"] = (round(cont_sps, 3)
+                                          if cont_sps else None)
+            out["bulk_continuous_spt"] = sched_spt
+            out["continuous_vs_static"] = seq_compare(cont_preds, exact_preds)
+            print(f"# gate[continuous]: {cont_sps or 0:.2f} sum/s steady vs "
+                  f"static {out['exact']['bulk_static_sps']} "
+                  f"(identical {out['continuous_vs_static']['identical_rows']}/"
+                  f"{out['continuous_vs_static']['rows']}, id-RL "
+                  f"{out['continuous_vs_static']['id_rougeL']}, "
+                  f"{time.time()-t0:.0f}s)", flush=True)
+        except Exception as e:
+            print(f"# gate[continuous]: FAILED {e!r}", flush=True)
+            out["bulk_continuous_sps"] = None
+            out["sched_failed"] = repr(e)[:300]
 
     # speculative decoding where it matters (VERDICT r2 #4): greedy decode
     # of the real reviews under TRAINED weights, prompt-lookup drafts from
@@ -706,10 +716,18 @@ def quality_gate(work_root: str, timing_batch: int = 25,
     spec = {}
     for w, tag in ((1, "classic"), (4, "spec_w4")) if "spec" in sections else ():
         eng_stats: dict = {}
-        preds1, _, sps1 = run(f"greedy-{tag}", timed=True, scheduler="continuous",
-                              n_slots=timing_batch, steps_per_tick=8,
-                              spec_window=w, gen_override=gen1,
-                              stats_out=eng_stats)
+        try:
+            preds1, _, sps1 = run(f"greedy-{tag}", timed=True,
+                                  scheduler="continuous",
+                                  n_slots=timing_batch, steps_per_tick=8,
+                                  spec_window=w, gen_override=gen1,
+                                  stats_out=eng_stats)
+        except Exception as e:  # same engine-slab OOM guard as sched
+            print(f"# gate[greedy-{tag}]: FAILED {e!r}", flush=True)
+            spec[tag] = {"sps": None, "failed": repr(e)[:300]}
+            if w == 1:
+                break  # no classic baseline -> the spec leg is meaningless
+            continue
         spec[tag] = {"sps": round(sps1, 3) if sps1 else None}
         if w == 1:
             greedy_classic = preds1
