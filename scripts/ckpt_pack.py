@@ -59,26 +59,35 @@ DEFAULT_PACK = os.path.join(REPO, "assets", "real_ckpt_pack")
 # and a seeded retrain must not try to mid-stage-resume from one (the
 # stage CLIs restore the FULL TrainState for resume). The valmin snapshot
 # is final by construction (saved once, never resumed from).
+# NOT packed: the img/table stage-2 checkpoints. They are ~0.75 GB each
+# (x4 with amazon — 3 GB of permanent git history, ADVICE r4 #5) and
+# re-derivable in ~10 min/stage from the packed stage-1 export (measured
+# r5: at this corpus scale the frozen decoder has memorised the train
+# reviews, so stage 2 moves the encoders barely at all — SCALING round 5);
+# the gate itself reads only the stage-3 pairs below.
 CKPT_DIRS = (
     ("ckpt/bart-review_yelp", 19),
     ("ckpt/text_pretrained_yelp", 59),
-    ("ckpt/img_pretrained_yelp", 2),
-    ("ckpt/table_pretrained_yelp", 2),
     # r5: the yelp stage-3 run is cut at the epoch-60 interval save — the
     # val minimum lands ~epoch 40 and the r4 run showed epochs 60-120 only
     # sharpen the deliberately-overfit final (SCALING.md round 5)
     ("ckpt/multimodal_trained_yelp", 59),
     ("ckpt_valmin/multimodal_trained_yelp", 0),
-    # amazon chain (r5, VERDICT r4 #4) — pack() skips dirs that are absent
-    # or incomplete, so these are inert until the amazon run lands
-    ("ckpt/img_pretrained_amazon", 2),
-    ("ckpt/table_pretrained_amazon", 2),
+    # amazon chain (r5, VERDICT r4 #4)
     ("ckpt/multimodal_trained_amazon", 59),
     ("ckpt_valmin/multimodal_trained_amazon", 0),
 )
 
-# workdir content packed verbatim (everything the gate reads besides params)
-DATA_TAR_EXCLUDE = ("ckpt", "ckpt_valmin", "jax_cache", "__pycache__")
+# workdir content packed verbatim (everything the gate reads besides
+# params). Checkpoint roots are excluded by PREFIX: the r5 chains train
+# into ckpt_r5/ckpt_r5_valmin/ckpt_r5_snaps/... siblings, and a literal
+# list silently tarred ~12 GB of them into "workdir data" (measured r5)
+DATA_TAR_EXCLUDE_PREFIXES = ("ckpt", "jax_cache", "__pycache__")
+
+
+def _tar_excluded(name: str) -> bool:
+    return any(name == p or name.startswith(p) for p in
+               DATA_TAR_EXCLUDE_PREFIXES)
 
 
 def _flatten(tree, prefix="", out=None):
@@ -226,7 +235,7 @@ def pack(work_root: str = DEFAULT_WORK, pack_dir: str = DEFAULT_PACK) -> list:
     with gzip.GzipFile(tar_path + ".tmp", "wb", mtime=0) as gz:
         with tarfile.open(fileobj=gz, mode="w") as tar:
             for name in sorted(os.listdir(work_root)):
-                if name in DATA_TAR_EXCLUDE:
+                if _tar_excluded(name):
                     continue
                 tar.add(os.path.join(work_root, name), arcname=name)
 

@@ -138,17 +138,22 @@ def test_workroot_pack_skips_incomplete_and_preserves_newer(tmp_path):
 
 
 def test_ckpt_dirs_cover_gate_and_stages():
-    """bench.quality_gate reads ckpt/multimodal_trained_yelp and
-    ckpt_valmin/…; train_real_ckpt skips stages via the pretraining dirs —
-    all of them must be in the packing list, with completion thresholds
-    matching train_real_ckpt.EPOCHS (meta records the last epoch INDEX)."""
+    """bench.quality_gate reads the stage-3 pairs for BOTH datasets; the
+    expensive-to-retrain stage-0/1 exports are packed for seeded retrains.
+    The img/table stage-2 dirs are deliberately NOT packed (re-derivable in
+    ~10 min/stage; 3 GB of permanent git history otherwise — r5). The yelp
+    stage-3 threshold is the r5 epoch-60 cut, below train_real_ckpt's
+    r4-era 120-epoch budget (meta records the last epoch INDEX)."""
     from scripts.train_real_ckpt import EPOCHS
 
     dirs = dict(CKPT_DIRS)
-    assert dirs["ckpt/multimodal_trained_yelp"] == EPOCHS["stage3"] - 1
+    assert dirs["ckpt/multimodal_trained_yelp"] == 59
+    assert dirs["ckpt/multimodal_trained_yelp"] <= EPOCHS["stage3"] - 1
     assert dirs["ckpt/text_pretrained_yelp"] == EPOCHS["stage1"] - 1
-    assert dirs["ckpt/img_pretrained_yelp"] == EPOCHS["stage2a"] - 1
     assert dirs["ckpt_valmin/multimodal_trained_yelp"] == 0
+    assert dirs["ckpt/multimodal_trained_amazon"] == 59
+    assert dirs["ckpt_valmin/multimodal_trained_amazon"] == 0
+    assert "ckpt/img_pretrained_yelp" not in dirs
 
 
 def test_pack_skips_midstage_intermediate(tmp_path):
