@@ -1099,6 +1099,11 @@ def main():
             print("# GATE: headline stays token-exact", flush=True)
 
     if "--no-train" not in sys.argv:
+        # the amazon gate pins a SECOND full bart-large model in _SHARED
+        # (~3.2 GB f32) that nothing after it needs; the train bench's
+        # AdamW state + activations then no longer fit (measured r5: the
+        # train section OOM'd only once the amazon section existed)
+        _SHARED.pop("amazon", None)
         try:
             record["train"] = bench_train(remat=train_remat,
                                           grad_accum=train_ga,
